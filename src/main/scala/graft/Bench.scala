@@ -1,24 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall seconds.
+  */
 object Bench {
+
+  private val headline: Seq[String] = Seq(
+    "q1_pricing_agg", "q2_join_agg", "q4_window_latest", "q9_multi_join",
+    "g1_same_group_pairs", "g2_overlap_pairs", "g3_degree", "g8_hierarchy_paths",
+    "d1_exact_dedup", "s1_cosine_topk",
+    "t3_quality_score", "e1_tumbling_agg")
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val sf    = sfDir.split("/").last.stripPrefix("sf")
+    val spark = GraftSession.create("graft-bench")
+
+    // Warm the JVM/codegen once on the smallest table set.
+    run(SparkEntry.queries("q1_pricing_agg")(spark, sfDir))
+
+    val times = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(SparkEntry.queries(name)(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = times.map(_._2).sum
+    val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    println(f"""{"metric":"graft_bench_total","value":$total%.3f,"unit":"sec","queries":{$qJson},"sf":$sf}""")
     spark.stop()
   }
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Sized for local[32] testing but every knob is the one you'd set on a
+  * 1000-executor cluster (AQE re-plans partition counts at runtime, so
+  * `shuffle.partitions` is a ceiling, not a schedule).
+  */
+object GraftSession {
+  def create(appName: String = "graft", master: String = "local[32]"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+    val withMaster =
+      if (SparkSession.getActiveSession.isDefined) b else b.master(master)
+    withMaster.getOrCreate()
+  }
+}

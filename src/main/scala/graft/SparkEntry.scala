@@ -1,13 +1,277 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{GraphOps, Relational}
+import graft.functions.TextFuncs
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.streaming.Events
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q2JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. relational core
+    "q1_pricing_agg"     -> Relational.q1PricingAgg _,
+    "q2_join_agg"        -> Relational.q2JoinAgg _,
+    "q3_topk"            -> Relational.q3TopK _,
+    "q4_window_latest"   -> Relational.q4WindowLatest _,
+    "q5_semi_join"       -> Relational.q5SemiJoin _,
+    "q6_anti_join"       -> Relational.q6AntiJoin _,
+    "q7_hierarchy_rollup" -> Relational.q7HierarchyRollup _,
+    "q8_conditional_agg" -> Relational.q8ConditionalAgg _,
+    "q9_multi_join"      -> Relational.q9MultiJoin _,
+    "q10_running_window" -> Relational.q10RunningWindow _,
+    // B. graph
+    "g1_same_group_pairs" -> GraphOps.g1SameGroupPairs _,
+    "g2_overlap_pairs"   -> GraphOps.g2OverlapPairs _,
+    "g3_degree"          -> GraphOps.g3Degree _,
+    "g4_two_hop"         -> GraphOps.g4TwoHop _,
+    "g8_hierarchy_paths" -> GraphOps.g8HierarchyPaths _,
+    // C. dedup
+    "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
+    "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
+    "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
+    // D. similarity
+    "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
+    // E. text
+    "t1_token_count"     -> TextFuncs.t1TokenCount _,
+    "t2_lang_id"         -> TextFuncs.t2LangId _,
+    "t3_quality_score"   -> TextFuncs.t3QualityScore _,
+    "t4_fingerprint"     -> TextFuncs.t4Fingerprint _,
+    "t5_field_extract"   -> TextFuncs.t5FieldExtract _,
+    "t6_validate"        -> TextFuncs.t6Validate _,
+    // F. events
+    "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
+    "e3_stream_dedup"    -> Events.e3StreamDedup _
+  )
+
+  private val decPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** DuckDB-dialect oracle SQL per query key; bare table names resolve to
+    * the same parquet tables.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  CAST(sum($decPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+         |FROM lineitem WHERE l_quantity < 45
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      s"""SELECT n_name,
+         |  CAST(sum($decPrice) AS DOUBLE) AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window_latest" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_hierarchy_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q8_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+        |  count(*) AS n_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q9_multi_join" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q10_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "g1_same_group_pairs" ->
+      """SELECT n_name AS nation_name, a.c_custkey AS custkey1, b.c_custkey AS custkey2
+        |FROM customer a
+        |JOIN customer b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |JOIN nation ON a.c_nationkey = n_nationkey
+        |ORDER BY nation_name, custkey1, custkey2""".stripMargin,
+    "g2_overlap_pairs" ->
+      """WITH stints AS (
+        |  SELECT l_suppkey, min(l_shipdate) AS start_d, max(l_shipdate) AS end_d
+        |  FROM lineitem GROUP BY l_suppkey
+        |), s AS (
+        |  SELECT l_suppkey AS suppkey, n_name, start_d, end_d
+        |  FROM stints JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+        |)
+        |SELECT a.n_name AS nation_name, a.suppkey AS suppkey1, b.suppkey AS suppkey2,
+        |  greatest(a.start_d, b.start_d) AS overlap_start,
+        |  least(a.end_d, b.end_d) AS overlap_end
+        |FROM s a JOIN s b ON a.n_name = b.n_name AND a.suppkey < b.suppkey
+        |WHERE a.start_d <= b.end_d AND b.start_d <= a.end_d
+        |ORDER BY nation_name, suppkey1, suppkey2""".stripMargin,
+    "g3_degree" ->
+      """SELECT custkey, count(*) AS degree FROM (
+        |  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "g4_two_hop" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT custkey, count(*) AS n_two_hop FROM (
+        |  SELECT DISTINCT a.custkey, b.custkey AS other
+        |  FROM edges a JOIN edges b ON a.suppkey = b.suppkey
+        |  WHERE a.custkey <> b.custkey)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "g8_hierarchy_paths" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'c_' || c_custkey AS child, n_name AS parent
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT n_name AS child, r_name AS parent
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |), anc AS (
+        |  SELECT child AS node, parent AS ancestor, 1 AS depth, parent || '/' || child AS path
+        |  FROM edges
+        |  UNION ALL
+        |  SELECT anc.node, e.parent, anc.depth + 1, e.parent || '/' || anc.path
+        |  FROM anc JOIN edges e ON anc.ancestor = e.child
+        |)
+        |SELECT node, ancestor, depth, path FROM anc ORDER BY node, depth, ancestor""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |    len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id1, doc_id2, CAST(floor(jac * 1000000.0) AS BIGINT) AS jaccard_micro
+        |FROM p WHERE jac >= 0.8 ORDER BY doc_id1, doc_id2""".stripMargin,
+    "d5_embedding_dedup" ->
+      """SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY vec_id1, vec_id2""".stripMargin,
+    "s1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ne) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|and|of)\b')) AS hits_en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS hits_de,
+        |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS hits_es,
+        |    len(regexp_extract_all(text, '\b(le|les|une|est)\b')) AS hits_fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS hits_zh
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |    greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN best > 0 AND hits_en = best THEN 'en'
+        |       WHEN best > 0 AND hits_de = best THEN 'de'
+        |       WHEN best > 0 AND hits_es = best THEN 'es'
+        |       WHEN best > 0 AND hits_fr = best THEN 'fr'
+        |       WHEN best > 0 AND hits_zh = best THEN 'zh'
+        |       ELSE 'und' END AS pred_lang
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t3_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+        |    len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS stop,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_chars = 0 THEN 0
+        |       ELSE CAST(floor(punct * 1000000.0 / n_chars) AS BIGINT) END AS punct_ratio_micro,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE CAST(floor(stop * 1000000.0 / n_tokens) AS BIGINT) END AS stopword_ratio_micro,
+        |  CAST(n_chars >= 100 AND n_chars <= 20000 AND n_tokens >= 20 AS INTEGER) AS quality_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fingerprint, substr(md5(text), 1, 4) AS band
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_field_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t6_validate" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_computed,
+        |  CAST(length(text) >= 200 AND text NOT LIKE '%error%' AND text NOT LIKE '%verify%' AS INTEGER) AS is_valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e1_tumbling_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "e3_stream_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
 }

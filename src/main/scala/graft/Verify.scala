@@ -1,31 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+
+/** Correctness dump: runs every SparkEntry query at the given scale-factor
+  * dir, writes one parquet per query plus the oracle SQL map as JSON.
+  *
+  * Usage: Verify <sfDir> <outDir>
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -33,10 +16,30 @@ object Verify {
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir  = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_verify"
+    val spark  = GraftSession.create("graft-verify")
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir)
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      println(f"verify $name done in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+    val json = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
+      .mkString("{\n", ",\n", "\n}")
+    val path = java.nio.file.Paths.get(outDir, "oracle_sql.json")
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, json.getBytes("UTF-8"))
+    println(s"wrote ${SparkEntry.queries.size} results + oracle_sql.json to $outDir")
     spark.stop()
   }
 }

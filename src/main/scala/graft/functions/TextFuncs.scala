@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over the documents corpus — all pure built-in column
+  * expressions (whole-stage codegen, no UDFs), so a 100 TB scan stays a
+  * single codegen'd projection with column pruning at the parquet reader.
+  *
+  * Reference analogs: content validation (utils/content_validator.py:61),
+  * text cleaning (html_extractor/extract_content_from_remark.py:686),
+  * cache fingerprints (utils/db_utils.py), rule-mapping field extraction
+  * (html_extractor/extract_table_from_remark.py:336-440).
+  */
+object TextFuncs {
+
+  /** Occurrences of a regex pattern in a column. */
+  def patternHits(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
+
+  /** Whitespace tokens count (0 for blank text). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** Fixed-point ratio: floor(1e6 * num/den) as a long — exact across
+    * engines, no float-hash flakiness.
+    */
+  def ratioMicro(num: Column, den: Column): Column =
+    when(den === 0, lit(0L)).otherwise(floor(num.cast("double") * 1000000.0 / den.cast("double")).cast("long"))
+
+  // Language marker patterns: tiny deterministic stopword heuristics.
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of)\\b",
+    "de" -> "\\b(der|die|das|und)\\b",
+    "es" -> "\\b(el|los|las|una)\\b",
+    "fr" -> "\\b(le|les|une|est)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]"
+  )
+
+  /** t1: token + char stats per document. */
+  def t1TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace_chars"))
+      .orderBy("doc_id")
+
+  /** t2: stopword-hit language ID — argmax of marker hits with fixed
+    * priority order, 'und' when nothing matches.
+    */
+  def t2LangId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id") +: langMarkers.map { case (l, p) =>
+        patternHits(col("text"), p).as(s"hits_$l")
+      }: _*)
+    val best = langMarkers.map(m => col(s"hits_${m._1}")).reduce(greatest(_, _))
+    // First marker in declaration order wins ties (en > de > es > fr > zh).
+    val pred = langMarkers.reverse.foldLeft(lit("und"): Column) { case (acc, (l, _)) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    base
+      .withColumn("pred_lang", pred)
+      .select("doc_id", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** t3: quality scoring — length, punctuation and stopword ratios in
+    * exact fixed-point (reference content_validator semantics).
+    */
+  def t3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val nTokens = tokenCount(col("text"))
+    val punct = patternHits(col("text"), "[.,!?;:]")
+    val stop = patternHits(col("text"), "\\b(the|a|and|of|to)\\b")
+    d.select(
+        col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        ratioMicro(punct, length(col("text"))).as("punct_ratio_micro"),
+        ratioMicro(stop, nTokens).as("stopword_ratio_micro"),
+        (length(col("text")) >= 100 && length(col("text")) <= 20000 && nTokens >= 20)
+          .cast("int").as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** t4: content fingerprint (cache key) + band prefix for bucketing. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fingerprint"),
+        substring(md5(col("text")), 1, 4).as("band"))
+      .orderBy("doc_id")
+
+  /** t5: rule-mapping field extraction from semi-structured text — regex
+    * capture over the events props payload.
+    */
+  def t5FieldExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("prop_k"))
+      .orderBy("event_id")
+
+  /** t6: validity classification — min-size + error-marker scan, the
+    * ContentValidator contract (utils/content_validator.py:13-100).
+    */
+  def t6Validate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        (length(col("text")) >= 200 &&
+          !col("text").contains("error") &&
+          !col("text").contains("verify")).cast("int").as("is_valid"))
+      .orderBy("doc_id")
+}

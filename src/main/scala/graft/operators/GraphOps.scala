@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph edge derivation — the Neo4j side of the reference re-expressed as
+  * relational plans.
+  *
+  * The reference materializes relationship edges with Cypher self-joins:
+  * SAME_HOMETOWN (mysql2neo4j.py:229-253), SCHOOLMATES (255-371) and
+  * COLLEAGUES (373-489) are all "group people by an attribute, emit one
+  * directed pair per unordered combination, annotate with interval
+  * overlap". On Spark that is a group-bounded self-equijoin: the shuffle
+  * key is the grouping attribute, pair explosion is bounded by group size,
+  * and the interval arithmetic is a codegen'd column expression.
+  */
+object GraphOps {
+
+  /** g1: all-pairs within a group with id1 < id2 dedup — SAME_HOMETOWN
+    * (birth_place → nation as the grouping attribute).
+    * Scale note: group-keyed self-equijoin; the shuffle key is the group
+    * attribute and output is bounded by sum(|group|^2); pathological groups
+    * would be capped/salted upstream.
+    */
+  def g1SameGroupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val left  = c.select(col("n_name").as("grp"), col("c_custkey").as("custkey1"))
+    val right = c.select(col("n_name").as("grp"), col("c_custkey").as("custkey2"))
+    left
+      .join(right, Seq("grp"))
+      .filter(col("custkey1") < col("custkey2"))
+      .select(col("grp").as("nation_name"), col("custkey1"), col("custkey2"))
+      .orderBy("nation_name", "custkey1", "custkey2")
+  }
+
+  /** g2: interval-overlap pairs — COLLEAGUES/SCHOOLMATES semantics
+    * (mysql2neo4j.py:399-466): same workplace, overlapping stints, overlap
+    * period = [max(start1,start2), min(end1,end2)].
+    *
+    * Stints are derived per supplier from lineitem ship dates; workplace is
+    * the supplier's nation. A map-side partial aggregate shrinks the fact
+    * table to one row per supplier before the pair join.
+    */
+  def g2OverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val stints = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("l_shipdate")).as("start_d"), max(col("l_shipdate")).as("end_d"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"), col("start_d"), col("end_d"))
+    val a = stints.select(col("n_name").as("grp"), col("s_suppkey").as("suppkey1"),
+      col("start_d").as("s1"), col("end_d").as("e1"))
+    val b = stints.select(col("n_name").as("grp"), col("s_suppkey").as("suppkey2"),
+      col("start_d").as("s2"), col("end_d").as("e2"))
+    a.join(b, Seq("grp"))
+      .filter(col("suppkey1") < col("suppkey2"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(
+        col("grp").as("nation_name"),
+        col("suppkey1"), col("suppkey2"),
+        greatest(col("s1"), col("s2")).as("overlap_start"),
+        least(col("e1"), col("e2")).as("overlap_end"))
+      .orderBy("nation_name", "suppkey1", "suppkey2")
+  }
+
+  /** g3: degree centrality on the customer–supplier bipartite graph
+    * (Person–Org degree). Distinct-edge projection happens before the
+    * count so the aggregate is over the edge set, not the fact table.
+    */
+  def g3Degree(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("custkey")
+  }
+
+  /** g4: 2-hop neighborhood size — customers reachable through a shared
+    * supplier (schoolmates-of-schoolmates analog). The edge set is
+    * deduplicated first; the hop is an equijoin on the shared endpoint.
+    */
+  def g4TwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+    val e2 = edges.select(col("suppkey"), col("custkey").as("other"))
+    edges
+      .join(e2, Seq("suppkey"))
+      .filter(col("custkey") =!= col("other"))
+      .select("custkey", "other")
+      .distinct()
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_two_hop"))
+      .orderBy("custkey")
+  }
+
+  /** g8: iterative parent-pointer expansion over a generic child→parent
+    * edge table (org BELONGS_TO chains, mysql2neo4j.py:204-227).
+    * The loop shuffles once per level; depth is the tree height (not the
+    * node count), so it scales to wide shallow hierarchies — exactly the
+    * org-tree shape.
+    */
+  def expandHierarchy(edges: DataFrame): DataFrame = {
+    // edges: (child: string, parent: string)
+    var frontier = edges
+      .select(col("child").as("node"), col("parent").as("ancestor"), lit(1).as("depth"),
+        concat_ws("/", col("parent"), col("child")).as("path"))
+    var result = frontier
+    var continue = true
+    while (continue) {
+      val next = frontier
+        .join(edges.select(col("child").as("ancestor"), col("parent").as("next_parent")),
+          Seq("ancestor"))
+        .select(col("node"), col("next_parent").as("ancestor"),
+          (col("depth") + 1).as("depth"),
+          concat_ws("/", col("next_parent"), col("path")).as("path"))
+      val cached = next.persist()
+      if (cached.isEmpty) {
+        continue = false
+        cached.unpersist()
+      } else {
+        result = result.unionByName(cached)
+        frontier = cached
+      }
+    }
+    result
+  }
+
+  /** g8 driver-contract wrapper: customer→nation→region hierarchy, full
+    * ancestor closure with depth and path.
+    */
+  def g8HierarchyPaths(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custEdges = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c_"), col("c_custkey")).as("child"), col("n_name").as("parent"))
+    val nationEdges = t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("child"), col("r_name").as("parent"))
+    expandHierarchy(custEdges.unionByName(nationEdges))
+      .select("node", "ancestor", "depth", "path")
+      .orderBy("node", "depth", "ancestor")
+  }
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core — the MySQL-side analytics of the reference re-expressed
+  * as declarative DataFrame plans so Catalyst handles pushdown, pruning and
+  * join planning.
+  *
+  * Money math runs in DECIMAL(18,2) (exact, portable, oracle-stable) and is
+  * cast to double only at the output boundary. Every query ends in a total
+  * deterministic ordering keyed by a unique column.
+  */
+object Relational {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** q1: groupBy multi-aggregate over the fact table (per-org leader rollup
+    * analog; reference: leader counts per org, mysql2neo4j.py:87-128).
+    */
+  def q1PricingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_quantity") < 45)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double")
+          .as("sum_disc_price"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q2: fact ⋈ dims with aggregation; nation/region dims are broadcast
+    * (reference: leader LEFT JOIN org for region, mysql2neo4j.py:110-121).
+    */
+  def q2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double")
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders")
+      )
+      .orderBy("n_name")
+  }
+
+  /** q3: global top-k with deterministic tie-break. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q4: latest-row-per-key via window row_number (latest career event per
+    * person; reference orders events per person in mysql2neo4j.py:831-863).
+    */
+  def q4WindowLatest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+        col("o_orderdate").as("latest_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  /** q5: left-semi join (EXISTS) — `check_html_exists`,
+    * reference utils/db_utils.py:91.
+    */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q6: left-anti join (NOT EXISTS) — `filter_existing` skip-list,
+    * reference processor/data_processor.py:100-138.
+    */
+  def q6AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q7: hierarchy rollup region ← nation ← customer with subtotal rows
+    * (org BELONGS_TO rollup; reference mysql2neo4j.py:204-227).
+    */
+  def q7HierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec("c_acctbal")).cast("double").as("sum_acctbal")
+      )
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** q8: pivot-style conditional aggregation (validation outcome tally;
+    * reference utils/content_validator.py).
+    */
+  def q8ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"),
+        count(lit(1)).as("n_total")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  /** q9: three-way join over two facts and a dim with distinct aggregation. */
+  def q9MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec("l_extendedprice")).cast("double").as("revenue"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        countDistinct(col("s_suppkey")).as("n_suppliers")
+      )
+      .orderBy("p_brand")
+  }
+
+  /** q10: running total per key over event time (cumulative career
+    * timeline analog). Decimal accumulation keeps the running sum exact
+    * under any evaluation order.
+    */
+  def q10RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .withColumn("running_total", sum(dec("o_totalprice")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream operators. Batch forms here (driver-verifiable against the
+  * DuckDB oracle); the Structured Streaming variants share the same
+  * transformation bodies and are exercised in the test suite with
+  * MemoryStream + watermarks.
+  */
+object Events {
+
+  /** e1: tumbling 1-hour window counts/sums per event type. The window
+    * start is emitted as epoch seconds (bigint) — timezone- and
+    * precision-neutral across engines; the bucket is exact integer
+    * division on the nanosecond timestamp. `value` is folded in exact
+    * fixed-point (floor of millis) so sums hash identically.
+    */
+  def e1TumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
+      .groupBy(col("hour_ts"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .orderBy("hour_ts", "event_type")
+
+  /** e3: first-event-per-key dedup — the batch analog of streaming
+    * `dropDuplicates` under a watermark.
+    */
+  def e3StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+      .orderBy("user_id", "event_type")
+  }
+}
