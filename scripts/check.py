@@ -41,7 +41,7 @@ def main() -> int:
     for name in sorted(oracles):
         try:
             got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'"
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
             ).df()
             want = con.sql(oracles[name]).df()
             g, w = norm(got), norm(want)

@@ -31,7 +31,7 @@ object Bench {
     }
     val total = times.map(_._2).sum
     val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
-    println(f"""{"metric":"graft_bench_total","value":$total%.3f,"unit":"sec","queries":{$qJson},"sf":$sf}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -182,7 +182,7 @@ object SparkEntry {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
-        |  FROM documents),
+        |  FROM documents WHERE length(text) >= 3),
         |p AS (
         |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
         |    len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS jac
@@ -256,7 +256,7 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fingerprint, substr(md5(text), 1, 4) AS band
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t5_field_extract" ->
-      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS prop_k
+      """SELECT event_id, CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
     "t6_validate" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_computed,

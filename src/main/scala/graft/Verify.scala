@@ -23,23 +23,32 @@ object Verify {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_verify"
     val spark  = GraftSession.create("graft-verify")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir)
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      println(f"verify $name done in ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
-
+    // Oracle map first, independent of query execution: one broken query
+    // must not zero out every other query's verification.
     val json = SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
       .mkString("{\n", ",\n", "\n}")
     val path = java.nio.file.Paths.get(outDir, "oracle_sql.json")
     java.nio.file.Files.createDirectories(path.getParent)
     java.nio.file.Files.write(path, json.getBytes("UTF-8"))
-    println(s"wrote ${SparkEntry.queries.size} results + oracle_sql.json to $outDir")
+
+    var failed = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir)
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$outDir/$name")
+        println(f"verify $name done in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"verify $name FAILED: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+      }
+    }
+    println(s"wrote ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} results + oracle_sql.json to $outDir")
     spark.stop()
   }
 }

@@ -37,7 +37,11 @@ object Dedup {
     * fixed-point so it hashes identically everywhere.
     */
   def d2NgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    // length>=3 pre-filter: texts with no 3-gram have an empty shingle set,
+    // whose 0/0 Jaccard is engine-dependent (NaN vs error) — exclude on
+    // BOTH sides (same filter in the oracle) so parity is by construction.
     val docs = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 3)
       .select(col("doc_id"), shingles3(col("text")).as("grams"))
     val a = docs.select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
     val b = docs.select(col("doc_id").as("doc_id2"), col("grams").as("g2"))

@@ -112,28 +112,34 @@ object GraphOps {
     */
   def expandHierarchy(edges: DataFrame): DataFrame = {
     // edges: (child: string, parent: string)
+    //
+    // Each level is eagerly localCheckpoint'ed: lineage is truncated every
+    // iteration (no O(depth) plan growth), each level's partitions are
+    // materialized exactly once, and they stay cached only because they ARE
+    // the arms of the final union. The empty terminal frontier is dropped.
+    val parentOf = edges.select(col("child").as("ancestor"), col("parent").as("next_parent"))
     var frontier = edges
       .select(col("child").as("node"), col("parent").as("ancestor"), lit(1).as("depth"),
         concat_ws("/", col("parent"), col("child")).as("path"))
-    var result = frontier
-    var continue = true
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var continue = !frontier.isEmpty
     while (continue) {
       val next = frontier
-        .join(edges.select(col("child").as("ancestor"), col("parent").as("next_parent")),
-          Seq("ancestor"))
+        .join(parentOf, Seq("ancestor"))
         .select(col("node"), col("next_parent").as("ancestor"),
           (col("depth") + 1).as("depth"),
           concat_ws("/", col("next_parent"), col("path")).as("path"))
-      val cached = next.persist()
-      if (cached.isEmpty) {
+        .localCheckpoint(true)
+      if (next.isEmpty) {
         continue = false
-        cached.unpersist()
+        next.unpersist()
       } else {
-        result = result.unionByName(cached)
-        frontier = cached
+        levels += next
+        frontier = next
       }
     }
-    result
+    levels.reduce(_.unionByName(_))
   }
 
   /** g8 driver-contract wrapper: customer→nation→region hierarchy, full
