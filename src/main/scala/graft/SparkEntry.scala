@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, Relational}
+import graft.operators.{GraphIter, GraphOps, Relational}
 import graft.functions.TextFuncs
 import graft.dedup.Dedup
+import graft.multimodal.Media
 import graft.similarity.Ann
 import graft.streaming.Events
 
@@ -32,13 +33,23 @@ object SparkEntry {
     "g2_overlap_pairs"   -> GraphOps.g2OverlapPairs _,
     "g3_degree"          -> GraphOps.g3Degree _,
     "g4_two_hop"         -> GraphOps.g4TwoHop _,
+    "g5_connected_components" -> GraphIter.g5ConnectedComponents _,
+    "g6_pagerank"        -> GraphIter.g6PageRank _,
+    "g7_triangle_count"  -> GraphIter.g7TriangleCount _,
     "g8_hierarchy_paths" -> GraphOps.g8HierarchyPaths _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
+    "d3_minhash_lsh"     -> ((s: SparkSession, d: String) => Dedup.d3MinHashLsh(s, d)),
+    "d4_simhash"         -> Dedup.d4SimHash _,
     "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
     // D. similarity
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
+    "s2_lsh_ann"         -> ((s: SparkSession, d: String) => Ann.s2LshAnn(s, d)),
+    "s3_centroid_ivf"    -> ((s: SparkSession, d: String) => Ann.s3CentroidIvf(s, d)),
+    // G. multimodal
+    "m1_media_meta"      -> Media.m1MediaMeta _,
+    "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -48,11 +59,51 @@ object SparkEntry {
     "t6_validate"        -> TextFuncs.t6Validate _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
+    "e2_sessionize"      -> Events.e2Sessionize _,
     "e3_stream_dedup"    -> Events.e3StreamDedup _
   )
 
   private val decPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** DuckDB hex payload of the synthesized media blob (m1/m2): magic bytes
+    * by doc_id mod 3, body = UTF-8 text. Mirrors [[graft.multimodal.Media.payload]].
+    */
+  private val mediaHex =
+    """hex((CASE WHEN doc_id % 3 = 0 THEN unhex('89504E470D0A1A0A')
+      |          WHEN doc_id % 3 = 1 THEN unhex('FFD8FFE0')
+      |          ELSE unhex('52494646') END) || encode(text))""".stripMargin
+
+  /** Generated d4 oracle: parse the first 15 hex chars of md5(gram) as a
+    * 60-bit int (list_reduce polynomial eval — DuckDB has no hex→int cast),
+    * vote each bit ±1 over the gram list, fold sign bits into the
+    * fingerprint. Mirrors [[graft.dedup.Dedup.d4SimHash]] exactly.
+    */
+  private def d4OracleSql: String = {
+    val hexParse =
+      "list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1), (a, b) -> a * 16 + b)"
+    val bitVotes = (0 until 60).map(i =>
+      s"CAST(list_sum(list_transform(hs, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS b$i")
+      .mkString(",\n    ")
+    val fp = (0 until 60).map(i =>
+      s"(CASE WHEN b$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+       |  FROM documents WHERE length(text) >= 3),
+       |hx AS (SELECT doc_id, list_transform(g, s -> $hexParse) AS hs FROM sh),
+       |bits AS (SELECT doc_id,
+       |    $bitVotes
+       |  FROM hx),
+       |f AS (SELECT doc_id, $fp AS simhash FROM bits)
+       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+       |  CAST((simhash >> 0) & 32767 AS BIGINT) AS band0,
+       |  CAST((simhash >> 15) & 32767 AS BIGINT) AS band1,
+       |  CAST((simhash >> 30) & 32767 AS BIGINT) AS band2,
+       |  CAST((simhash >> 45) & 32767 AS BIGINT) AS band3
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB-dialect oracle SQL per query key; bare table names resolve to
     * the same parquet tables.
@@ -175,6 +226,113 @@ object SparkEntry {
         |  FROM anc JOIN edges e ON anc.ancestor = e.child
         |)
         |SELECT node, ancestor, depth, path FROM anc ORDER BY node, depth, ancestor""".stripMargin,
+    "g5_connected_components" ->
+      """WITH nodes AS (
+        |  SELECT 'c_' || c_custkey AS node, r_name AS root
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT r_name, r_name FROM region
+        |)
+        |SELECT node, min(node) OVER (PARTITION BY root) AS component
+        |FROM nodes ORDER BY node""".stripMargin,
+    "g7_triangle_count" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM os x JOIN os y ON x.okey = y.okey AND x.s < y.s),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |pn AS (
+        |  SELECT s, count(*) AS n FROM (
+        |    SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY s)
+        |SELECT s_suppkey AS suppkey, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+        |FROM supplier LEFT JOIN pn ON s_suppkey = pn.s
+        |ORDER BY suppkey""".stripMargin,
+    "d3_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |    len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id1, doc_id2, CAST(floor(jac * 1000000.0) AS BIGINT) AS jaccard_micro
+        |FROM p WHERE jac >= 0.8 ORDER BY doc_id1, doc_id2""".stripMargin,
+    "d4_simhash" -> d4OracleSql,
+    "s2_lsh_ann" ->
+      """WITH hp AS (SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS he FROM embeddings WHERE vec_id < 4),
+        |bk AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), he) >= 0
+        |      THEN (CAST(1 AS BIGINT) << h_id) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+        |b AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, bucket
+        |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM b WHERE vec_id < 10),
+        |s AS (SELECT query_id, b.vec_id AS neighbor_id, list_cosine_similarity(qe, b.emb) AS sim
+        |      FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s3_centroid_ivf" ->
+      """WITH ct AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, emb, cell FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, ct.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, ct.cent_id) AS arn
+        |    FROM embeddings e CROSS JOIN ct)
+        |  WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM asg WHERE vec_id < 10),
+        |s AS (SELECT query_id, a.vec_id AS neighbor_id, list_cosine_similarity(qe, a.emb) AS sim
+        |      FROM q JOIN asg a USING (cell) WHERE a.vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "m1_media_meta" ->
+      s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents)
+         |SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+         |  CASE WHEN hx LIKE '89504E47%' THEN 'image/png'
+         |       WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+         |       WHEN hx LIKE '52494646%' THEN 'audio/wav'
+         |       ELSE 'application/octet-stream' END AS media_type,
+         |  md5(hx) AS content_hash
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+         |o AS (SELECT doc_id, hx, length(hx) // 2 AS n_bytes FROM p),
+         |f AS (
+         |  SELECT doc_id, hx,
+         |    unnest(generate_series(0, CAST(greatest(n_bytes - 64, 0) AS BIGINT), 256)) AS frame_offset
+         |  FROM o)
+         |SELECT doc_id,
+         |  CAST(frame_offset // 256 AS BIGINT) AS frame_no,
+         |  CAST(frame_offset AS BIGINT) AS frame_offset,
+         |  md5(substr(hx, CAST(frame_offset * 2 + 1 AS INTEGER), 128)) AS frame_hash
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "e2_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM ev),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        |  FROM y)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM z GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque binary
+  * columns with typed metadata.
+  *
+  * No codecs exist in this container (or on a stock Spark executor), so the
+  * DECODE step is a deterministic stub: payloads are synthesized from the
+  * documents corpus (real container magic bytes + the UTF-8 text as body).
+  * Everything around the stub — binary schema, magic-byte sniffing, chunked
+  * frame sampling, per-frame hashing, partitioning — is the real 100 TB
+  * plumbing: codegen'd binary expressions, no shuffle before the scan-side
+  * projection, and an explode whose fan-out is bounded by payload size /
+  * stride. Reference analog: image-URL validation + media bookkeeping
+  * (leader/update_leader_img_url.py:25-66).
+  */
+object Media {
+
+  /** Deterministic payload synthesis (the stand-in for reading a real media
+    * blob column): container magic chosen by doc_id mod 3, body = UTF-8
+    * text bytes.
+    */
+  def payload(docId: Column, text: Column): Column = {
+    val magic = when(pmod(docId, lit(3)) === 0, unhex(lit("89504E470D0A1A0A"))) // PNG
+      .when(pmod(docId, lit(3)) === 1, unhex(lit("FFD8FFE0")))                  // JPEG
+      .otherwise(unhex(lit("52494646")))                                        // RIFF/WAV
+    concat(magic, encode(text, "UTF-8"))
+  }
+
+  /** Magic-byte type sniff over the hex view of the payload (DuckDB has no
+    * blob substring/md5, so all portable derivations run on hex strings —
+    * both engines emit uppercase hex).
+    */
+  def sniffType(hexPayload: Column): Column =
+    when(hexPayload.startsWith("89504E47"), "image/png")
+      .when(hexPayload.startsWith("FFD8FF"), "image/jpeg")
+      .when(hexPayload.startsWith("52494646"), "audio/wav")
+      .otherwise("application/octet-stream")
+
+  /** m1: payload + typed metadata — size, sniffed media type, content
+    * hash. One shuffle-free projection per 100 TB scan.
+    */
+  def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sniffType(hex(col("payload"))).as("media_type"),
+        md5(hex(col("payload"))).as("content_hash"))
+      .orderBy("doc_id")
+
+  /** m2: deterministic frame sampling — a 64-byte "frame" every 256 bytes
+    * (the stub for decode-and-sample-frames). Offsets are computed, then
+    * posexplode fans out one row per sampled frame; fan-out is n_bytes/256
+    * so the stage scales linearly with payload volume. The per-frame
+    * "feature" is the md5 of the frame's hex view (the seam where a real
+    * feature extractor would run via mapInPandas on a cluster with codecs).
+    */
+  def m2FrameSample(
+      spark: SparkSession,
+      dir: String,
+      frameBytes: Int = 64,
+      strideBytes: Int = 256): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), hex(payload(col("doc_id"), col("text"))).as("hx"))
+      .select(
+        col("doc_id"), col("hx"),
+        (length(col("hx")) / 2).cast("long").as("n_bytes"))
+      .select(
+        col("doc_id"), col("hx"),
+        posexplode(sequence(lit(0L), greatest(col("n_bytes") - frameBytes, lit(0L)), lit(strideBytes.toLong))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("frame_no"),
+        col("col").as("frame_offset"),
+        md5(col("hx").substr((col("col") * 2 + 1).cast("int"), lit(frameBytes * 2))).as("frame_hash"))
+      .orderBy("doc_id", "frame_no")
+}

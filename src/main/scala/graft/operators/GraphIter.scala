@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics as DataFrame loops (Pregel-style).
+  *
+  * The reference loads its leader graph into Neo4j and runs traversals
+  * there; at 100 TB an OLTP graph store is not an option, so community
+  * discovery / influence ranking become synchronous iterations over an edge
+  * DataFrame: each superstep is a bounded number of shuffles keyed by the
+  * node id, every frontier/label set is localCheckpoint'ed so lineage stays
+  * O(1) in the iteration count, and convergence checks are scalar actions.
+  */
+object GraphIter {
+
+  /** Hash-min connected components over an undirected edge list.
+    *
+    * Label = min node-id reachable; each superstep propagates neighbor
+    * minima (one shuffle for the message join, one for the min-aggregate)
+    * and converges in O(diameter) supersteps. Works on any (src, dst)
+    * string edge set.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val msgs = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** g5: components of the customer→nation→region tree — community
+    * discovery analog on the reference's org hierarchy (each region tree is
+    * one component; the generic hash-min loop discovers that, the oracle
+    * derives it structurally).
+    */
+  def g5ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custEdges = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c_"), col("c_custkey")).as("src"), col("n_name").as("dst"))
+    val nationEdges = t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("src"), col("r_name").as("dst"))
+    connectedComponents(custEdges.unionByName(nationEdges))
+      .select(col("node"), col("label").as("component"))
+      .orderBy("node")
+  }
+
+  /** Power-iteration PageRank over an undirected edge list, fixed iteration
+    * count (deterministic — no convergence-dependent output). Degrees and
+    * the symmetric edge set are computed once and checkpointed; each
+    * iteration is one join + one aggregate, with lineage truncated every
+    * superstep so the 10-step plan never grows.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val withDeg = sym
+      .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint(true)
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("contrib"))
+        .groupBy("node")
+        .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    withDeg.unpersist()
+    ranks
+  }
+
+  /** g6: influence ranking on the customer–supplier bipartite graph
+    * (leader-influence analog). Rows-only oracle: the 10-step float
+    * recurrence is not portably hashable, so the check is cardinality; the
+    * unit spec asserts rank-mass conservation instead.
+    */
+  def g6PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c_"), col("o_custkey")).as("src"),
+        concat(lit("s_"), col("l_suppkey")).as("dst"))
+      .distinct()
+    pageRank(edges)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** g7: per-node triangle counts on the supplier co-purchase graph
+    * (suppliers appearing in the same order; clique-detection analog of the
+    * reference's COLLEAGUES cliques).
+    *
+    * Classic ordered-edge enumeration: edges carry src < dst, a wedge join
+    * on the middle vertex produces (a<b<c) candidates once each, and a
+    * semi-join against the closing edge confirms the triangle — no
+    * double-counting, shuffle keyed by vertex id throughout.
+    */
+  def g7TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orderSupp = t.lineitem
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = orderSupp.as("x")
+      .join(orderSupp.as("y"), col("x.okey") === col("y.okey") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val triangles = wedges
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .localCheckpoint(true)
+    edges.unpersist()
+    val perNode = triangles.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+      .groupBy("suppkey")
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = t.supplier.select(col("s_suppkey").as("suppkey"))
+      .join(perNode, Seq("suppkey"), "left")
+      .select(col("suppkey"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("suppkey")
+    out
+  }
+}

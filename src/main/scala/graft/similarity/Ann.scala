@@ -63,4 +63,74 @@ object Ann {
       .select("vec_id1", "vec_id2")
       .orderBy("vec_id1", "vec_id2")
   }
+
+  /** s2: LSH-bucketed ANN — random-hyperplane signatures turn the
+    * all-pairs scan into a bucket equijoin: the shuffle key is the bucket
+    * id, and search cost per query is the bucket size, not the corpus.
+    *
+    * Hyperplanes are the first `nPlanes` corpus vectors (deterministic and
+    * oracle-reproducible); the signature bit j is sign(cos(v, h_j)). The
+    * hyperplane set is broadcast, so bucketing is a shuffle-free scan.
+    */
+  def s2LshAnn(spark: SparkSession, dir: String, k: Int = 10, nPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val planes = t.embeddings.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
+    val bucketed = t.embeddings
+      .crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("emb"),
+        sum(when(cosine(col("embedding"), col("h_emb")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h_id AS INT))")).otherwise(0L)).as("bucket"))
+    val queries = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    bucketed
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("bucket"))
+      .join(queries, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** s3: IVF-style ANN — assign every vector to its nearest of `nCells`
+    * fixed centroids (argmax cosine, deterministic tie-break on centroid
+    * id), then search only the query's own cell. Centroids are the first
+    * `nCells` corpus vectors, broadcast; the cell id is the shuffle key.
+    * At 100 TB the same plan holds with k-means centroids in place of the
+    * fixed ones — assignment stays a broadcast scan.
+    */
+  def s3CentroidIvf(spark: SparkSession, dir: String, k: Int = 10, nCells: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val centroids = t.embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    val assigned = t.embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell"))
+      .join(queries, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
 }

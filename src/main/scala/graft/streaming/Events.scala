@@ -26,6 +26,35 @@ object Events {
         sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
       .orderBy("hour_ts", "event_type")
 
+  /** e2: sessionization — split each user's event stream at >30-min gaps
+    * and aggregate per session. Batch form: one shuffle keyed by user_id
+    * covers the lag, the running session counter and the final per-session
+    * aggregate (all three run inside the same window partitioning).
+    * `ts` is exact integer nanoseconds, so the gap predicate is
+    * engine-portable. Streaming form: `EventsStream.sessionizeStream` uses
+    * the built-in `session_window` with the same 30-min gap.
+    */
+  def e2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Microsecond arithmetic throughout: DuckDB reads TIMESTAMP(NANOS)
+    // parquet at micro precision, so the portable exact-integer domain for
+    // session bounds is µs (gap semantics are unaffected at 30 min).
+    val gapUs = 30L * 60 * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir).events
+      .withColumn("ts", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("is_new")).over(wOrd))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** e3: first-event-per-key dedup — the batch analog of streaming
     * `dropDuplicates` under a watermark.
     */

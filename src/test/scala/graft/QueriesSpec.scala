@@ -88,4 +88,93 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = functions.TextFuncs.t2LangId(spark, dir)
     assert(df.count() === Tables(spark, dir).documents.count())
   }
+
+  test("g5 components agree with the structural region partition") {
+    val df = operators.GraphIter.g5ConnectedComponents(spark, dir)
+    // one label per region tree, and every member maps to the same label
+    val nRegions = Tables(spark, dir).region.count()
+    assert(df.select("component").distinct().count() === nRegions)
+    // labels are component members (hash-min invariant)
+    val members = df.select(col("node")).collect().map(_.getString(0)).toSet
+    df.select("component").distinct().collect().foreach { r =>
+      assert(members.contains(r.getString(0)))
+    }
+  }
+
+  test("g6 pagerank conserves rank mass") {
+    val rows = operators.GraphIter.g6PageRank(spark, dir).collect()
+    val total = rows.map(_.getAs[Double]("rank")).sum
+    // undirected graph, no dangling mass: sum(rank) == n within rounding
+    assert(math.abs(total - rows.length) < 1e-2 * rows.length)
+    assert(rows.forall(_.getAs[Double]("rank") > 0))
+  }
+
+  test("g7 per-node triangle counts sum to 3x the triangle total") {
+    val df = operators.GraphIter.g7TriangleCount(spark, dir)
+    val total = df.agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(total % 3 === 0)
+  }
+
+  test("d3 minhash-lsh verified pairs equal the exact d2 join") {
+    val d2 = dedup.Dedup.d2NgramJaccard(spark, dir).collect().toSet
+    val d3 = dedup.Dedup.d3MinHashLsh(spark, dir).collect().toSet
+    assert(d2 === d3)
+  }
+
+  test("d4 simhash bands decompose the fingerprint") {
+    dedup.Dedup.d4SimHash(spark, dir).collect().foreach { r =>
+      val fp = r.getAs[Long]("simhash")
+      val recomposed = (0 until 4).map(j => r.getAs[Long](s"band$j") << (15 * j)).sum
+      assert(recomposed === fp)
+      assert(fp >= 0 && fp < (1L << 60))
+    }
+  }
+
+  test("s2/s3 neighbors come from the query's own bucket/cell and rank densely") {
+    Seq(
+      similarity.Ann.s2LshAnn(spark, dir, k = 5),
+      similarity.Ann.s3CentroidIvf(spark, dir, k = 5)
+    ).foreach { df =>
+      val rows = df.collect()
+      rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+        val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(ranks === (1 to ranks.length)) // dense from 1, no gaps
+      }
+    }
+  }
+
+  test("e2 sessions are disjoint and ordered per user") {
+    val rows = streaming.Events.e2Sessionize(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("session_no"))
+      sorted.foreach(r =>
+        assert(r.getAs[Long]("session_start") <= r.getAs[Long]("session_end")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts strictly after the previous ends, by > gap
+          assert(b.getAs[Long]("session_start") - a.getAs[Long]("session_end") > 30L * 60 * 1000000L)
+        case _ =>
+      }
+    }
+  }
+
+  test("m1 sniffs the synthesized magic bytes") {
+    val rows = multimodal.Media.m1MediaMeta(spark, dir).collect()
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("doc_id") % 3 match {
+        case 0 => "image/png"
+        case 1 => "image/jpeg"
+        case _ => "audio/wav"
+      }
+      assert(r.getAs[String]("media_type") === expected)
+    }
+  }
+
+  test("m2 frame offsets follow the stride") {
+    val rows = multimodal.Media.m2FrameSample(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("frame_offset") === r.getAs[Long]("frame_no") * 256)
+      assert(r.getAs[String]("frame_hash").nonEmpty)
+    }
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+
+final case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Long, value: Double)
+
+/** Structured Streaming forms of the F-group, driven through MemoryStream:
+  * the streaming plans must (a) run incrementally with watermarked state and
+  * (b) agree with the batch forms on the same finite input.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.create("graft-streaming-test", master = "local[4]")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val hourNs = 3600L * 1000000000L
+  private def sample: Seq[Ev] = Seq(
+    Ev(1, 1, "click", 1 * hourNs + 1000000000L, 1.5),
+    Ev(2, 1, "click", 1 * hourNs + 2000000000L, 2.5),
+    Ev(3, 1, "view", 1 * hourNs + 3000000000L, 0.5),
+    Ev(4, 2, "click", 2 * hourNs + 1000000000L, 3.0),
+    // user 1 again, > 30 min after the first burst → second session
+    Ev(5, 1, "click", 1 * hourNs + 2400L * 1000000000L, 1.0),
+    Ev(6, 2, "click", 2 * hourNs + 100L * 1000000000L, 4.0)
+  )
+
+  private def runStream(name: String, df: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    spark.table(name).collect()
+  }
+
+  test("streaming e1 tumbling agg matches hand-computed windows (complete mode)") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = EventsStream.tumblingAggStream(mem.toDF())
+      .writeStream.format("memory").queryName("e1s").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("e1s").collect()
+      .map(r => (r.getAs[Long]("hour_ts"), r.getAs[String]("event_type")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(out((3600L, "click")) === 3L) // ev1, ev2, and ev5 (1h40m is inside hour 1)
+    assert(out((3600L, "view")) === 1L)
+    assert(out((7200L, "click")) === 2L) // ev4 + ev6 (both inside hour 2)
+  }
+
+  test("streaming e2 session windows split at the 30-min gap") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = EventsStream.sessionizeStream(mem.toDF())
+      .writeStream.format("memory").queryName("e2s").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val byUser = spark.table("e2s").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.length).toMap
+    assert(byUser(1L) === 2) // burst + the 40-min-later event
+    assert(byUser(2L) === 1) // two events ~100s apart merge into one session
+  }
+
+  test("streaming e3 dedup keeps one row per (user, type)") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val rows = runStream("e3s", EventsStream.dedupStream(mem.toDF()))
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.length === keys.distinct.length)
+    assert(keys.toSet === Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+}
