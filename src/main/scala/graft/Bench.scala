@@ -9,9 +9,12 @@ object Bench {
 
   private val headline: Seq[String] = Seq(
     "q1_pricing_agg", "q2_join_agg", "q4_window_latest", "q9_multi_join",
-    "g1_same_group_pairs", "g2_overlap_pairs", "g3_degree", "g8_hierarchy_paths",
-    "d1_exact_dedup", "s1_cosine_topk",
-    "t3_quality_score", "e1_tumbling_agg")
+    "g1_same_group_pairs", "g2_overlap_pairs", "g3_degree", "g5_connected_components",
+    "g6_pagerank", "g7_triangle_count", "g8_hierarchy_paths",
+    "d1_exact_dedup", "d3_minhash_lsh", "d4_simhash", "d5_embedding_dedup",
+    "s1_cosine_topk", "s2_lsh_ann", "s3_centroid_ivf",
+    "t3_quality_score", "e1_tumbling_agg", "e2_sessionize",
+    "m1_media_meta", "m2_frame_sample")
 
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -90,8 +90,8 @@ object SparkEntry {
       .mkString(" + ")
     s"""WITH sh AS (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
-       |  FROM documents WHERE length(text) >= 3),
+       |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+       |  FROM documents WHERE length(text) >= 5),
        |hx AS (SELECT doc_id, list_transform(g, s -> $hexParse) AS hs FROM sh),
        |bits AS (SELECT doc_id,
        |    $bitVotes
@@ -238,8 +238,10 @@ object SparkEntry {
         |SELECT node, min(node) OVER (PARTITION BY root) AS component
         |FROM nodes ORDER BY node""".stripMargin,
     "g7_triangle_count" ->
-      """WITH os AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem),
-        |e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM os x JOIN os y ON x.okey = y.okey AND x.s < y.s),
+      """WITH os0 AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem),
+        |os AS (SELECT okey, s, s_nationkey AS nat FROM os0 JOIN supplier ON s = s_suppkey),
+        |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |      FROM os x JOIN os y ON x.okey = y.okey AND x.nat = y.nat AND x.s < y.s),
         |tri AS (
         |  SELECT e1.a, e1.b, e2.b AS c
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
@@ -254,8 +256,8 @@ object SparkEntry {
     "d3_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
-        |  FROM documents WHERE length(text) >= 3),
+        |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents WHERE length(text) >= 5),
         |p AS (
         |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
         |    len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS jac
@@ -339,8 +341,8 @@ object SparkEntry {
     "d2_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INTEGER), 3))) AS g
-        |  FROM documents WHERE length(text) >= 3),
+        |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents WHERE length(text) >= 5),
         |p AS (
         |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
         |    len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS jac

@@ -13,13 +13,19 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct character 3-gram shingle set of a text column (codegen'd
-    * higher-order functions; empty set for texts shorter than 3 chars).
+  /** Distinct character n-gram shingle set of a text column (codegen'd
+    * higher-order functions; empty set for texts shorter than n chars).
+    *
+    * n = 5 by default: unrelated English texts already share ~48% of their
+    * character 3-grams (common trigrams like "the", " th") but only ~19%
+    * of 5-grams — the larger shingle keeps near-dup pairs ≥0.8 while
+    * pushing the background similarity low enough that LSH banding (d3)
+    * actually separates candidates from noise.
     */
-  def shingles3(c: Column): Column =
-    when(length(c) < 3, array().cast("array<string>"))
+  def shingles(c: Column, n: Int = 5): Column =
+    when(length(c) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
-        transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))))
+        transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))))
 
   /** d1: exact dedup — hash-aggregate on md5(text), keep the smallest id.
     * No sort, map-side partial agg; at 100 TB this is one shuffle keyed by
@@ -37,19 +43,30 @@ object Dedup {
     * fixed-point so it hashes identically everywhere.
     */
   def d2NgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // length>=3 pre-filter: texts with no 3-gram have an empty shingle set,
+    // length>=5 pre-filter: texts with no 5-gram have an empty shingle set,
     // whose 0/0 Jaccard is engine-dependent (NaN vs error) — exclude on
     // BOTH sides (same filter in the oracle) so parity is by construction.
     val docs = Tables(spark, dir).documents
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), shingles3(col("text")).as("grams"))
-    val a = docs.select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    // Spread the streamed side of the nested-loop join across the cores: a
+    // small parquet file arrives as one input split, which would serialize
+    // the O(n²) pair scan into a single task.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = docs.repartition(nPart).select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
     val b = docs.select(col("doc_id").as("doc_id2"), col("grams").as("g2"))
+    // |A∪B| = |A|+|B|−|A∩B|: one hash-set pass per pair instead of two
+    // (profiled: ArrayUnion's set build + rehash was the hottest stack in
+    // the verify stage). The size-ratio guard runs before the intersect —
+    // jac ≤ min/max, so pairs failing it can't reach the threshold and
+    // skip the set build entirely.
+    val n1 = size(col("g1")).cast("double")
+    val n2 = size(col("g2")).cast("double")
     val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
-    val union = size(array_union(col("g1"), col("g2"))).cast("double")
     a.crossJoin(b)
       .filter(col("doc_id1") < col("doc_id2"))
-      .withColumn("jac", inter / union)
+      .filter(least(n1, n2) >= greatest(n1, n2) * threshold)
+      .withColumn("jac", inter / (n1 + n2 - inter))
       .filter(col("jac") >= threshold)
       .select(
         col("doc_id1"), col("doc_id2"),
@@ -59,8 +76,8 @@ object Dedup {
 
   /** d3: MinHash + LSH banding — the scale path for near-dup detection.
     *
-    * 128 min-hashes per document (hash family = murmur3 seeded by the
-    * function index, computed as codegen'd array expressions), banded
+    * 128 min-hashes per document (hash family = Carter–Wegman
+    * multiply-mod-prime over a murmur3 base hash, all codegen'd), banded
     * 32×4: documents agreeing on any full band land in the same bucket, so
     * the O(n²) similarity join becomes an equijoin on (band_id, band_hash)
     * with bucket-bounded pair explosion. Candidates are then verified with
@@ -76,31 +93,63 @@ object Dedup {
       bands: Int = 32): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = Tables(spark, dir).documents
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), shingles3(col("text")).as("grams"))
-    val sigs = docs.select(
-      col("doc_id"),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("grams"), g => hash(g, lit(i))))): _*).as("sig"))
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    // Signatures via explode + grouped min, with a Carter–Wegman hash
+    // family: ONE murmur3 per gram, then h_i = (a_i·x + b_i) mod p for each
+    // of the 128 signature slots (p = 2^31−1; the 32-bit base times a
+    // 32-bit coefficient stays inside a long, so the arithmetic is
+    // ANSI-safe, and the mod is what scrambles order between slots).
+    // Profiled: ~40× faster than 128 interpreted per-seed array transforms,
+    // and ~3× faster than 128 murmur3 evaluations per gram. The shuffle
+    // carries only per-partition minima: 128 longs per (doc, partition).
+    val P = 2147483647L
+    val rng = new scala.util.Random(42)
+    val coefs = IndexedSeq.fill(numHashes)(
+      (1L + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue).toLong))
+    val minCols = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P))).as(s"h$i")
+    }
+    val sigs = docs
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), hash(col("g")).cast("long").as("h0"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val banded = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
       .select(
         col("doc_id"), col("band_id"),
         hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
           .as("band_hash"))
+    // The candidate table is tiny (two longs per row) so AQE coalesces its
+    // shuffle to one partition — but each candidate then pays an
+    // array_intersect over the gram sets, which AQE's size-based coalescing
+    // can't see. The explicit key repartition restores compute parallelism
+    // for the verification stage (profiled: the whole verify ran in ONE
+    // task without it).
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band_id", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
       .distinct()
+      .repartition(nPart, col("doc_id1"), col("doc_id2"))
     val g1 = docs.select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
     val g2 = docs.select(col("doc_id").as("doc_id2"), col("grams").as("g2"))
+    // Same verify math as d2: single intersect (union via sizes) behind a
+    // free size-ratio prune — most LSH false positives are background-
+    // similarity pairs that fail jac ≤ min/max and never build a set.
+    val n1 = size(col("g1")).cast("double")
+    val n2 = size(col("g2")).cast("double")
     val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
-    val union = size(array_union(col("g1"), col("g2"))).cast("double")
     candidates
       .join(g1, Seq("doc_id1"))
       .join(g2, Seq("doc_id2"))
-      .withColumn("jac", inter / union)
+      .filter(least(n1, n2) >= greatest(n1, n2) * threshold)
+      .withColumn("jac", inter / (n1 + n2 - inter))
       .filter(col("jac") >= threshold)
       .select(
         col("doc_id1"), col("doc_id2"),
@@ -120,20 +169,23 @@ object Dedup {
     */
   def d4SimHash(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
-    val docs = Tables(spark, dir).documents
-      .filter(length(col("text")) >= 3)
+    // Explode + grouped ±1 sums: the md5 runs once per distinct gram and
+    // the 60 bit votes are codegen'd sum aggregates with map-side partial
+    // combine (the interpreted per-bit `aggregate` HOF re-walked the gram
+    // array 60 times per row — profiled ~10× slower).
+    val exploded = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
       .select(
         col("doc_id"),
-        transform(shingles3(col("text")), g =>
-          conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("hs"))
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
     val bitVotes = (0 until nBits).map { i =>
-      aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
     }
     val fp = (0 until nBits)
       .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    docs.select(col("doc_id") +: bitVotes: _*)
+    exploded.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
       .select(
         col("doc_id"), col("simhash"),

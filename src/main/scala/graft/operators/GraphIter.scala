@@ -84,14 +84,22 @@ object GraphIter {
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val next = withDeg
+    var lastCheckpoint = ranks
+    // Checkpoint every 3rd superstep, not every one: between checkpoints
+    // the iterations stay lazy and fuse into a single multi-shuffle job,
+    // while the periodic materialization keeps lineage and plan size
+    // bounded for arbitrary iteration counts.
+    for (it <- 1 to iterations) {
+      var next = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("contrib"))
         .groupBy("node")
         .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
-        .localCheckpoint(true)
-      ranks.unpersist()
+      if (it % 3 == 0 || it == iterations) {
+        next = next.localCheckpoint(true)
+        lastCheckpoint.unpersist()
+        lastCheckpoint = next
+      }
       ranks = next
     }
     withDeg.unpersist()
@@ -116,9 +124,17 @@ object GraphIter {
       .orderBy("node")
   }
 
-  /** g7: per-node triangle counts on the supplier co-purchase graph
-    * (suppliers appearing in the same order; clique-detection analog of the
-    * reference's COLLEAGUES cliques).
+  /** g7: per-node triangle counts on the same-nation supplier co-purchase
+    * graph — suppliers from the same nation appearing in the same order
+    * (clique detection among COLLEAGUES: the reference's colleague edges
+    * are same-workplace pairs, mysql2neo4j.py:373-489).
+    *
+    * The same-nation restriction is semantic (colleagues share a
+    * workplace) and structural: it bounds each vertex's neighborhood by
+    * its nation's supplier count, keeping the co-occurrence graph sparse
+    * where the unrestricted one is near-complete (~91% of all possible
+    * edges at sf0.1 — wedge enumeration on that is O(n³) by construction
+    * and no algorithm fixes a dense input).
     *
     * Classic ordered-edge enumeration: edges carry src < dst, a wedge join
     * on the middle vertex produces (a<b<c) candidates once each, and a
@@ -127,11 +143,15 @@ object GraphIter {
     */
   def g7TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val suppNation = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
     val orderSupp = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_suppkey").as("s"))
       .distinct()
+      .join(broadcast(suppNation), col("s") === col("s_suppkey"))
+      .select(col("okey"), col("s"), col("s_nationkey").as("nat"))
     val edges = orderSupp.as("x")
-      .join(orderSupp.as("y"), col("x.okey") === col("y.okey") && col("x.s") < col("y.s"))
+      .join(orderSupp.as("y"),
+        col("x.okey") === col("y.okey") && col("x.nat") === col("y.nat") && col("x.s") < col("y.s"))
       .select(col("x.s").as("a"), col("y.s").as("b"))
       .distinct()
       .localCheckpoint(true)

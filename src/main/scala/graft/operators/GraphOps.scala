@@ -25,15 +25,17 @@ object GraphOps {
     */
   def g1SameGroupPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val c = t.customer
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name"))
-    val left  = c.select(col("n_name").as("grp"), col("c_custkey").as("custkey1"))
-    val right = c.select(col("n_name").as("grp"), col("c_custkey").as("custkey2"))
+    // Self-join on the compact int key; the group's display name is
+    // broadcast-joined onto the (much larger) pair set afterwards, so the
+    // pair shuffle carries three ints instead of strings.
+    val c = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey"))
+    val left  = c.select(col("grp"), col("c_custkey").as("custkey1"))
+    val right = c.select(col("grp"), col("c_custkey").as("custkey2"))
     left
       .join(right, Seq("grp"))
       .filter(col("custkey1") < col("custkey2"))
-      .select(col("grp").as("nation_name"), col("custkey1"), col("custkey2"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("grp"), col("n_name"))), Seq("grp"))
+      .select(col("n_name").as("nation_name"), col("custkey1"), col("custkey2"))
       .orderBy("nation_name", "custkey1", "custkey2")
   }
 
@@ -97,10 +99,13 @@ object GraphOps {
     edges
       .join(e2, Seq("suppkey"))
       .filter(col("custkey") =!= col("other"))
-      .select("custkey", "other")
-      .distinct()
+      // countDistinct (2-phase distinct aggregate keyed by custkey) instead
+      // of a global pair distinct + count: one fewer full shuffle of the
+      // pair explosion, which dominates on dense hubs. At 100 TB the hub
+      // suppliers are the skew risk — AQE skew-join plus capping/salting
+      // the middle vertex is the posture (see SURVEY §4).
       .groupBy("custkey")
-      .agg(count(lit(1)).as("n_two_hop"))
+      .agg(countDistinct(col("other")).as("n_two_hop"))
       .orderBy("custkey")
   }
 

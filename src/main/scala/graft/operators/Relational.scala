@@ -41,16 +41,23 @@ object Relational {
     */
   def q2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
+    // Pre-aggregate lineitem to one exact-decimal revenue row per order
+    // before touching the other tables: the orders/customer joins then see
+    // |orders| rows instead of |lineitem|, and the per-nation distinct
+    // order count degenerates to a plain count (each order key appears
+    // exactly once post-rollup) — no expand, no distinct shuffle.
+    val perOrder = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("ord_rev"))
+    perOrder
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .cast("double")
-          .as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders")
+        sum(col("ord_rev")).cast("double").as("revenue"),
+        count(col("o_orderkey")).as("n_orders")
       )
       .orderBy("n_name")
   }

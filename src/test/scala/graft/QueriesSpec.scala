@@ -158,6 +158,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft_cosine is callable from SQL via session extensions") {
+    val one = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val e = Tables(spark, dir).embeddings.limit(50)
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val both = a.crossJoin(b).select(
+      similarity.Ann.cosine(col("e1"), col("e2")).as("native"),
+      similarity.Ann.cosineHof(col("e1"), col("e2")).as("hof"))
+    assert(both.count() > 0)
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("m1 sniffs the synthesized magic bytes") {
     val rows = multimodal.Media.m1MediaMeta(spark, dir).collect()
     rows.foreach { r =>
