@@ -57,6 +57,9 @@ object SparkEntry {
     "t4_fingerprint"     -> TextFuncs.t4Fingerprint _,
     "t5_field_extract"   -> TextFuncs.t5FieldExtract _,
     "t6_validate"        -> TextFuncs.t6Validate _,
+    "t7_text_clean"      -> TextFuncs.t7TextClean _,
+    "t8_pii_mask"        -> TextFuncs.t8PiiMask _,
+    "t9_ngram_freq"      -> ((s: SparkSession, d: String) => TextFuncs.t9NgramFreq(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -422,6 +425,26 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_computed,
         |  CAST(length(text) >= 200 AND text NOT LIKE '%error%' AND text NOT LIKE '%verify%' AS INTEGER) AS is_valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_text_clean" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_hash,
+        |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t8_pii_mask" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS masked_hash,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
     "e1_tumbling_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS cnt,

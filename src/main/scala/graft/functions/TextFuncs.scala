@@ -115,4 +115,54 @@ object TextFuncs {
           !col("text").contains("error") &&
           !col("text").contains("verify")).cast("int").as("is_valid"))
       .orderBy("doc_id")
+
+  /** t7: text cleaning — whitespace normalization (the `_clean_text` step,
+    * extract_content_from_remark.py:686). Output carries the cleaned
+    * text's hash + length rather than the text itself, keeping the
+    * verification row narrow.
+    */
+  def t7TextClean(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(col("text"), "\\s+", " "))
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        md5(cleaned).as("clean_hash"),
+        length(cleaned).cast("long").as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
+
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** t8: PII masking — replace email-shaped spans with a sentinel and
+    * count the redactions; one codegen'd projection, the shape of every
+    * compliance pass a training corpus goes through before release.
+    */
+  def t8PiiMask(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("masked_hash"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"))
+      .orderBy("doc_id")
+
+  /** t9: corpus-level word-bigram frequency (top 100) — the n-gram
+    * statistics pass of corpus analysis. Per-document bigram lists are
+    * built with one array zip (no self-join); the global count is a single
+    * hash aggregate with map-side combine, then a bounded top-k with a
+    * total deterministic order.
+    */
+  def t9NgramFreq(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(
+        zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(k)
+  }
 }
