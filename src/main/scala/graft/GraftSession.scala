@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // Bucketed tables (sources.Bucketing) land here; on a cluster this
+      // would be the shared warehouse path.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
     val withMaster =
       if (SparkSession.getActiveSession.isDefined) b else b.master(master)
     withMaster.getOrCreate()

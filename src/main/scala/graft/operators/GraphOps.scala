@@ -39,6 +39,36 @@ object GraphOps {
       .orderBy("nation_name", "custkey1", "custkey2")
   }
 
+  /** Skew-safe variant of within-group pair generation: block each group
+    * into `nBlocks` salt buckets by id hash and enumerate the
+    * (blockA ≤ blockB) block pairs, so one pathological group (a mega-city
+    * birth_place, a giant employer) spreads over nBlocks·(nBlocks+1)/2
+    * tasks instead of landing on a single reducer. Emits exactly the same
+    * (grp, id1 < id2) pair set as the direct self-join — the equivalence
+    * spec checks it against [[g1SameGroupPairs]]'s plain formulation.
+    *
+    * `df` must have columns (grp, id).
+    */
+  def blockedSameGroupPairs(df: DataFrame, nBlocks: Int): DataFrame = {
+    val withBlock = df.select(col("grp"), col("id"), pmod(hash(col("id")), lit(nBlocks)).as("blk"))
+    // Enumerate ordered block pairs (bA, bB) with bA <= bB; within equal
+    // blocks the id1 < id2 filter dedups, across blocks the (bA, bB)
+    // assignment is already unordered-unique.
+    val blockPairs = (0 until nBlocks).flatMap(a => (a until nBlocks).map(b => (a, b)))
+    val bp = df.sparkSession.createDataFrame(blockPairs).toDF("blkA", "blkB")
+    val left = withBlock.select(col("grp"), col("id").as("id1"), col("blk").as("blkA"))
+    val right = withBlock.select(col("grp"), col("id").as("id2"), col("blk").as("blkB"))
+    left
+      .join(broadcast(bp), Seq("blkA"))
+      .join(right, Seq("grp", "blkB"))
+      .filter(
+        (col("blkA") < col("blkB") && col("id1") =!= col("id2")) ||
+          (col("blkA") === col("blkB") && col("id1") < col("id2")))
+      .select(col("grp"),
+        least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+  }
+
   /** g2: interval-overlap pairs — COLLEAGUES/SCHOOLMATES semantics
     * (mysql2neo4j.py:399-466): same workplace, overlapping stints, overlap
     * period = [max(start1,start2), min(end1,end2)].

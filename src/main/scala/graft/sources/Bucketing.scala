@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-layout support — the storage-side half of shuffle elimination.
+  *
+  * A fact table written with `bucketBy(n, key).sortBy(key)` carries its
+  * hash-partitioning in the catalog: every later equi-join or aggregation
+  * on `key` between co-bucketed tables plans WITHOUT a shuffle (and with
+  * sorted buckets, without a sort). On a 100 TB warehouse this is the
+  * difference between re-shuffling the fact table on every query and
+  * paying the partitioning once at ingest: the lineitem⋈orders join in
+  * BucketingSpec shows the exchange-free SortMergeJoin plan.
+  *
+  * Reference analog: the MySQL schema's indexed join keys
+  * (leader/schema.py) — the relational engine's "pay at write time so
+  * reads co-locate" lever, re-expressed in Spark's storage layer.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, per-bucket-sorted table in the session
+    * warehouse.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two co-bucketed tables on their bucket key. With matching bucket
+    * counts the planner emits a SortMergeJoin with no Exchange on either
+    * side.
+    */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String, leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(left).hint("merge")
+      .join(spark.table(right).hint("merge"), col(leftKey) === col(rightKey))
+  }
+}

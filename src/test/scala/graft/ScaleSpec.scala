@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture specs: the mechanisms SURVEY §4 promises (skew-safe pair
+  * generation, bucketed co-located joins) proven on small data — same
+  * plans, same invariants, cluster-sized knobs.
+  */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.create("graft-scale-test", master = "local[4]")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("blocked pair generation emits exactly the plain self-join pair set") {
+    val t = Tables(spark, dir)
+    val grouped = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey").as("id"))
+    val plain = grouped.as("a")
+      .join(grouped.as("b"), Seq("grp"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("grp"), col("a.id").as("id1"), col("b.id").as("id2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = operators.GraphOps.blockedSameGroupPairs(grouped, nBlocks = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === plain)
+    assert(blocked.nonEmpty)
+  }
+
+  test("co-bucketed fact-fact join plans without exchanges") {
+    val t = Tables(spark, dir)
+    sources.Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", buckets = 8)
+    sources.Bucketing.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", buckets = 8)
+    val joined = sources.Bucketing.coLocatedJoin(spark, "lineitem_b", "orders_b", "l_orderkey", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle in:\n$plan")
+    // FK join: every lineitem row survives
+    assert(joined.count() === t.lineitem.count())
+  }
+}
