@@ -108,10 +108,33 @@ object SparkEntry {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated g6 oracle: 10 unrolled fixed-point power-iteration steps.
+    * All-integer arithmetic (floor divisions, micro-units) makes the
+    * recurrence aggregation-order-independent, hence portably exact —
+    * mirrors [[graft.operators.GraphIter.pageRankMicro]].
+    */
+  private def g6OracleSql: String = {
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node, 150000 + (85 * sum(r${i - 1}.rank // deg.deg)) // 100 AS rank
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c_' || o_custkey AS src, 's_' || l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+       |$steps
+       |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r10 ORDER BY node""".stripMargin
+  }
+
   /** DuckDB-dialect oracle SQL per query key; bare table names resolve to
     * the same parquet tables.
     */
   def oracleSql: Map[String, String] = Map(
+    "g6_pagerank" -> g6OracleSql,
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  count(*) AS cnt,

@@ -106,10 +106,48 @@ object GraphIter {
     ranks
   }
 
+  /** Fixed-point PageRank: ranks in integer micro-units (1e6 = 1.0),
+    * contributions by floor division — every operation is exact integer
+    * arithmetic, so the result is independent of aggregation order and
+    * bit-identical across engines and runs (floating-point power
+    * iteration is not: shuffle-order float sums drift in the last ulps
+    * and amplify over iterations). The quantization error vs float
+    * PageRank is < deg/1e6 per step — irrelevant for ranking, and exactly
+    * what you want at 100 TB where a nondeterministic re-run diff is a
+    * debugging nightmare.
+    */
+  def pageRankMicro(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val withDeg = sym
+      .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint(true)
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000L))
+      .localCheckpoint(true)
+    var lastCheckpoint = ranks
+    for (it <- 1 to iterations) {
+      var next = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank DIV deg").as("contrib"))
+        .groupBy("node")
+        .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
+      if (it % 3 == 0 || it == iterations) {
+        next = next.localCheckpoint(true)
+        lastCheckpoint.unpersist()
+        lastCheckpoint = next
+      }
+      ranks = next
+    }
+    withDeg.unpersist()
+    ranks
+  }
+
   /** g6: influence ranking on the customer–supplier bipartite graph
-    * (leader-influence analog). Rows-only oracle: the 10-step float
-    * recurrence is not portably hashable, so the check is cardinality; the
-    * unit spec asserts rank-mass conservation instead.
+    * (leader-influence analog), in deterministic fixed-point — which is
+    * what lets it carry a full SQL oracle (10 unrolled integer CTE steps
+    * in DuckDB) instead of a rows-only check.
     */
   def g6PageRank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -119,8 +157,8 @@ object GraphIter {
         concat(lit("c_"), col("o_custkey")).as("src"),
         concat(lit("s_"), col("l_suppkey")).as("dst"))
       .distinct()
-    pageRank(edges)
-      .select(col("node"), round(col("rank"), 6).as("rank"))
+    pageRankMicro(edges)
+      .select(col("node"), col("rank").as("rank_micro"))
       .orderBy("node")
   }
 

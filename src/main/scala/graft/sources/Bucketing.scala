@@ -19,14 +19,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted table in the session
-    * warehouse.
+    * warehouse. Drops any previous table AND its on-disk location first:
+    * the default catalog is session-scoped, so a location left by an
+    * earlier session is orphaned metadata-wise and would fail
+    * LOCATION_ALREADY_EXISTS on create.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two co-bucketed tables on their bucket key. With matching bucket
     * counts the planner emits a SortMergeJoin with no Exchange on either
