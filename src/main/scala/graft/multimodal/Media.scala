@@ -1,8 +1,11 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+
+/** Typed per-payload feature row produced by the decode seam. */
+final case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, std_byte: Double)
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata.
@@ -79,4 +82,35 @@ object Media {
         col("col").as("frame_offset"),
         md5(col("hx").substr((col("col") * 2 + 1).cast("int"), lit(frameBytes * 2))).as("frame_hash"))
       .orderBy("doc_id", "frame_no")
+
+  /** The decode seam as a typed `mapPartitions`: where a cluster with
+    * codecs would run the real image/audio decoder batch-wise per
+    * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),
+    * this deterministic stub computes byte-level moments. The plumbing is
+    * the real thing — binary column in, case-class `Dataset` out, one
+    * partition-granular pass, no shuffle.
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // --- decoder stub: a real implementation would decode the
+          // container (PNG/JPEG/WAV) and emit model-ready features ---
+          val n = bytes.length
+          var s = 0.0
+          var s2 = 0.0
+          bytes.foreach { b =>
+            val v = (b & 0xff).toDouble
+            s += v
+            s2 += v * v
+          }
+          val mean = if (n == 0) 0.0 else s / n
+          val variance = if (n == 0) 0.0 else math.max(s2 / n - mean * mean, 0.0)
+          MediaFeature(id, n.toLong, mean, math.sqrt(variance))
+        }
+      }
+  }
 }

@@ -1,7 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the custom-state operators (same shape as
+  * `Tables.events`).
+  */
+final case class RawEvent(event_id: Long, user_id: Long, event_type: String, ts: Long, value: Double)
+
+/** Open-session state carried between micro-batches (µs bounds). */
+final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+/** Emitted closed session. */
+final case class SessionRow(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
 /** Structured Streaming forms of the F-group operators.
   *
@@ -57,4 +69,37 @@ object EventsStream {
       .withWatermark("event_time", "2 hours")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+
+  /** Sessionization with EXPLICIT state — `flatMapGroupsWithState` over a
+    * `KeyValueGroupedDataset`, the custom-state escape hatch for semantics
+    * `session_window` can't express (per-session aggregates beyond
+    * count/min/max, mid-session emission rules, cross-session features).
+    *
+    * One `OpenSession` state object per user: events of each micro-batch
+    * are folded in event-time order, every gap > `gapUs` closes and emits
+    * a session, and the still-open tail is carried in state for the next
+    * batch. State size is O(users), not O(events) — the property that
+    * keeps this runnable indefinitely on a cluster. Works identically in
+    * batch (state starts empty, open tails are simply not emitted).
+    */
+  def sessionizeCustomState(
+      events: Dataset[RawEvent],
+      gapUs: Long = 30L * 60 * 1000000L): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[RawEvent], state: GroupState[OpenSession]) =>
+          val times = evs.map(_.ts / 1000L).toArray.sorted
+          var closed = List.empty[OpenSession]
+          var cur = state.getOption.orNull
+          times.foreach { t =>
+            if (cur == null) cur = OpenSession(t, t, 1)
+            else if (t - cur.end_us > gapUs) { closed ::= cur; cur = OpenSession(t, t, 1) }
+            else cur = OpenSession(cur.start_us, t, cur.n + 1)
+          }
+          if (cur != null) state.update(cur)
+          closed.reverse.iterator.map(s => SessionRow(uid, s.start_us, s.end_us, s.n))
+      }
+  }
 }

@@ -190,6 +190,32 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batch custom-state sessions agree with the window-based e2") {
+    val ss = spark
+    import ss.implicits._
+    val events = Tables(spark, dir).events
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[streaming.RawEvent]
+    val closed = streaming.EventsStream.sessionizeCustomState(events).collect()
+    val e2 = streaming.Events.e2Sessionize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(closed.nonEmpty)
+    closed.foreach { s =>
+      assert(e2.contains((s.user_id, s.session_start, s.session_end, s.n_events)))
+    }
+  }
+
+  test("media feature extraction is deterministic and bounded") {
+    val feats = multimodal.Media.extractFeatures(spark, dir).collect()
+    assert(feats.length === Tables(spark, dir).documents.count())
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.mean_byte >= 0.0 && f.mean_byte <= 255.0)
+      assert(f.std_byte >= 0.0)
+    }
+  }
+
   test("m2 frame offsets follow the stride") {
     val rows = multimodal.Media.m2FrameSample(spark, dir).collect()
     rows.foreach { r =>

@@ -81,6 +81,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byUser(2L) === 1) // two events ~100s apart merge into one session
   }
 
+  test("custom-state sessionization emits closed sessions and holds the open tail") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = graft.streaming.EventsStream
+      .sessionizeCustomState(mem.toDF().as[graft.streaming.RawEvent])
+      .writeStream.format("memory").queryName("e2cs").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("e2cs").collect()
+    // user 1's 3-event burst is closed by the 40-min-later event; user 2's
+    // single session and user 1's tail stay open in state, unemitted.
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("user_id") === 1L)
+    assert(rows(0).getAs[Long]("n_events") === 3L)
+  }
+
   test("streaming e3 dedup keeps one row per (user, type)") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
