@@ -110,9 +110,14 @@ object Dedup {
     val minCols = coefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * a + b, lit(P))).as(s"h$i")
     }
-    val sigs = docs
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), hash(col("g")).cast("long").as("h0"))
+    // The signature path explodes positions and substrings directly — no
+    // interpreted shingle-array build, fully codegen'd — because min() is
+    // insensitive to duplicate grams. Only the verification join (set
+    // semantics) needs the distinct shingle arrays.
+    val sigs = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 4)).as("pos"))
+      .select(col("doc_id"), hash(col("text").substr(col("pos"), lit(5))).cast("long").as("h0"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(
