@@ -26,6 +26,9 @@ object GraphIter {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      // Pinned on the message-join key so each superstep re-uses the edge
+      // layout (localCheckpoint preserves outputPartitioning).
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -120,8 +123,13 @@ object GraphIter {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    // Pin the (large) edge table's hash partitioning on the join key ONCE
+    // before checkpointing: Dataset.localCheckpoint preserves
+    // outputPartitioning, so every superstep's join re-uses the edge
+    // layout and only the (small) rank table moves.
     val withDeg = sym
       .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000L))
