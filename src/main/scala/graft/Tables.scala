@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Central loaders for the driver-generated star schema.
   *
@@ -30,4 +30,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
+
+  /** Typed views — metadata-only `.as[T]` casts over the same scans, for
+    * operators that want compile-time row shapes (`groupByKey`,
+    * `mapGroups`, `mapPartitions`).
+    */
+  object typed {
+    import spark.implicits._
+    import Types._
+    def region: Dataset[Region]         = Tables.this.region.as[Region]
+    def nation: Dataset[Nation]         = Tables.this.nation.as[Nation]
+    def customer: Dataset[Customer]     = Tables.this.customer.as[Customer]
+    def supplier: Dataset[Supplier]     = Tables.this.supplier.as[Supplier]
+    def part: Dataset[Part]             = Tables.this.part.as[Part]
+    def orders: Dataset[Order]          = Tables.this.orders.as[Order]
+    def lineitem: Dataset[Lineitem]     = Tables.this.lineitem.as[Lineitem]
+    def documents: Dataset[Document]    = Tables.this.documents.as[Document]
+    def embeddings: Dataset[Embedding]  = Tables.this.embeddings.as[Embedding]
+    def events: Dataset[Event]          = Tables.this.events.as[Event]
+  }
 }

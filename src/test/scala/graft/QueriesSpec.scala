@@ -206,6 +206,14 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("typed loaders expose the star schema as Datasets") {
+    val t = Tables(spark, dir)
+    assert(t.typed.lineitem.count() === t.lineitem.count())
+    assert(t.typed.customer.head().c_custkey >= 0)
+    assert(t.typed.events.head().ts > 0L)
+    assert(t.typed.embeddings.head().embedding.length === 64)
+  }
+
   test("media feature extraction is deterministic and bounded") {
     val feats = multimodal.Media.extractFeatures(spark, dir).collect()
     assert(feats.length === Tables(spark, dir).documents.count())
