@@ -42,6 +42,7 @@ object SparkEntry {
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
     "d3_minhash_lsh"     -> ((s: SparkSession, d: String) => Dedup.d3MinHashLsh(s, d)),
     "d4_simhash"         -> Dedup.d4SimHash _,
+    "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
     "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
     // D. similarity
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
@@ -291,6 +292,29 @@ object SparkEntry {
         |SELECT doc_id1, doc_id2, CAST(floor(jac * 1000000.0) AS BIGINT) AS jaccard_micro
         |FROM p WHERE jac >= 0.8 ORDER BY doc_id1, doc_id2""".stripMargin,
     "d4_simhash" -> d4OracleSql,
+    "d6_dedup_resolve" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents WHERE length(text) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+        |edges AS (
+        |  SELECT doc_id1 AS a, doc_id2 AS b FROM p
+        |  UNION SELECT doc_id2, doc_id1 FROM p),
+        |reach AS (
+        |  SELECT a AS node, b AS reachable FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+        |comp AS (
+        |  SELECT node, least(node, min(reachable)) AS canonical FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |  coalesce(c.canonical, d.doc_id) AS canonical_id,
+        |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |ORDER BY d.doc_id""".stripMargin,
     "s2_lsh_ann" ->
       """WITH hp AS (SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS he FROM embeddings WHERE vec_id < 4),
         |bk AS (

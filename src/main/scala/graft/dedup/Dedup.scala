@@ -162,6 +162,30 @@ object Dedup {
       .orderBy("doc_id1", "doc_id2")
   }
 
+  /** d6: dedup RESOLUTION — the step after pair detection that decides
+    * which document survives. Near-dup pairs (the MinHash-LSH path, d3)
+    * form an undirected graph; hash-min connected components
+    * ([[graft.operators.GraphIter.connectedComponents]]) cluster
+    * transitively-linked documents, and each cluster keeps its minimum
+    * doc_id as canonical. Documents in no pair are their own canonical.
+    * This is the full production shape: detect (LSH) → cluster (CC) →
+    * resolve (keep-min), all as one composable DataFrame plan.
+    */
+  def d6DedupResolve(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = d3MinHashLsh(spark, dir, threshold)
+      .select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+    val comps = graft.operators.GraphIter.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("canonical"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") === coalesce(col("canonical"), col("doc_id"))).cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** d4: 60-bit SimHash fingerprints with 4×15-bit hamming bands.
     *
     * Per-gram hashes come from md5 (first 15 hex chars parsed as an

@@ -122,6 +122,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2 === d3)
   }
 
+  test("d6 dedup resolution keeps exactly one canonical per cluster") {
+    val rows = dedup.Dedup.d6DedupResolve(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+      assert((r.getAs[Int]("is_kept") == 1) === (r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id")))
+    }
+    val kept = rows.count(_.getAs[Int]("is_kept") == 1)
+    val nCanon = rows.map(_.getAs[Long]("canonical_id")).distinct.length
+    assert(kept === nCanon)
+  }
+
   test("d4 simhash bands decompose the fingerprint") {
     dedup.Dedup.d4SimHash(spark, dir).collect().foreach { r =>
       val fp = r.getAs[Long]("simhash")
