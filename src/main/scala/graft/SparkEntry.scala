@@ -64,7 +64,8 @@ object SparkEntry {
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
-    "e3_stream_dedup"    -> Events.e3StreamDedup _
+    "e3_stream_dedup"    -> Events.e3StreamDedup _,
+    "e4_funnel"          -> Events.e4Funnel _
   )
 
   private val decPrice =
@@ -497,6 +498,20 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "e4_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |v AS (SELECT user_id, min(tsu) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(tsu) AS t_click FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.tsu > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tsu) AS t_purchase FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.tsu > c.t_click GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_depth
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "e3_stream_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id FROM (
         |  SELECT user_id, event_type, event_id,

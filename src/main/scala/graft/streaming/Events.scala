@@ -4,6 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
+/** Per-user funnel progress (µs timestamps; None = stage not reached). */
+final case class FunnelRow(
+  user_id: Long,
+  t_view: Option[Long],
+  t_click: Option[Long],
+  t_purchase: Option[Long],
+  funnel_depth: Int)
+
 /** Event-stream operators. Batch forms here (driver-verifiable against the
   * DuckDB oracle); the Structured Streaming variants share the same
   * transformation bodies and are exercised in the test suite with
@@ -53,6 +61,33 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "session_no")
+  }
+
+  /** e4: ordered funnel analysis (view → click → purchase per user) via a
+    * typed `groupByKey` + `mapGroups` walk — sequence semantics that a
+    * relational plan only reaches with one self-join per stage; here it's
+    * ONE shuffle keyed by user and a per-group ordered scan, the
+    * `KeyValueGroupedDataset` escape hatch used idiomatically. Each stage
+    * takes the earliest event strictly after the previous stage; µs
+    * integer timestamps keep the oracle exact. Group state is O(1) and
+    * group size is per-user-bounded — the shape that survives 100 TB.
+    */
+  def e4Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).typed.events
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, evs) =>
+        val sorted = evs.map(e => (e.ts / 1000L, e.event_type)).toArray.sortBy(_._1)
+        def firstAfter(tpe: String, after: Option[Long]): Option[Long] =
+          after.flatMap(t => sorted.collectFirst { case (ts, et) if et == tpe && ts > t => ts })
+        val tView = sorted.collectFirst { case (ts, et) if et == "view" => ts }
+        val tClick = firstAfter("click", tView)
+        val tPurchase = firstAfter("purchase", tClick)
+        val depth = if (tPurchase.isDefined) 3 else if (tClick.isDefined) 2 else if (tView.isDefined) 1 else 0
+        FunnelRow(uid, tView, tClick, tPurchase, depth)
+      }
+      .toDF()
+      .orderBy("user_id")
   }
 
   /** e3: first-event-per-key dedup — the batch analog of streaming

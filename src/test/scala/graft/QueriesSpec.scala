@@ -156,6 +156,20 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e4 funnel stages are monotone and depth-consistent") {
+    val rows = streaming.Events.e4Funnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = Option(r.getAs[java.lang.Long]("t_view")).map(_.longValue)
+      val tc = Option(r.getAs[java.lang.Long]("t_click")).map(_.longValue)
+      val tp = Option(r.getAs[java.lang.Long]("t_purchase")).map(_.longValue)
+      val depth = r.getAs[Int]("funnel_depth")
+      if (tc.isDefined) assert(tv.isDefined && tc.get > tv.get)
+      if (tp.isDefined) assert(tc.isDefined && tp.get > tc.get)
+      assert(depth === Seq(tv, tc, tp).takeWhile(_.isDefined).length)
+    }
+  }
+
   test("e2 sessions are disjoint and ordered per user") {
     val rows = streaming.Events.e2Sessionize(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
