@@ -48,7 +48,7 @@ object Dedup {
     // BOTH sides (same filter in the oracle) so parity is by construction.
     val docs = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), shingles(col("text")).as("grams"))
+      .select(col("doc_id"), sort_array(shingles(col("text"))).as("grams"))
     // Spread the streamed side of the nested-loop join across the cores: a
     // small parquet file arrives as one input split, which would serialize
     // the O(n²) pair scan into a single task.
@@ -62,7 +62,8 @@ object Dedup {
     // skip the set build entirely.
     val n1 = size(col("g1")).cast("double")
     val n2 = size(col("g2")).cast("double")
-    val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
+    val inter = org.apache.spark.sql.graft.VectorExpressions
+      .sortedIntersectCount(col("g1"), col("g2")).cast("double")
     a.crossJoin(b)
       .filter(col("doc_id1") < col("doc_id2"))
       .filter(least(n1, n2) >= greatest(n1, n2) * threshold)
@@ -94,7 +95,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val docs = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), shingles(col("text")).as("grams"))
+      .select(col("doc_id"), sort_array(shingles(col("text"))).as("grams"))
     // Signatures via explode + grouped min, with a Carter–Wegman hash
     // family: ONE murmur3 per gram, then h_i = (a_i·x + b_i) mod p for each
     // of the 128 signature slots (p = 2^31−1; the 32-bit base times a
@@ -149,7 +150,8 @@ object Dedup {
     // similarity pairs that fail jac ≤ min/max and never build a set.
     val n1 = size(col("g1")).cast("double")
     val n2 = size(col("g2")).cast("double")
-    val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
+    val inter = org.apache.spark.sql.graft.VectorExpressions
+      .sortedIntersectCount(col("g1"), col("g2")).cast("double")
     candidates
       .join(g1, Seq("doc_id1"))
       .join(g2, Seq("doc_id2"))

@@ -77,9 +77,71 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED string arrays via a fused
+  * two-pointer merge — the codegen'd replacement for
+  * `size(array_intersect(a, b))` on the dedup verify path.
+  *
+  * `array_intersect` builds an OpenHashSet per PAIR (profiled as the
+  * hottest stack in LSH verification); with per-document sorted distinct
+  * shingle arrays the intersection count is a linear merge with no
+  * allocation and no hashing — and unlike hashed-gram tricks it is
+  * exactly the set-intersection cardinality, so oracle parity is
+  * unconditional. Inputs must be duplicate-free and sorted ascending
+  * (Spark's `sort_array` binary UTF8 order — the comparison this merge
+  * uses).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType), ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+         |int $i = 0, $j = 0, $cnt = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
