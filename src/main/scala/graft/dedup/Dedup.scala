@@ -64,9 +64,14 @@ object Dedup {
     val n2 = size(col("g2")).cast("double")
     val inter = org.apache.spark.sql.graft.VectorExpressions
       .sortedIntersectCount(col("g1"), col("g2")).cast("double")
+    // The prune uses the SAME division as the final predicate (jac ≤
+    // min/max, so min/max < t ⇒ jac < t with identical rounding); the
+    // multiplicative form `min >= max * t` is not equivalent at the
+    // threshold boundary — 0.8d is slightly above 4/5, so a subset pair
+    // with sizes 40/50 fails `40 >= 50*0.8d` yet passes `jac >= 0.8d`.
     a.crossJoin(b)
       .filter(col("doc_id1") < col("doc_id2"))
-      .filter(least(n1, n2) >= greatest(n1, n2) * threshold)
+      .filter(least(n1, n2) / greatest(n1, n2) >= threshold)
       .withColumn("jac", inter / (n1 + n2 - inter))
       .filter(col("jac") >= threshold)
       .select(
@@ -96,34 +101,23 @@ object Dedup {
     val docs = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), sort_array(shingles(col("text"))).as("grams"))
-    // Signatures via explode + grouped min, with a Carter–Wegman hash
-    // family: ONE murmur3 per gram, then h_i = (a_i·x + b_i) mod p for each
-    // of the 128 signature slots (p = 2^31−1; the 32-bit base times a
-    // 32-bit coefficient stays inside a long, so the arithmetic is
-    // ANSI-safe, and the mod is what scrambles order between slots).
-    // Profiled: ~40× faster than 128 interpreted per-seed array transforms,
-    // and ~3× faster than 128 murmur3 evaluations per gram. The shuffle
-    // carries only per-partition minima: 128 longs per (doc, partition).
-    val P = 2147483647L
-    val rng = new scala.util.Random(42)
-    val coefs = IndexedSeq.fill(numHashes)(
-      (1L + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue).toLong))
-    val minCols = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h0") * a + b, lit(P))).as(s"h$i")
-    }
-    // The signature path explodes positions and substrings directly — no
-    // interpreted shingle-array build, fully codegen'd — because min() is
-    // insensitive to duplicate grams. Only the verification join (set
-    // semantics) needs the distinct shingle arrays.
+    // Signatures via the native one-pass expression
+    // ([[org.apache.spark.sql.graft.MinHashSignature]]): all 128
+    // Carter–Wegman minima (murmur3 base, h_i = (a_i·x + b_i) mod 2^31−1)
+    // computed in one fused loop per document. Bit-identical to the
+    // previous explode-per-position + 128-column min-aggregate (same hash
+    // family, same Random(42) coefficient stream — the spec asserts
+    // equality) but shuffle-free: the signature stage went from
+    // re-shuffling one row per corpus character to a map-only projection,
+    // which at 100 TB is the difference between the dedup pass being
+    // scan-bound and shuffle-bound. Duplicate grams don't matter (min is
+    // idempotent); only the verification join needs distinct shingle sets.
     val sigs = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 4)).as("pos"))
-      .select(col("doc_id"), hash(col("text").substr(col("pos"), lit(5))).cast("long").as("h0"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
       .select(
         col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        org.apache.spark.sql.graft.VectorExpressions
+          .minhashSignature(col("text"), 5, numHashes).as("sig"))
     val banded = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
       .select(
@@ -155,7 +149,9 @@ object Dedup {
     candidates
       .join(g1, Seq("doc_id1"))
       .join(g2, Seq("doc_id2"))
-      .filter(least(n1, n2) >= greatest(n1, n2) * threshold)
+      // Division form for the same reason as in d2: identical rounding to
+      // the final predicate, so the prune is never stricter than jac >= t.
+      .filter(least(n1, n2) / greatest(n1, n2) >= threshold)
       .withColumn("jac", inter / (n1 + n2 - inter))
       .filter(col("jac") >= threshold)
       .select(

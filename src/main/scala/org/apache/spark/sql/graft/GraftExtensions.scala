@@ -22,5 +22,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1 || children.length == 3,
+            "graft_minhash_sig expects (text) or (text, n, k)")
+          if (children.length == 1) MinHashSignature(children.head, 5, 128)
+          else {
+            val n = children(1).eval().asInstanceOf[Number].intValue()
+            val k = children(2).eval().asInstanceOf[Number].intValue()
+            MinHashSignature(children.head, n, k)
+          }
+        }
+      )
+    )
   }
 }

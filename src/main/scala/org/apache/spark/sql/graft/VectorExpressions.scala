@@ -1,11 +1,14 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` columns.
@@ -29,12 +32,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  // Null (not truncate-to-min / NaN) on length mismatch and zero-norm
+  // inputs: mirrors the HOF formulation's null on zip_with length mismatch
+  // and keeps oracle comparisons well-defined (NaN orders differently in
+  // DuckDB than in Spark filters).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -47,7 +56,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,16 +70,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = (double) $a.getFloat($i);
-         |  final double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $a.getFloat($i);
+         |    final double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 
@@ -134,6 +152,120 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass MinHash signature of a text column: all `k` Carter–Wegman
+  * minima over the character `n`-gram stream, computed in a single fused
+  * loop per document.
+  *
+  * Replaces the explode-per-position + k-column min-aggregate formulation
+  * (one row per corpus character through a shuffle-side aggregate — the
+  * profiled 31%-of-bench cost of the LSH dedup path): same murmur3 base
+  * hash per gram (identical to `hash(substr(text, pos, n))`), same
+  * `(a·x + b) mod p` family and coefficient stream (`Random(42)`), so the
+  * signature values are bit-identical to the aggregate formulation — but
+  * the operator is now a shuffle-free projection. At 100 TB that's the
+  * difference between a map-only corpus pass and re-shuffling every
+  * character position.
+  *
+  * Returns null for texts shorter than `n` characters (no gram exists —
+  * callers filter those out, as does the oracle).
+  */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], n, k)
+
+  // The heavy loop lives in MinHashSig.compute (plain JVM code, JIT-friendly);
+  // codegen emits one static call so the expression stays inside the
+  // whole-stage-codegen'd projection rather than falling back to interpreted
+  // eval for the entire stage.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.MinHashSig.compute($c, $n, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared MinHash kernel — public static-forwarded methods so generated
+  * code can call them.
+  */
+object MinHashSig {
+  /** 2^31 − 1, the Mersenne prime of the Carter–Wegman family. */
+  val Prime: Long = 2147483647L
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  /** The (a_i, b_i) coefficient stream: `Random(42)`, a ∈ [1, 2^31−1),
+    * b ∈ [0, 2^31−1) — one canonical definition for the expression, any
+    * SQL-side formulation, and the specs.
+    */
+  def coefs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(k, (kk: Int) => {
+      val rng = new scala.util.Random(42)
+      val a = new Array[Long](kk)
+      val b = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        a(i) = 1L + rng.nextInt(Int.MaxValue - 1)
+        b(i) = rng.nextInt(Int.MaxValue).toLong
+        i += 1
+      }
+      (a, b)
+    })
+
+  /** All k minima in one pass over the n-gram stream. Gram hashing matches
+    * Spark's `hash(substr(text, pos, n))` exactly: murmur3 (seed 42) over
+    * the UTF-8 bytes of each n-CHARACTER window, sign-extended to long.
+    */
+  def compute(s: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val numChars = s.numChars()
+    if (numChars < n) return null
+    val (as, bs) = coefs(k)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes
+    // Char-boundary byte offsets, computed once (UTF-8 windows are over
+    // characters, not bytes — multi-byte text must match substr semantics).
+    val offs = new Array[Int](numChars + 1)
+    var ci = 0
+    var b = 0
+    while (b < nBytes) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      ci += 1
+    }
+    offs(numChars) = nBytes
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val last = numChars - n
+    var i = 0
+    while (i <= last) {
+      val st = offs(i)
+      val h0: Long = Murmur3_x86_32.hashUnsafeBytes(base, off + st, offs(i + n) - st, 42).toLong
+      var j = 0
+      while (j < k) {
+        var v = (h0 * as(j) + bs(j)) % Prime
+        if (v < 0) v += Prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
@@ -144,4 +276,8 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[MinHashSignature]]. */
+  def minhashSignature(text: Column, n: Int = 5, k: Int = 128): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(text), n, k))
 }

@@ -116,6 +116,45 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total % 3 === 0)
   }
 
+  test("native minhash signature is bit-identical to the explode + min-agg formulation") {
+    // The retired round-2 signature pipeline, kept here as the equivalence
+    // reference: one murmur3 per character position, 128 Carter–Wegman
+    // min-aggregates. The native expression must reproduce it exactly.
+    val numHashes = 128
+    val P = 2147483647L
+    val rng = new scala.util.Random(42)
+    val coefs = IndexedSeq.fill(numHashes)(
+      (1L + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue).toLong))
+    val minCols = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P))).as(s"h$i")
+    }
+    // Multibyte rows exercise the char-vs-byte window arithmetic; the
+    // corpus rows exercise realistic text.
+    val ss = spark
+    import ss.implicits._
+    val extra = Seq(
+      (100001L, "中央党校的同学们在一九九八年毕业了然后去了各地工作"),
+      (100002L, "café déjà-vu naïve smörgåsbord ÅÄÖ åäö 😀😀😀 end"),
+      (100003L, "short"),
+      (100004L, "aaaaaaaaaaaaaaaaaaaa")).toDF("doc_id", "text")
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+      .unionByName(extra)
+      .filter(length(col("text")) >= 5)
+    val agg = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("pos"))
+      .select(col("doc_id"), hash(col("text").substr(col("pos"), lit(5))).cast("long").as("h0"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val native = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.VectorExpressions.minhashSignature(col("text"), 5, numHashes).as("sig"))
+    assert(native.count() === agg.count())
+    val mismatched = agg.as("a").join(native.as("b"), Seq("doc_id"))
+      .filter(col("a.sig") =!= col("b.sig"))
+    assert(mismatched.count() === 0)
+  }
+
   test("d3 minhash-lsh verified pairs equal the exact d2 join") {
     val d2 = dedup.Dedup.d2NgramJaccard(spark, dir).collect().toSet
     val d3 = dedup.Dedup.d3MinHashLsh(spark, dir).collect().toSet
