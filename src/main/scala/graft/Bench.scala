@@ -30,7 +30,12 @@ object Bench {
     val times = headline.map { name =>
       val t0 = System.nanoTime()
       run(SparkEntry.queries(name)(spark, sfDir))
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query storage isolation: iterative queries checkpoint their
+      // final result; release it once consumed so query N+1 never pays
+      // query N's storage/GC pressure (the round-2 t3/e1/g8 regressions).
+      GraftSession.releaseCaches(spark)
+      name -> dt
     }
     val total = times.map(_._2).sum
     val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")

@@ -30,4 +30,21 @@ object GraftSession {
       if (SparkSession.getActiveSession.isDefined) b else b.master(master)
     withMaster.getOrCreate()
   }
+
+  /** Release every storage block the session still holds.
+    *
+    * The iterative operators (connected components, PageRank, triangle
+    * count, hierarchy expansion) eagerly `localCheckpoint` their final
+    * result so the consuming action doesn't recompute the whole loop — but
+    * a localCheckpoint's blocks outlive that action, and in a long-lived
+    * session (Verify runs 40+ queries in one JVM; a production session even
+    * more) they accumulate monotonically and degrade later queries via GC
+    * and storage-memory pressure. Call this after the consuming action of
+    * each query; it is what keeps a 100 TB session's storage footprint
+    * per-query, not per-session-lifetime.
+    */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }

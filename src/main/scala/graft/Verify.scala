@@ -46,6 +46,9 @@ object Verify {
         case e: Throwable =>
           failed += 1
           println(s"verify $name FAILED: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+      } finally {
+        // Release per-query checkpoint blocks (see GraftSession.releaseCaches).
+        GraftSession.releaseCaches(spark)
       }
     }
     println(s"wrote ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} results + oracle_sql.json to $outDir")

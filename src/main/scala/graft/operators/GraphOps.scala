@@ -149,9 +149,12 @@ object GraphOps {
     // edges: (child: string, parent: string)
     //
     // Each level is eagerly localCheckpoint'ed: lineage is truncated every
-    // iteration (no O(depth) plan growth), each level's partitions are
-    // materialized exactly once, and they stay cached only because they ARE
-    // the arms of the final union. The empty terminal frontier is dropped.
+    // iteration (no O(depth) plan growth) and each level's partitions are
+    // materialized exactly once. The union of levels is checkpointed ONCE
+    // at the end and every per-level block is then released — the result
+    // holds one block set, not one per tree level (levels can't be
+    // unpersisted lazily: a localCheckpoint has no lineage to recompute
+    // from). The empty terminal frontier is dropped.
     val parentOf = edges.select(col("child").as("ancestor"), col("parent").as("next_parent"))
     var frontier = edges
       .select(col("child").as("node"), col("parent").as("ancestor"), lit(1).as("depth"),
@@ -174,7 +177,9 @@ object GraphOps {
         frontier = next
       }
     }
-    levels.reduce(_.unionByName(_))
+    val out = levels.reduce(_.unionByName(_)).localCheckpoint(true)
+    levels.foreach(_.unpersist())
+    out
   }
 
   /** g8 driver-contract wrapper: customer→nation→region hierarchy, full
