@@ -29,8 +29,10 @@ object SparkEntry {
     "q9_multi_join"      -> Relational.q9MultiJoin _,
     "q10_running_window" -> Relational.q10RunningWindow _,
     // B. graph
-    "g1_same_group_pairs" -> GraphOps.g1SameGroupPairs _,
+    "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
+    "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
     "g2_overlap_pairs"   -> GraphOps.g2OverlapPairs _,
+    "g2b_open_overlap"   -> GraphOps.g2bOpenOverlapPairs _,
     "g3_degree"          -> GraphOps.g3Degree _,
     "g4_two_hop"         -> GraphOps.g4TwoHop _,
     "g5_connected_components" -> GraphIter.g5ConnectedComponents _,
@@ -61,6 +63,7 @@ object SparkEntry {
     "t7_text_clean"      -> TextFuncs.t7TextClean _,
     "t8_pii_mask"        -> TextFuncs.t8PiiMask _,
     "t9_ngram_freq"      -> ((s: SparkSession, d: String) => TextFuncs.t9NgramFreq(s, d)),
+    "t10_entity_extract" -> TextFuncs.t10EntityExtract _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -211,6 +214,20 @@ object SparkEntry {
         |JOIN customer b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |JOIN nation ON a.c_nationkey = n_nationkey
         |ORDER BY nation_name, custkey1, custkey2""".stripMargin,
+    "g1b_current_pairs" ->
+      """WITH horizon AS (SELECT max(l_shipdate) AS h FROM lineitem),
+        |cur AS (
+        |  SELECT s_suppkey, n_name,
+        |    CASE (s_suppkey % 3) WHEN 0 THEN 'junior' WHEN 1 THEN 'mid' ELSE 'senior' END AS position
+        |  FROM (SELECT l_suppkey, max(l_shipdate) AS end_d FROM lineitem GROUP BY l_suppkey) st
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  CROSS JOIN horizon
+        |  WHERE end_d >= h - INTERVAL 90 DAY)
+        |SELECT a.n_name AS workplace, a.s_suppkey AS suppkey1, a.position AS position1,
+        |  b.s_suppkey AS suppkey2, b.position AS position2, 'till now' AS overlap_period
+        |FROM cur a JOIN cur b ON a.n_name = b.n_name AND a.s_suppkey < b.s_suppkey
+        |ORDER BY workplace, suppkey1, suppkey2""".stripMargin,
     "g2_overlap_pairs" ->
       """WITH stints AS (
         |  SELECT l_suppkey, min(l_shipdate) AS start_d, max(l_shipdate) AS end_d
@@ -225,6 +242,41 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.n_name = b.n_name AND a.suppkey < b.suppkey
         |WHERE a.start_d <= b.end_d AND b.start_d <= a.end_d
         |ORDER BY nation_name, suppkey1, suppkey2""".stripMargin,
+    "g2b_open_overlap" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, min(l_shipdate) AS start_d, max(l_shipdate) AS end_d
+        |  FROM lineitem GROUP BY l_suppkey
+        |), st AS (
+        |  SELECT s_suppkey, n_name,
+        |    CASE WHEN s_suppkey % 13 <> 0 THEN year(start_d) END AS sy,
+        |    CASE WHEN s_suppkey % 5 <> 0 THEN month(start_d) END AS sm,
+        |    CASE WHEN s_suppkey % 7 <> 0 THEN year(end_d) END AS ey,
+        |    CASE WHEN s_suppkey % 3 <> 0 THEN month(end_d) END AS em
+        |  FROM r JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+        |), p AS (
+        |  SELECT a.n_name AS nation_name, a.s_suppkey AS suppkey1, b.s_suppkey AS suppkey2,
+        |    a.sy AS sy1, a.sm AS sm1, a.ey AS ey1, a.em AS em1,
+        |    b.sy AS sy2, b.sm AS sm2, b.ey AS ey2, b.em AS em2
+        |  FROM st a JOIN st b ON a.n_name = b.n_name AND a.s_suppkey < b.s_suppkey
+        |), ann AS (
+        |  SELECT nation_name, suppkey1, suppkey2,
+        |    CASE WHEN sy1 IS NOT NULL AND ey1 IS NOT NULL AND sy2 IS NOT NULL AND ey2 IS NOT NULL
+        |      THEN (sy1*12 + coalesce(sm1,1)) <= (ey2*12 + coalesce(em2,12))
+        |       AND (sy2*12 + coalesce(sm2,1)) <= (ey1*12 + coalesce(em1,12))
+        |      ELSE false END AS ast,
+        |    CASE WHEN sy1 IS NOT NULL AND sy2 IS NOT NULL THEN greatest(sy1, sy2) END AS osy,
+        |    CASE WHEN sy1 IS NOT NULL AND sy2 IS NOT NULL AND sy1 = sy2 AND sm1 IS NOT NULL AND sm2 IS NOT NULL THEN greatest(sm1, sm2)
+        |         WHEN sy1 IS NOT NULL AND sy2 IS NOT NULL AND sy1 > sy2 THEN coalesce(sm1, 1)
+        |         WHEN sy1 IS NOT NULL AND sy2 IS NOT NULL AND sy2 > sy1 THEN coalesce(sm2, 1) END AS osm,
+        |    CASE WHEN ey1 IS NOT NULL AND ey2 IS NOT NULL THEN least(ey1, ey2) END AS oey,
+        |    CASE WHEN ey1 IS NOT NULL AND ey2 IS NOT NULL AND ey1 = ey2 AND em1 IS NOT NULL AND em2 IS NOT NULL THEN least(em1, em2)
+        |         WHEN ey1 IS NOT NULL AND ey2 IS NOT NULL AND ey1 < ey2 THEN coalesce(em1, 12)
+        |         WHEN ey1 IS NOT NULL AND ey2 IS NOT NULL AND ey2 < ey1 THEN coalesce(em2, 12) END AS oem
+        |  FROM p)
+        |SELECT nation_name, suppkey1, suppkey2, CAST(ast AS INTEGER) AS at_same_time,
+        |  CASE WHEN ast THEN CAST(osy AS VARCHAR) || '.' || lpad(CAST(osm AS VARCHAR), 2, '0')
+        |    || '-' || CAST(oey AS VARCHAR) || '.' || lpad(CAST(oem AS VARCHAR), 2, '0') END AS overlap_period
+        |FROM ann ORDER BY nation_name, suppkey1, suppkey2""".stripMargin,
     "g3_degree" ->
       """SELECT custkey, count(*) AS degree FROM (
         |  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
@@ -493,6 +545,22 @@ object SparkEntry {
         |  FROM toks)
         |SELECT bigram, count(*) AS cnt FROM bg
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
+    "t10_entity_extract" ->
+      """WITH docs AS (
+        |  SELECT event_id,
+        |    '{"person":"u' || CAST(user_id AS VARCHAR) || '","event":"' || event_type ||
+        |    '","meta":' || props ||
+        |    ',"targets":["' || event_type || '","u' || CAST(user_id AS VARCHAR) ||
+        |    '"],"score":' || CAST(value AS VARCHAR) || '}' AS doc
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(doc, '$.person') AS person,
+        |  json_extract_string(doc, '$.event') AS event,
+        |  CAST(json_extract_string(doc, '$.meta.k') AS BIGINT) AS prop_k,
+        |  CAST(json_array_length(doc, '$.targets') AS BIGINT) AS n_targets,
+        |  json_extract_string(doc, '$.targets[0]') AS target1,
+        |  CAST(json_extract_string(doc, '$.score') AS DOUBLE) AS score
+        |FROM docs ORDER BY event_id""".stripMargin,
     "e1_tumbling_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS cnt,

@@ -100,8 +100,48 @@ object TextFuncs {
     Tables(spark, dir).events
       .select(
         col("event_id"),
-        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("prop_k"))
+        // nullif before the cast: regexp_extract yields "" on non-match,
+        // and under Spark 4's default ANSI mode casting "" to long THROWS
+        // instead of producing NULL. The oracle's NULLIF mirror is the
+        // same expression.
+        nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
+          .cast("long").as("prop_k"))
       .orderBy("event_id")
+
+  /** t10: multi-field structured entity extraction — the news pipeline's
+    * typed record per item (news_schema.py:1-88: leader / event / targets
+    * lists / scores) as a single `from_json` over a JSON document, pulling
+    * scalar, nested-object and array-typed fields in one parse.
+    *
+    * The document wraps the raw `props` payload VERBATIM as a nested
+    * object and adds typed fields built from the row, so Spark and the
+    * oracle construct byte-identical JSON and the comparison exercises
+    * real extraction parity (nested path, array index, array length,
+    * numeric casts) rather than formatting luck. One codegen'd projection,
+    * no shuffle — at 100 TB this is a scan-bound corpus pass exactly like
+    * t1–t9.
+    */
+  def t10EntityExtract(spark: SparkSession, dir: String): DataFrame = {
+    val uid = col("user_id").cast("string")
+    val doc = concat(
+      lit("{\"person\":\"u"), uid,
+      lit("\",\"event\":\""), col("event_type"),
+      lit("\",\"meta\":"), col("props"),
+      lit(",\"targets\":[\""), col("event_type"), lit("\",\"u"), uid,
+      lit("\"],\"score\":"), col("value").cast("string"), lit("}"))
+    val schema = "person STRING, event STRING, meta STRUCT<k: BIGINT>, targets ARRAY<STRING>, score DOUBLE"
+    Tables(spark, dir).events
+      .select(col("event_id"), from_json(doc, org.apache.spark.sql.types.StructType.fromDDL(schema)).as("j"))
+      .select(
+        col("event_id"),
+        col("j.person").as("person"),
+        col("j.event").as("event"),
+        col("j.meta.k").as("prop_k"),
+        size(col("j.targets")).cast("long").as("n_targets"),
+        col("j.targets").getItem(0).as("target1"),
+        col("j.score").as("score"))
+      .orderBy("event_id")
+  }
 
   /** t6: validity classification — min-size + error-marker scan, the
     * ContentValidator contract (utils/content_validator.py:13-100).

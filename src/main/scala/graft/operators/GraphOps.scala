@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -23,20 +23,85 @@ object GraphOps {
     * attribute and output is bounded by sum(|group|^2); pathological groups
     * would be capped/salted upstream.
     */
-  def g1SameGroupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def g1SameGroupPairs(
+      spark: SparkSession,
+      dir: String,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
     val t = Tables(spark, dir)
     // Self-join on the compact int key; the group's display name is
     // broadcast-joined onto the (much larger) pair set afterwards, so the
-    // pair shuffle carries three ints instead of strings.
-    val c = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey"))
-    val left  = c.select(col("grp"), col("c_custkey").as("custkey1"))
-    val right = c.select(col("grp"), col("c_custkey").as("custkey2"))
-    left
-      .join(right, Seq("grp"))
-      .filter(col("custkey1") < col("custkey2"))
+    // pair shuffle carries three ints instead of strings. Groups larger
+    // than `blockThreshold` are routed through the blocked (salted)
+    // formulation automatically — the production skew knob (the
+    // reference's answer was to hard-exclude its known mega-hub,
+    // mysql2neo4j.py:265; size-triggered blocking handles any hub without
+    // a denylist).
+    val c = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey").as("id"))
+    sameGroupPairsSkewSafe(c, blockThreshold, nBlocks)
       .join(broadcast(t.nation.select(col("n_nationkey").as("grp"), col("n_name"))), Seq("grp"))
-      .select(col("n_name").as("nation_name"), col("custkey1"), col("custkey2"))
+      .select(col("n_name").as("nation_name"),
+        col("id1").as("custkey1"), col("id2").as("custkey2"))
       .orderBy("nation_name", "custkey1", "custkey2")
+  }
+
+  /** Group-size-triggered skew routing for within-group pair generation:
+    * groups below `blockThreshold` take the direct self-equijoin; groups at
+    * or above it take [[blockedSameGroupPairs]], so one mega-group spreads
+    * over nBlocks·(nBlocks+1)/2 tasks instead of one reducer. The size
+    * join shuffles on `grp` — the same key the pair join needs, so the
+    * routing adds no extra shuffle of the data rows. Output is exactly the
+    * (grp, id1 < id2) pair set of the direct formulation (spec-checked
+    * with the threshold forced to 1).
+    *
+    * `df` must have columns (grp, id).
+    */
+  def sameGroupPairsSkewSafe(df: DataFrame, blockThreshold: Int, nBlocks: Int): DataFrame = {
+    val sizes = df.groupBy("grp").agg(count(lit(1)).as("gsz"))
+    val tagged = df.join(sizes, Seq("grp"))
+    val small = tagged.filter(col("gsz") < blockThreshold).select("grp", "id")
+    val big   = tagged.filter(col("gsz") >= blockThreshold).select("grp", "id")
+    val smallPairs = small.select(col("grp"), col("id").as("id1"))
+      .join(small.select(col("grp"), col("id").as("id2")), Seq("grp"))
+      .filter(col("id1") < col("id2"))
+    smallPairs.unionByName(blockedSameGroupPairs(big, nBlocks))
+  }
+
+  /** g1b: current-relationship pairs — the COLLEAGUES no-interval
+    * WORKS_FOR branch (mysql2neo4j.py:381-399): people *currently* at the
+    * same organization pair up with a distinct property shape — workplace,
+    * both positions, and the literal period "till now" instead of a
+    * computed overlap.
+    *
+    * "Currently employed" is derived relative to the corpus horizon (stint
+    * end within 90 days of the global max ship date) rather than a fixed
+    * literal, so the predicate holds at any scale factor. The horizon is a
+    * 1-row aggregate, broadcast onto the supplier stints.
+    */
+  def g1bCurrentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val horizon = t.lineitem.agg(max(col("l_shipdate")).as("horizon"))
+    val current = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("end_d"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("end_d") >= date_sub(col("horizon"), 90))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      // Position analog of the reference's w.position property — a
+      // deterministic seniority band derived from the key.
+      .select(col("s_suppkey"), col("n_name"),
+        element_at(array(lit("junior"), lit("mid"), lit("senior")),
+          (pmod(col("s_suppkey"), lit(3)) + 1).cast("int")).as("position"))
+    val a = current.select(col("n_name").as("workplace"),
+      col("s_suppkey").as("suppkey1"), col("position").as("position1"))
+    val b = current.select(col("n_name").as("workplace"),
+      col("s_suppkey").as("suppkey2"), col("position").as("position2"))
+    a.join(b, Seq("workplace"))
+      .filter(col("suppkey1") < col("suppkey2"))
+      .select(col("workplace"), col("suppkey1"), col("position1"),
+        col("suppkey2"), col("position2"), lit("till now").as("overlap_period"))
+      .orderBy("workplace", "suppkey1", "suppkey2")
   }
 
   /** Skew-safe variant of within-group pair generation: block each group
@@ -100,6 +165,79 @@ object GraphOps {
       .orderBy("nation_name", "suppkey1", "suppkey2")
   }
 
+  /** g2b: overlap pairs with OPEN / PARTIAL intervals — the reference's
+    * SCHOOLMATES semantics verbatim (mysql2neo4j.py:268-357): real career
+    * data has NULL years and missing months, and the reference still emits
+    * an edge for every same-group pair, annotating it with
+    *  - `at_same_time` — true only when all four YEARS are present and the
+    *    month-precision intervals overlap, with missing months defaulted
+    *    COALESCE(startMonth,1) / COALESCE(endMonth,12); false otherwise
+    *    (incomplete intervals never claim overlap);
+    *  - `overlap_period` — "YYYY.MM-YYYY.MM" only when `at_same_time` and
+    *    every component resolves; the month resolves to the max/min month
+    *    only when the years tie AND both months are present, to the
+    *    later/earlier stint's defaulted month otherwise, and to NULL on a
+    *    year tie with a missing month (which nulls the whole period —
+    *    concat propagates NULL on both engines).
+    *
+    * Stint year/month components come from the supplier ship-date range
+    * with deterministic key-derived null injection (suppkey mod 13/5/7/3
+    * drops start-year/start-month/end-year/end-month), so the oracle can
+    * derive the identical nullable intervals in SQL.
+    */
+  def g2bOpenOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nullUnless = (keyMod: Int, c: Column) =>
+      when(pmod(col("s_suppkey"), lit(keyMod)) =!= 0, c)
+    val stints = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("l_shipdate")).as("start_d"), max(col("l_shipdate")).as("end_d"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"),
+        nullUnless(13, year(col("start_d"))).as("sy"),
+        nullUnless(5, month(col("start_d"))).as("sm"),
+        nullUnless(7, year(col("end_d"))).as("ey"),
+        nullUnless(3, month(col("end_d"))).as("em"))
+    val a = stints.select(col("n_name").as("grp"), col("s_suppkey").as("suppkey1"),
+      col("sy").as("sy1"), col("sm").as("sm1"), col("ey").as("ey1"), col("em").as("em1"))
+    val b = stints.select(col("n_name").as("grp"), col("s_suppkey").as("suppkey2"),
+      col("sy").as("sy2"), col("sm").as("sm2"), col("ey").as("ey2"), col("em").as("em2"))
+    val yearsComplete = col("sy1").isNotNull && col("ey1").isNotNull &&
+      col("sy2").isNotNull && col("ey2").isNotNull
+    val atSameTime = when(yearsComplete,
+      (col("sy1") * 12 + coalesce(col("sm1"), lit(1))) <= (col("ey2") * 12 + coalesce(col("em2"), lit(12))) &&
+        (col("sy2") * 12 + coalesce(col("sm2"), lit(1))) <= (col("ey1") * 12 + coalesce(col("em1"), lit(12))))
+      .otherwise(lit(false))
+    val bothStartYears = col("sy1").isNotNull && col("sy2").isNotNull
+    val bothEndYears   = col("ey1").isNotNull && col("ey2").isNotNull
+    val oSy = when(bothStartYears, greatest(col("sy1"), col("sy2")))
+    val oSm = when(bothStartYears && col("sy1") === col("sy2") &&
+        col("sm1").isNotNull && col("sm2").isNotNull, greatest(col("sm1"), col("sm2")))
+      .when(bothStartYears && col("sy1") > col("sy2"), coalesce(col("sm1"), lit(1)))
+      .when(bothStartYears && col("sy2") > col("sy1"), coalesce(col("sm2"), lit(1)))
+    val oEy = when(bothEndYears, least(col("ey1"), col("ey2")))
+    val oEm = when(bothEndYears && col("ey1") === col("ey2") &&
+        col("em1").isNotNull && col("em2").isNotNull, least(col("em1"), col("em2")))
+      .when(bothEndYears && col("ey1") < col("ey2"), coalesce(col("em1"), lit(12)))
+      .when(bothEndYears && col("ey2") < col("ey1"), coalesce(col("em2"), lit(12)))
+    val period = when(col("at_same_time") === 1,
+      concat(col("osy").cast("string"), lit("."),
+        lpad(col("osm").cast("string"), 2, "0"), lit("-"),
+        col("oey").cast("string"), lit("."),
+        lpad(col("oem").cast("string"), 2, "0")))
+    a.join(b, Seq("grp"))
+      .filter(col("suppkey1") < col("suppkey2"))
+      .withColumn("at_same_time", atSameTime.cast("int"))
+      .withColumn("osy", oSy).withColumn("osm", oSm)
+      .withColumn("oey", oEy).withColumn("oem", oEm)
+      .select(
+        col("grp").as("nation_name"),
+        col("suppkey1"), col("suppkey2"), col("at_same_time"),
+        period.as("overlap_period"))
+      .orderBy("nation_name", "suppkey1", "suppkey2")
+  }
+
   /** g3: degree centrality on the customer–supplier bipartite graph
     * (Person–Org degree). Distinct-edge projection happens before the
     * count so the aggregate is over the edge set, not the fact table.
@@ -121,21 +259,37 @@ object GraphOps {
     */
   def g4TwoHop(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
       .distinct()
-    val e2 = edges.select(col("suppkey"), col("custkey").as("other"))
+      // The distinct edge set is SMALL (8 MB at sf0.1) but the work below
+      // is quadratic per supplier — without this pin, AQE coalesces the
+      // tiny distinct output to one partition and the whole O(sum deg²)
+      // expansion runs on a single task (194 s at sf0.1 vs 48 s pinned).
+      // Partition by the middle-vertex key so the join co-locates and the
+      // expansion fans out.
+      .repartition(nPart, col("suppkey"))
+    // Neighbor sets travel as packed arrays, not exploded rows: each
+    // supplier's customer list is built once (co-partitioned groupBy, no
+    // extra shuffle), attached to its edges, and the per-customer union is
+    // one flatten + array_distinct instead of a 250M-row distinct
+    // aggregate. Same Θ(sum deg²) element count, but ~2.4× faster at
+    // sf0.1 (20 s vs 48 s) because elements move inside array columns
+    // (no per-row shuffle overhead) and dedup is one pass per customer.
+    // At 100 TB the posture for mega-hub middle vertices is degree
+    // capping / salting before the expansion (SURVEY §4) — no algorithm
+    // makes an exact dense two-hop sub-quadratic.
+    val supp2cust = edges.groupBy("suppkey").agg(collect_list(col("custkey")).as("carr"))
     edges
-      .join(e2, Seq("suppkey"))
-      .filter(col("custkey") =!= col("other"))
-      // countDistinct (2-phase distinct aggregate keyed by custkey) instead
-      // of a global pair distinct + count: one fewer full shuffle of the
-      // pair explosion, which dominates on dense hubs. At 100 TB the hub
-      // suppliers are the skew risk — AQE skew-join plus capping/salting
-      // the middle vertex is the posture (see SURVEY §4).
+      .join(supp2cust, Seq("suppkey"))
       .groupBy("custkey")
-      .agg(countDistinct(col("other")).as("n_two_hop"))
+      .agg(flatten(collect_list(col("carr"))).as("all"))
+      .select(col("custkey"),
+        (size(array_distinct(col("all"))) -
+          when(array_contains(col("all"), col("custkey")), 1).otherwise(0))
+          .cast("long").as("n_two_hop"))
       .orderBy("custkey")
   }
 

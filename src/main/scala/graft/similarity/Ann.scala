@@ -84,7 +84,12 @@ object Ann {
     * oracle-reproducible); the signature bit j is sign(cos(v, h_j)). The
     * hyperplane set is broadcast, so bucketing is a shuffle-free scan.
     */
-  def s2LshAnn(spark: SparkSession, dir: String, k: Int = 10, nPlanes: Int = 4): DataFrame = {
+  def s2LshAnn(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nPlanes: Int = 4,
+      multiProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val planes = t.embeddings.filter(col("vec_id") < nPlanes)
@@ -96,8 +101,20 @@ object Ann {
         first(col("embedding")).as("emb"),
         sum(when(cosine(col("embedding"), col("h_emb")) >= 0,
           expr("shiftleft(CAST(1 AS BIGINT), CAST(h_id AS INT))")).otherwise(0L)).as("bucket"))
+    // Multi-probe: each query additionally probes every hamming-1
+    // neighbor bucket (one signature bit flipped). Near-misses — a
+    // neighbor on the far side of exactly one hyperplane — become
+    // reachable, lifting recall at the cost of nPlanes+1 probe keys per
+    // query instead of 1. Probe buckets are distinct and each corpus
+    // vector lives in exactly one bucket, so no candidate dedup is
+    // needed. This is the standard recall lever at scale: recall grows
+    // with probe count, while the search stays a bucket equijoin.
+    val probes =
+      if (!multiProbe) Seq(col("bucket"))
+      else col("bucket") +: (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val queries = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        explode(array(probes: _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     bucketed

@@ -86,20 +86,54 @@ object EventsStream {
       events: Dataset[RawEvent],
       gapUs: Long = 30L * 60 * 1000000L): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    // Event-time timeout (streaming only): an open session whose
+    // gap-extended end falls behind the watermark is flushed and its state
+    // dropped, so state size is O(currently-active users), not
+    // O(all-users-ever-seen). Batch runs keep NoTimeout (timeouts are
+    // meaningless there — state starts empty and is discarded).
+    val src =
+      if (streaming)
+        events
+          .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withWatermark("event_time", "2 hours")
+          .as[RawEvent]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessionRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[OpenSession, SessionRow](OutputMode.Append, timeoutConf) {
         (uid: Long, evs: Iterator[RawEvent], state: GroupState[OpenSession]) =>
-          val times = evs.map(_.ts / 1000L).toArray.sorted
-          var closed = List.empty[OpenSession]
-          var cur = state.getOption.orNull
-          times.foreach { t =>
-            if (cur == null) cur = OpenSession(t, t, 1)
-            else if (t - cur.end_us > gapUs) { closed ::= cur; cur = OpenSession(t, t, 1) }
-            else cur = OpenSession(cur.start_us, t, cur.n + 1)
+          if (streaming && state.hasTimedOut) {
+            // Watermark passed the session's gap bound: flush the open
+            // tail as a closed session and drop the state.
+            val cur = state.get
+            state.remove()
+            Iterator.single(SessionRow(uid, cur.start_us, cur.end_us, cur.n))
+          } else {
+            val times = evs.map(_.ts / 1000L).toArray.sorted
+            var closed = List.empty[OpenSession]
+            var cur = state.getOption.orNull
+            times.foreach { t =>
+              if (cur == null) cur = OpenSession(t, t, 1)
+              else if (t - cur.end_us > gapUs) { closed ::= cur; cur = OpenSession(t, t, 1) }
+              // min/max fold, not (start, t): a cross-batch late event with
+              // t < end_us must widen the session bounds, never shrink them
+              // (a shrunken end corrupts every later gap check).
+              else cur = OpenSession(math.min(cur.start_us, t), math.max(cur.end_us, t), cur.n + 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              if (streaming) {
+                val flushAtMs = math.max(
+                  cur.end_us / 1000L + gapUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L)
+                state.setTimeoutTimestamp(flushAtMs)
+              }
+            }
+            closed.reverse.iterator.map(s => SessionRow(uid, s.start_us, s.end_us, s.n))
           }
-          if (cur != null) state.update(cur)
-          closed.reverse.iterator.map(s => SessionRow(uid, s.start_us, s.end_us, s.n))
       }
   }
 }

@@ -45,6 +45,71 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("custkey1") >= col("custkey2")).count() === 0)
   }
 
+  test("g1 with blocking forced on emits exactly the plain pair set") {
+    val plain = operators.GraphOps.g1SameGroupPairs(spark, dir).collect().toSet
+    // blockThreshold=1 routes EVERY group through the salted blocked path.
+    val blocked = operators.GraphOps.g1SameGroupPairs(spark, dir, blockThreshold = 1, nBlocks = 4)
+      .collect().toSet
+    assert(blocked === plain)
+  }
+
+  test("g1b current pairs carry the till-now property shape") {
+    val rows = operators.GraphOps.g1bCurrentPairs(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("overlap_period") === "till now")
+      assert(r.getAs[Long]("suppkey1") < r.getAs[Long]("suppkey2"))
+      assert(Set("junior", "mid", "senior").contains(r.getAs[String]("position1")))
+    }
+  }
+
+  test("g2b emits every same-group pair and annotates open intervals safely") {
+    val rows = operators.GraphOps.g2bOpenOverlapPairs(spark, dir).collect()
+    // Every same-nation pair gets an edge, complete intervals or not —
+    // the SCHOOLMATES contract (an incomplete pair has at_same_time=0 and
+    // no period, never a dropped row).
+    val t = Tables(spark, dir)
+    val allPairs = t.supplier.as("a")
+      .join(t.supplier.as("b"),
+        col("a.s_nationkey") === col("b.s_nationkey") && col("a.s_suppkey") < col("b.s_suppkey"))
+      .count()
+    assert(rows.length.toLong === allPairs)
+    val periodRe = "^\\d{4}\\.\\d{2}-\\d{4}\\.\\d{2}$".r
+    rows.foreach { r =>
+      val ast = r.getAs[Int]("at_same_time")
+      val period = r.getAs[String]("overlap_period")
+      assert(ast === 0 || ast === 1)
+      // A period implies claimed overlap; the reverse need not hold
+      // (year-tie with a missing month nulls the period).
+      if (period != null) {
+        assert(ast === 1)
+        assert(periodRe.findFirstIn(period).isDefined, s"bad period format: $period")
+      }
+    }
+  }
+
+  test("t10 extracted fields round-trip the constructed document") {
+    val t5 = functions.TextFuncs.t5FieldExtract(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("prop_k")).toMap
+    val rows = functions.TextFuncs.t10EntityExtract(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_targets") === 2L)
+      assert(r.getAs[String]("target1") === r.getAs[String]("event"))
+      assert(r.getAs[String]("person").startsWith("u"))
+      assert(r.getAs[Long]("prop_k") === t5(r.getAs[Long]("event_id")))
+    }
+  }
+
+  test("s2 multi-probe candidates are a superset of single-probe") {
+    val single = similarity.Ann.s2LshAnn(spark, dir, k = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val multi = similarity.Ann.s2LshAnn(spark, dir, k = Int.MaxValue, multiProbe = true).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(single.subsetOf(multi))
+    // the hamming-1 probes must actually reach additional buckets
+    assert(multi.size >= single.size)
+  }
+
   test("g2 overlap intervals are valid") {
     // sf0.001 has only 10 suppliers over 25 nations, so pairs may be empty;
     // the invariant under test is interval validity, not cardinality.
