@@ -27,6 +27,17 @@ object Dedup {
       .otherwise(array_distinct(
         transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))))
 
+  /** Sorted distinct gram CODES — the production form of the shingle set
+    * (see [[org.apache.spark.sql.graft.SortedGramCodes]]): one fused
+    * codegen'd pass per document, packed-long output. Codes are a
+    * bijection of the grams for ≤7-byte grams (all ASCII 5-grams), so
+    * every set cardinality the verify math uses is exactly the string-set
+    * value; [[shingles]] stays as the executable reference formulation
+    * (the spec asserts cardinality and intersection equivalence).
+    */
+  def gramCodes(c: Column, n: Int = 5): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sortedGramCodes(c, n)
+
   /** d1: exact dedup — hash-aggregate on md5(text), keep the smallest id.
     * No sort, map-side partial agg; at 100 TB this is one shuffle keyed by
     * the 128-bit digest.
@@ -48,22 +59,21 @@ object Dedup {
     // BOTH sides (same filter in the oracle) so parity is by construction.
     val docs = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), sort_array(shingles(col("text"))).as("grams"))
+      .select(col("doc_id"), gramCodes(col("text")).as("grams"))
     // Spread the streamed side of the nested-loop join across the cores: a
     // small parquet file arrives as one input split, which would serialize
     // the O(n²) pair scan into a single task.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = docs.repartition(nPart).select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
     val b = docs.select(col("doc_id").as("doc_id2"), col("grams").as("g2"))
-    // |A∪B| = |A|+|B|−|A∩B|: one hash-set pass per pair instead of two
-    // (profiled: ArrayUnion's set build + rehash was the hottest stack in
-    // the verify stage). The size-ratio guard runs before the intersect —
-    // jac ≤ min/max, so pairs failing it can't reach the threshold and
-    // skip the set build entirely.
+    // |A∪B| = |A|+|B|−|A∩B|: one merge pass per pair instead of two set
+    // builds. The size-ratio guard runs before the intersect — jac ≤
+    // min/max, so pairs failing it can't reach the threshold and skip the
+    // merge entirely.
     val n1 = size(col("g1")).cast("double")
     val n2 = size(col("g2")).cast("double")
     val inter = org.apache.spark.sql.graft.VectorExpressions
-      .sortedIntersectCount(col("g1"), col("g2")).cast("double")
+      .sortedIntersectCountLong(col("g1"), col("g2")).cast("double")
     // The prune uses the SAME division as the final predicate (jac ≤
     // min/max, so min/max < t ⇒ jac < t with identical rounding); the
     // multiplicative form `min >= max * t` is not equivalent at the
@@ -100,7 +110,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val docs = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), sort_array(shingles(col("text"))).as("grams"))
+      .select(col("doc_id"), gramCodes(col("text")).as("grams"))
     // Signatures via the native one-pass expression
     // ([[org.apache.spark.sql.graft.MinHashSignature]]): all 128
     // Carter–Wegman minima (murmur3 base, h_i = (a_i·x + b_i) mod 2^31−1)
@@ -145,7 +155,7 @@ object Dedup {
     val n1 = size(col("g1")).cast("double")
     val n2 = size(col("g2")).cast("double")
     val inter = org.apache.spark.sql.graft.VectorExpressions
-      .sortedIntersectCount(col("g1"), col("g2")).cast("double")
+      .sortedIntersectCountLong(col("g1"), col("g2")).cast("double")
     candidates
       .join(g1, Seq("doc_id1"))
       .join(g2, Seq("doc_id2"))

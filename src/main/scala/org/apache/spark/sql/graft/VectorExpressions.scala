@@ -266,6 +266,158 @@ object MinHashSig {
   }
 }
 
+/** Sorted distinct character n-gram CODES of a text column — the
+  * long-array replacement for the interpreted
+  * `sort_array(array_distinct(transform(...substr...)))` shingle-set
+  * builder on the dedup verify path.
+  *
+  * Encoding is a BIJECTION for grams of ≤ 7 UTF-8 bytes (every ASCII
+  * 5-gram — i.e. the entire oracle corpus): the bytes left-justified in
+  * the upper 56 bits, the byte length in the low byte. Code equality ⇔
+  * gram equality, so set cardinalities and intersection counts — and
+  * therefore Jaccard — are EXACTLY the string-set values, same
+  * unconditional oracle parity as the string formulation. Grams longer
+  * than 7 bytes (only possible with multi-byte characters) fall back to a
+  * 56-bit hash tagged 0xFF in the low byte (disjoint from packed codes,
+  * whose low byte is 1..7); those are near-exact (collision ~n²/2⁵⁷ per
+  * document) and absent from ASCII corpora entirely.
+  *
+  * Benefits over the string form: the build is one fused codegen'd pass
+  * (no per-gram UTF8String allocation), the verify shuffle carries packed
+  * longs, and the intersect merge compares longs instead of UTF8Strings.
+  */
+case class SortedGramCodes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_codes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramCodes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = org.apache.spark.sql.graft.GramCodes.compute($c, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[SortedGramCodes]] (public object so generated code can
+  * call it).
+  */
+object GramCodes {
+  /** Sorted distinct gram codes; empty array for texts shorter than n
+    * characters (mirrors the empty shingle set).
+    */
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val numChars = s.numChars()
+    if (numChars < n) return new GenericArrayData(Array.emptyLongArray)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes
+    val offs = new Array[Int](numChars + 1)
+    var ci = 0
+    var b = 0
+    while (b < nBytes) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      ci += 1
+    }
+    offs(numChars) = nBytes
+    val nGrams = numChars - n + 1
+    val codes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val st = offs(i)
+      val len = offs(i + n) - st
+      codes(i) =
+        if (len <= 7) {
+          // Bytes left-justified big-endian in the upper 56 bits, length
+          // in the low byte: a bijection, so code equality ⇔ gram
+          // equality.
+          var v = 0L
+          var j = 0
+          while (j < len) {
+            v |= (Platform.getByte(base, off + st + j) & 0xffL) << (48 - 8 * j)
+            j += 1
+          }
+          (v << 8) | len.toLong
+        } else {
+          // > 7 UTF-8 bytes (multi-byte text only): 56-bit hash from two
+          // murmur3 seeds, low byte tagged 0xFF — disjoint from every
+          // packed code (low byte 1..7).
+          val h1 = Murmur3_x86_32.hashUnsafeBytes(base, off + st, len, 42).toLong
+          val h2 = Murmur3_x86_32.hashUnsafeBytes(base, off + st, len, 1042).toLong
+          ((((h1 << 32) ^ (h2 & 0xffffffffL)) >>> 8) << 8) | 0xffL
+        }
+      i += 1
+    }
+    java.util.Arrays.sort(codes)
+    // in-place dedupe of the sorted run
+    var w = 1
+    i = 1
+    while (i < nGrams) {
+      if (codes(i) != codes(i - 1)) { codes(w) = codes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == nGrams) codes else java.util.Arrays.copyOf(codes, w))
+  }
+}
+
+/** [[SortedIntersectCount]] for sorted long arrays — the merge the
+  * gram-code formulation uses (long compares instead of UTF8String
+  * compares).
+  */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $cnt = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
@@ -280,4 +432,13 @@ object VectorExpressions {
   /** Column wrapper for [[MinHashSignature]]. */
   def minhashSignature(text: Column, n: Int = 5, k: Int = 128): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(text), n, k))
+
+  /** Column wrapper for [[SortedGramCodes]]. */
+  def sortedGramCodes(text: Column, n: Int = 5): Column =
+    ExpressionUtils.column(SortedGramCodes(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[SortedIntersectCountLong]]. */
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCountLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -220,6 +220,38 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatched.count() === 0)
   }
 
+  test("gram codes reproduce string-shingle cardinalities and intersections exactly") {
+    val ss = spark
+    import ss.implicits._
+    // Multibyte rows force >7-byte grams through the hash fallback; the
+    // cardinality equivalence must still hold (no within-document
+    // collision), and ASCII rows must take the bijective packed path.
+    val extra = Seq(
+      (900001L, "中央党校的同学们在一九九八年毕业了然后去了各地工作"),
+      (900002L, "café déjà-vu naïve smörgåsbord ÅÄÖ åäö 😀😀😀 end"),
+      (900003L, "aaaaaaaaaaaaaaaaaaaa"),
+      (900004L, "abcdeabcdeabcde")).toDF("doc_id", "text")
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+      .unionByName(extra)
+      .filter(length(col("text")) >= 5)
+    val both = docs.select(
+      col("doc_id"),
+      sort_array(dedup.Dedup.shingles(col("text"))).as("sgrams"),
+      dedup.Dedup.gramCodes(col("text")).as("codes"))
+    // cardinality equivalence per document
+    assert(both.filter(size(col("sgrams")) =!= size(col("codes"))).count() === 0)
+    // intersection-count equivalence over a pair sample (adjacent doc ids)
+    val a = both.select(col("doc_id").as("id1"), col("sgrams").as("s1"), col("codes").as("c1"))
+    val b = both.select(col("doc_id").as("id2"), col("sgrams").as("s2"), col("codes").as("c2"))
+    val paired = a.join(b, col("id2") === col("id1") + 1)
+      .select(
+        org.apache.spark.sql.graft.VectorExpressions
+          .sortedIntersectCount(col("s1"), col("s2")).as("si"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .sortedIntersectCountLong(col("c1"), col("c2")).as("ci"))
+    assert(paired.filter(col("si") =!= col("ci")).count() === 0)
+  }
+
   test("d3 minhash-lsh verified pairs equal the exact d2 join") {
     val d2 = dedup.Dedup.d2NgramJaccard(spark, dir).collect().toSet
     val d3 = dedup.Dedup.d3MinHashLsh(spark, dir).collect().toSet
