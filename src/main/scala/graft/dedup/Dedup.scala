@@ -204,12 +204,31 @@ object Dedup {
     * guaranteed to share at least one of the 4 bands (pigeonhole), so the
     * bands are the LSH bucketing key for near-dup candidate generation.
     */
-  def d4SimHash(spark: SparkSession, dir: String): DataFrame = {
+  def d4SimHash(spark: SparkSession, dir: String): DataFrame =
+    // One-pass native fingerprint ([[org.apache.spark.sql.graft.SimHash60]]):
+    // same md5-top-60-bits gram hash and ±1 votes as the aggregate
+    // formulation below (the spec asserts bit-identity), but with the
+    // explode + 60-column vote aggregate fused into a per-row loop the
+    // whole operator is ONE shuffle-free codegen'd projection — the shape
+    // that makes fingerprint-first viable as a 100 TB pre-pass.
+    Tables(spark, dir).documents
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions.simhash60(col("text")).as("simhash"))
+      .select(
+        col("doc_id"), col("simhash"),
+        shiftright(col("simhash"), 0).bitwiseAND(lit(32767L)).as("band0"),
+        shiftright(col("simhash"), 15).bitwiseAND(lit(32767L)).as("band1"),
+        shiftright(col("simhash"), 30).bitwiseAND(lit(32767L)).as("band2"),
+        shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)).as("band3"))
+      .orderBy("doc_id")
+
+  /** The explode + grouped-vote reference formulation of d4, kept as the
+    * executable spec oracle for [[d4SimHash]]'s native expression: one md5
+    * per distinct gram, 60 codegen'd ±1 sum aggregates.
+    */
+  def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
-    // Explode + grouped ±1 sums: the md5 runs once per distinct gram and
-    // the 60 bit votes are codegen'd sum aggregates with map-side partial
-    // combine (the interpreted per-bit `aggregate` HOF re-walked the gram
-    // array 60 times per row — profiled ~10× slower).
     val exploded = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), explode(shingles(col("text"))).as("g"))

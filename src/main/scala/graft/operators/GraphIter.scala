@@ -164,14 +164,23 @@ object GraphIter {
     */
   def g6PageRank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Nodes travel through all 10 supersteps as packed longs (customer =
+    // 2k, supplier = 2k+1) — every per-iteration join/aggregate shuffles
+    // 8-byte keys instead of "c_<id>" strings; the display form is decoded
+    // once on the final 1-row-per-node result.
     val edges = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(
-        concat(lit("c_"), col("o_custkey")).as("src"),
-        concat(lit("s_"), col("l_suppkey")).as("dst"))
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     pageRankMicro(edges)
-      .select(col("node"), col("rank").as("rank_micro"))
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("rank").as("rank_micro"))
       .orderBy("node")
   }
 

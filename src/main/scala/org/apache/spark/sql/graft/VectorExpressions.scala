@@ -367,6 +367,108 @@ object GramCodes {
   }
 }
 
+/** One-pass 60-bit SimHash of a text column over its DISTINCT character
+  * n-grams — the shuffle-free replacement for the explode + 60-column
+  * bit-vote aggregate.
+  *
+  * Per-gram hash is EXACTLY the oracle's: the first 15 hex characters of
+  * md5(gram) parsed base-16 (= the digest's top 60 bits), so the
+  * fingerprint is bit-identical to the `md5`/`conv` SQL formulation and
+  * the DuckDB oracle. Votes are ±1 per bit per distinct gram, fingerprint
+  * bit i set when the vote sum is ≥ 0.
+  *
+  * Turning the vote aggregation into a per-row loop removes the
+  * one-row-per-gram explode and its shuffle entirely: at 100 TB the
+  * SimHash pre-pass becomes scan-bound (one codegen'd projection), which
+  * is the property that makes fingerprint-everything-first a viable
+  * pipeline stage.
+  */
+case class SimHash60(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Long $boxed = org.apache.spark.sql.graft.SimHashKernel.compute($c, $n);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[SimHash60]] (public object so generated code can call
+  * it).
+  */
+object SimHashKernel {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Null for texts shorter than n characters (no gram exists). */
+  def compute(s: UTF8String, n: Int): java.lang.Long = {
+    val numChars = s.numChars()
+    if (numChars < n) return null
+    val bytes = s.getBytes
+    // char-boundary offsets (grams are over characters, not bytes)
+    val offs = new Array[Int](numChars + 1)
+    var ci = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offs(numChars) = bytes.length
+    // distinct grams only — votes are per SET element, matching the
+    // array_distinct in the reference formulation
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    val nGrams = numChars - n + 1
+    var i = 0
+    while (i < nGrams) {
+      val st = offs(i)
+      val len = offs(i + n) - st
+      val gram = UTF8String.fromBytes(bytes, st, len)
+      if (seen.add(gram)) {
+        md.reset()
+        md.update(bytes, st, len)
+        val d = md.digest()
+        // top 60 bits of the digest = first 15 hex chars parsed base-16
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        var bit = 0
+        while (bit < 60) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) >= 0) fp |= 1L << bit
+      bit += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 /** [[SortedIntersectCount]] for sorted long arrays — the merge the
   * gram-code formulation uses (long compares instead of UTF8String
   * compares).
@@ -432,6 +534,10 @@ object VectorExpressions {
   /** Column wrapper for [[MinHashSignature]]. */
   def minhashSignature(text: Column, n: Int = 5, k: Int = 128): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(text), n, k))
+
+  /** Column wrapper for [[SimHash60]]. */
+  def simhash60(text: Column, n: Int = 5): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text), n))
 
   /** Column wrapper for [[SortedGramCodes]]. */
   def sortedGramCodes(text: Column, n: Int = 5): Column =

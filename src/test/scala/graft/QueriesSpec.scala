@@ -252,6 +252,14 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(paired.filter(col("si") =!= col("ci")).count() === 0)
   }
 
+  test("native simhash is bit-identical to the explode + vote-agg formulation") {
+    val fast = dedup.Dedup.d4SimHash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val agg = dedup.Dedup.d4SimHashAgg(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fast === agg)
+  }
+
   test("d3 minhash-lsh verified pairs equal the exact d2 join") {
     val d2 = dedup.Dedup.d2NgramJaccard(spark, dir).collect().toSet
     val d3 = dedup.Dedup.d3MinHashLsh(spark, dir).collect().toSet
