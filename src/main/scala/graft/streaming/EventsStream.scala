@@ -12,6 +12,11 @@ final case class RawEvent(event_id: Long, user_id: Long, event_type: String, ts:
 /** Open-session state carried between micro-batches (µs bounds). */
 final case class OpenSession(start_us: Long, end_us: Long, n: Long)
 
+/** Per-user funnel progress carried between micro-batches (µs; -1 =
+  * stage not reached).
+  */
+final case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long)
+
 /** Emitted closed session. */
 final case class SessionRow(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
@@ -82,6 +87,65 @@ object EventsStream {
     * keeps this runnable indefinitely on a cluster. Works identically in
     * batch (state starts empty, open tails are simply not emitted).
     */
+  /** Streaming e4: ordered view→click→purchase funnel — one
+    * `FunnelState` per user advanced as events arrive, flushed as a
+    * [[FunnelRow]] when the watermark passes the user's quiet period.
+    * State is three longs per user, dropped on flush.
+    *
+    * Within a micro-batch events are folded in event-time order, so a
+    * single-batch run matches the batch [[Events.e4Funnel]] exactly (the
+    * spec asserts it). Across batches the fold is monotone: a stage only
+    * advances forward, so a late out-of-order event that would have
+    * enabled an *earlier* stage chain is resolved best-effort — the
+    * documented trade for O(users) state instead of buffering every
+    * event.
+    */
+  def funnelStream(
+      events: Dataset[RawEvent],
+      quietPeriodMs: Long = 2L * 3600 * 1000): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("event_time", "2 hours")
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[RawEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val depth =
+              if (s.t_purchase >= 0) 3 else if (s.t_click >= 0) 2 else if (s.t_view >= 0) 1 else 0
+            Iterator.single(FunnelRow(uid,
+              Option(s.t_view).filter(_ >= 0),
+              Option(s.t_click).filter(_ >= 0),
+              Option(s.t_purchase).filter(_ >= 0),
+              depth))
+          } else {
+            val sorted = evs.map(e => (e.ts / 1000L, e.event_type)).toArray.sortBy(_._1)
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var maxTs = -1L
+            sorted.foreach { case (t, tpe) =>
+              if (t > maxTs) maxTs = t
+              tpe match {
+                case "view" if s.t_view < 0 => s = s.copy(t_view = t)
+                case "click" if s.t_click < 0 && s.t_view >= 0 && t > s.t_view =>
+                  s = s.copy(t_click = t)
+                case "purchase" if s.t_purchase < 0 && s.t_click >= 0 && t > s.t_click =>
+                  s = s.copy(t_purchase = t)
+                case _ =>
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(
+              maxTs / 1000L + quietPeriodMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionizeCustomState(
       events: Dataset[RawEvent],
       gapUs: Long = 30L * 60 * 1000000L): Dataset[SessionRow] = {

@@ -38,5 +38,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_simhash60"),
+        new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1 || children.length == 2,
+            "graft_simhash60 expects (text) or (text, n)")
+          val n = if (children.length == 2)
+            children(1).eval().asInstanceOf[Number].intValue() else 5
+          SimHash60(children.head, n)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_gram_codes"),
+        new ExpressionInfo(classOf[SortedGramCodes].getName, "graft_gram_codes"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1 || children.length == 2,
+            "graft_gram_codes expects (text) or (text, n)")
+          val n = if (children.length == 2)
+            children(1).eval().asInstanceOf[Number].intValue() else 5
+          SortedGramCodes(children.head, n)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sorted_intersect"),
+        new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "graft_sorted_intersect expects exactly 2 arguments")
+          SortedIntersectCountLong(children.head, children(1))
+        }
+      )
+    )
   }
 }

@@ -34,6 +34,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked.nonEmpty)
   }
 
+  test("d4 simhash plans as a shuffle-free projection (sort exchange only)") {
+    // The native one-pass fingerprint must keep d4 scan-bound: the only
+    // exchange allowed in the physical plan is the range partitioning of
+    // the final orderBy — no aggregate shuffle anywhere.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = dedup.Dedup.d4SimHash(spark, dir).queryExecution.executedPlan
+    val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+    assert(exchanges.length <= 1, s"expected at most the sort exchange, got:\n$plan")
+  }
+
+  test("t10 extraction scan prunes to the referenced event columns") {
+    val plan = functions.TextFuncs.t10EntityExtract(spark, dir)
+      .queryExecution.executedPlan.toString
+    // events has 6 columns; the extraction needs 4 — n_chars-style full
+    // scans are the thing this guards against.
+    assert(plan.contains("event_id") && plan.contains("props"))
+    assert(!plan.contains("ReadSchema: struct<event_id:bigint,ts"),
+      s"ts should be pruned from the scan:\n$plan")
+  }
+
   test("co-bucketed fact-fact join plans without exchanges") {
     val t = Tables(spark, dir)
     sources.Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", buckets = 8)

@@ -100,6 +100,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getAs[Long]("n_events") === 3L)
   }
 
+  test("streaming funnel flushes per-user rows once the watermark passes the quiet period") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.funnelStream(mem.toDF().as[graft.streaming.RawEvent])
+      .writeStream.format("memory").queryName("e4s").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // far-future sentinel events: the first advances the watermark past
+    // every sample user's quiet period, the second triggers the batch in
+    // which those timeouts actually fire.
+    mem.addData(Ev(100, 99, "view", 100 * hourNs, 0.0))
+    q.processAllAvailable()
+    mem.addData(Ev(101, 99, "view", 101 * hourNs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("e4s").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("t_view"), r.getAs[Long]("t_click"), r.getAs[Long]("t_purchase"),
+          r.getAs[Int]("funnel_depth"))).toMap
+    // user 1: view at 1h+3s, first click strictly after it at 1h+40m, no
+    // purchase -> depth 2. user 2: clicks but never a view -> depth 0
+    // (Option fields surface as null/0 via getAs on the row).
+    assert(rows.contains(1L) && rows.contains(2L))
+    assert(rows(1L)._1 === (3600L + 3) * 1000000L)
+    assert(rows(1L)._2 === (3600L + 2400) * 1000000L)
+    assert(rows(1L)._4 === 2)
+    assert(rows(2L)._4 === 0)
+  }
+
   test("streaming e3 dedup keeps one row per (user, type)") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
