@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in one JVM: unified memory must
+  // hold 32 partial-aggregate buffers at once (g4's packed-array
+  // aggregation is allocation-heavy). 16g balances headroom against G1
+  // pause cost — 8g spilled under the fat-array load, 48g lengthened GC
+  // cycles measurably. On a real cluster this is per-executor sizing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

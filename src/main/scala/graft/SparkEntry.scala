@@ -64,6 +64,7 @@ object SparkEntry {
     "t8_pii_mask"        -> TextFuncs.t8PiiMask _,
     "t9_ngram_freq"      -> ((s: SparkSession, d: String) => TextFuncs.t9NgramFreq(s, d)),
     "t10_entity_extract" -> TextFuncs.t10EntityExtract _,
+    "t11_bpe_tokens"     -> TextFuncs.t11BpeTokens _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -561,6 +562,11 @@ object SparkEntry {
         |  json_extract_string(doc, '$.targets[0]') AS target1,
         |  CAST(json_extract_string(doc, '$.score') AS DOUBLE) AS score
         |FROM docs ORDER BY event_id""".stripMargin,
+    "t11_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_pieces,
+        |  CAST(len(list_filter(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'), p -> NOT regexp_matches(p, '^\s+$'))) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e1_tumbling_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS cnt,

@@ -108,6 +108,31 @@ object TextFuncs {
           .cast("long").as("prop_k"))
       .orderBy("event_id")
 
+  /** BPE-ish pre-tokenization pattern (GPT-2-family shape): contraction
+    * suffixes, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, residual whitespace. Kept to
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB) so the token count is oracle-comparable.
+    */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** t11: BPE-ish token counting — the LLM-pipeline budget statistic
+    * (context-window sizing, per-document cost estimation). Counting
+    * pre-tokenizer matches approximates subword token counts without
+    * shipping a merges table; the whole operator is one shuffle-free
+    * codegen'd projection like t1–t10. Whitespace-run matches are
+    * excluded from the count (they're segmentation residue, not tokens).
+    */
+  def t11BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long").as("n_pieces"),
+        size(filter(regexp_extract_all(col("text"), lit(bpePattern), lit(0)),
+          p => !p.rlike("^\\s+$"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
   /** t10: multi-field structured entity extraction — the news pipeline's
     * typed record per item (news_schema.py:1-88: leader / event / targets
     * lists / scores) as a single `from_json` over a JSON document, pulling
