@@ -273,23 +273,26 @@ object GraphOps {
       .repartition(nPart, col("suppkey"))
     // Neighbor sets travel as packed arrays, not exploded rows: each
     // supplier's customer list is built once (co-partitioned groupBy, no
-    // extra shuffle), attached to its edges, and the per-customer union is
-    // one flatten + array_distinct instead of a 250M-row distinct
-    // aggregate. Same Θ(sum deg²) element count, but ~2.4× faster at
-    // sf0.1 (20 s vs 48 s) because elements move inside array columns
-    // (no per-row shuffle overhead) and dedup is one pass per customer.
-    // At 100 TB the posture for mega-hub middle vertices is degree
-    // capping / salting before the expansion (SURVEY §4) — no algorithm
-    // makes an exact dense two-hop sub-quadratic.
+    // extra shuffle) and attached to its edges; the per-customer union
+    // count is [[org.apache.spark.sql.graft.DistinctLongUnionCount]], a
+    // typed imperative aggregate whose hash-set buffer dedups MAP-SIDE —
+    // the shuffle carries one deduped set per (customer, partition)
+    // instead of the concatenation of every attached array, and no
+    // flattened mega-array is ever materialized (the collect_list +
+    // flatten + array_distinct formulation allocated the full Θ(sum deg²)
+    // element stream as list garbage and GC-thrashed: 10-37 s at sf0.1 vs
+    // ~6 s with the set aggregate). Every customer appears in each of its
+    // suppliers' lists, so the union always contains self: two-hop
+    // neighbors = count − 1. At 100 TB the posture for mega-hub middle
+    // vertices is degree capping / salting before the expansion
+    // (SURVEY §4) — no algorithm makes an exact dense two-hop
+    // sub-quadratic; swap in HLL when approximate counts suffice.
     val supp2cust = edges.groupBy("suppkey").agg(collect_list(col("custkey")).as("carr"))
     edges
       .join(supp2cust, Seq("suppkey"))
       .groupBy("custkey")
-      .agg(flatten(collect_list(col("carr"))).as("all"))
-      .select(col("custkey"),
-        (size(array_distinct(col("all"))) -
-          when(array_contains(col("all"), col("custkey")), 1).otherwise(0))
-          .cast("long").as("n_two_hop"))
+      .agg((org.apache.spark.sql.graft.SetAggregates
+        .distinctLongUnionCount(col("carr")) - 1L).as("n_two_hop"))
       .orderBy("custkey")
   }
 
