@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.graft.{GramCodes, LongSet, MinHashSig, SimHashKernel}
+
+/** Property-style tests for the native expression kernels — pure JVM, no
+  * SparkSession: the kernels are deliberately plain static methods so
+  * their contracts can be checked exhaustively and fast. Seeded random
+  * generation keeps every run deterministic.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val Reps = 500
+
+  private def asciiText(rng: scala.util.Random): String = {
+    val n = rng.nextInt(61)
+    val sb = new StringBuilder
+    (1 to n).foreach(_ => sb += (' ' + rng.nextInt('~' - ' ' + 1)).toChar)
+    sb.toString
+  }
+
+  private val pool = "abcdefghij 中央党校éåß" // mixes 1-, 2- and 3-byte chars
+  private def unicodeText(rng: scala.util.Random): String = {
+    val n = rng.nextInt(41)
+    val sb = new StringBuilder
+    (1 to n).foreach(_ => sb += pool(rng.nextInt(pool.length)))
+    sb.toString
+  }
+
+  private def stringGramSet(s: String, n: Int): Set[String] =
+    if (s.length < n) Set.empty
+    else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+
+  test("gram codes: |codes| = |distinct string grams| (ASCII and multibyte)") {
+    val rng = new scala.util.Random(7)
+    (1 to Reps).foreach { _ =>
+      val s = if (rng.nextBoolean()) asciiText(rng) else unicodeText(rng)
+      val codes = GramCodes.compute(UTF8String.fromString(s), 5)
+      val expected = stringGramSet(s, 5).size
+      // short texts yield the EMPTY set (mirrors shingles()), not null
+      assert(codes.numElements() === expected, s"text: '$s'")
+    }
+  }
+
+  test("gram codes: output sorted strictly ascending (deduped)") {
+    val rng = new scala.util.Random(11)
+    (1 to Reps).foreach { _ =>
+      val s = unicodeText(rng)
+      val codes = GramCodes.compute(UTF8String.fromString(s), 5)
+      if (codes != null) {
+        val arr = codes.toLongArray()
+        var i = 1
+        while (i < arr.length) { assert(arr(i - 1) < arr(i)); i += 1 }
+      }
+    }
+  }
+
+  test("gram codes: bijective on ASCII — distinct gram sets get distinct code sets") {
+    val rng = new scala.util.Random(13)
+    (1 to Reps).foreach { _ =>
+      val a = asciiText(rng)
+      val b = asciiText(rng)
+      val ca = Option(GramCodes.compute(UTF8String.fromString(a), 5)).map(_.toLongArray().toSeq)
+      val cb = Option(GramCodes.compute(UTF8String.fromString(b), 5)).map(_.toLongArray().toSeq)
+      if (stringGramSet(a, 5) != stringGramSet(b, 5)) assert(ca !== cb)
+      else assert(ca === cb)
+    }
+  }
+
+  test("minhash signature: length k, values in [0, p), null below n chars") {
+    val rng = new scala.util.Random(17)
+    (1 to Reps).foreach { _ =>
+      val s = asciiText(rng)
+      val sig = MinHashSig.compute(UTF8String.fromString(s), 5, 32)
+      if (s.length < 5) assert(sig == null)
+      else {
+        assert(sig.numElements() === 32)
+        sig.toLongArray().foreach(v => assert(v >= 0L && v < MinHashSig.Prime))
+      }
+    }
+  }
+
+  test("minhash signature: gram-permutation invariance (signature of doc = signature of shuffled grams)") {
+    // Sliding 5-gram windows can't be freely permuted inside one string,
+    // but a string of repeated blocks exercises duplicate-gram
+    // idempotence: dup(s) has the same gram SET as s, so identical
+    // signatures.
+    val rng = new scala.util.Random(19)
+    (1 to Reps).foreach { _ =>
+      val block = asciiText(rng)
+      if (block.length >= 5) {
+        val s1 = UTF8String.fromString(block)
+        // repeat with 4-char overlap bridge of itself: block + block
+        // introduces bridge grams, so compare sets explicitly instead —
+        // duplicate every gram by concatenating block with itself ONLY
+        // when the bridge adds no new grams (all-same-char blocks).
+        val rep = block.head.toString * (block.length * 2)
+        val single = block.head.toString * block.length
+        val a = MinHashSig.compute(UTF8String.fromString(single), 5, 32)
+        val b = MinHashSig.compute(UTF8String.fromString(rep), 5, 32)
+        assert(a.toLongArray().toSeq === b.toLongArray().toSeq)
+        assert(s1 != null)
+      }
+    }
+  }
+
+  test("simhash: deterministic and fits in 60 bits") {
+    val rng = new scala.util.Random(23)
+    (1 to Reps).foreach { _ =>
+      val s = if (rng.nextBoolean()) asciiText(rng) else unicodeText(rng)
+      val a = SimHashKernel.compute(UTF8String.fromString(s), 5)
+      val b = SimHashKernel.compute(UTF8String.fromString(s), 5)
+      assert(a === b)
+      if (a != null) assert((a.longValue() >>> 60) === 0L)
+    }
+  }
+
+  test("LongSet agrees with scala Set under arbitrary adds (incl. 0, negatives, growth)") {
+    val rng = new scala.util.Random(29)
+    (1 to 200).foreach { _ =>
+      val n = rng.nextInt(5000)
+      val xs = Seq.fill(n)(rng.nextInt(2000).toLong - 1000L) ++ Seq.fill(rng.nextInt(3))(0L)
+      val set = new LongSet(4)
+      xs.foreach(set.add)
+      assert(set.size === xs.toSet.size)
+      assert(set.toArray.toSet === xs.toSet)
+    }
+  }
+}
