@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange-format ingest/egress — the boundary a production pipeline
+  * actually has (upstream dumps arrive as CSV/JSONL, curated data leaves
+  * as partitioned parquet).
+  *
+  * Two rules encode the 100 TB posture:
+  *  - **Schemas are always explicit.** `inferSchema` scans the input once
+  *    just to guess types (a full extra pass at scale) and guesses
+  *    per-file, so two shards can disagree; every reader here takes a
+  *    `StructType` and trusts it.
+  *  - **Columnar + partitioned at rest.** Text formats are for the edge
+  *    of the system; anything queried repeatedly is rewritten as parquet,
+  *    optionally `partitionBy` a low-cardinality column so predicate
+  *    pushdown prunes whole directories (FormatsSpec asserts the pruned
+  *    scan).
+  *
+  * Reference analog: the scraper's MySQL ingest + JSON payload columns
+  * (leader/schema.py) — re-expressed as schema-first file interchange.
+  */
+object Formats {
+
+  /** Read newline-delimited JSON with a trusted schema. Unparseable rows
+    * land in `_corrupt_record`-free PERMISSIVE nulls by default; pass
+    * `failFast = true` to abort on malformed input instead (bad-shard
+    * triage mode).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      failFast: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(path)
+
+  /** Write newline-delimited JSON (one object per line — the format every
+    * LLM-corpus tool chain speaks).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read headered CSV with a trusted schema (no inference pass). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Write headered CSV. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Write parquet partitioned by `cols`: each distinct combination
+    * becomes a directory, so an equality/IN filter on the partition
+    * columns prunes at PLANNING time — the scan never opens non-matching
+    * directories. The partition columns should be low-cardinality (a
+    * language tag, a date) or the small-files problem eats the win.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Read a partitioned parquet dataset (schema from footers — parquet is
+    * self-describing, unlike the text formats).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Formats
+
+/** Interchange-format specs: schema-first text ingest round-trips, and
+  * partitioned parquet prunes at planning time.
+  */
+class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-formats").toString
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.create("graft-formats-test", master = "local[4]")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("jsonl round-trips the documents table under an explicit schema") {
+    val docs = Tables(spark, dir).documents
+    Formats.writeJsonl(docs, s"$tmp/docs_jsonl")
+    val back = Formats.readJsonl(spark, s"$tmp/docs_jsonl", docs.schema)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    val origSum = docs.agg(sum(length(col("text")))).head.getLong(0)
+    assert(back.agg(sum(length(col("text")))).head.getLong(0) === origSum)
+  }
+
+  test("csv round-trips the nation table under an explicit schema") {
+    val nation = Tables(spark, dir).nation
+    Formats.writeCsv(nation, s"$tmp/nation_csv")
+    val back = Formats.readCsv(spark, s"$tmp/nation_csv", nation.schema)
+    assert(back.schema === nation.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      nation.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("partitioned parquet prunes non-matching partitions at planning time") {
+    val docs = Tables(spark, dir).documents
+    Formats.writePartitioned(docs, s"$tmp/docs_by_lang", "lang")
+    val filtered = Formats.readPartitioned(spark, s"$tmp/docs_by_lang")
+      .filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected a partition filter in:\n$plan")
+    // planning-time pruning: only the en directory's files are scanned
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scanned.nonEmpty)
+    scanned.foreach { f =>
+      assert(f.inputRDDs().head.partitions.nonEmpty)
+      assert(f.metadata.get("PartitionFilters").exists(_.contains("lang")))
+    }
+    assert(filtered.count() === docs.filter(col("lang") === "en").count())
+  }
+}
