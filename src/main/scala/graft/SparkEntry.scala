@@ -69,7 +69,8 @@ object SparkEntry {
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
     "e3_stream_dedup"    -> Events.e3StreamDedup _,
-    "e4_funnel"          -> Events.e4Funnel _
+    "e4_funnel"          -> Events.e4Funnel _,
+    "e5_asof_join"       -> Events.e5AsofJoin _
   )
 
   private val decPrice =
@@ -591,6 +592,18 @@ object SparkEntry {
         |  SELECT user_id, event_type, event_id,
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e5_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tsu,
+        |    max(CASE WHEN event_type = 'click' THEN tsu END) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |  FROM ev)
+        |SELECT event_id, user_id, tsu AS purchase_us, last_click_us,
+        |  CAST(last_click_us IS NOT NULL AS INTEGER) AS attributed
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
   )
 }

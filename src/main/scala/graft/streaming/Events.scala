@@ -90,6 +90,38 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e5: AS-OF join — attach to every purchase the most recent strictly
+    * prior click by the same user (event attribution; the general form
+    * joins an event stream to the latest state of a slowly-changing
+    * dimension at event time).
+    *
+    * Spark has no native as-of join; the naive formulation is a range
+    * self-join (`b.ts < a.ts` then argmax) whose output explodes with
+    * activity and whose range predicate defeats the equi-join planner. The
+    * scalable formulation used here is the union-window trick: both event
+    * roles flow through ONE shuffle keyed by user, ordered by
+    * (ts, event_id), and a running `max(click_ts)` over the strictly-prior
+    * frame ROWS UNBOUNDED PRECEDING..1 PRECEDING computes the as-of value
+    * in a single pass — no pair explosion at any activity level, which is
+    * the property that holds at 100 TB.
+    */
+  def e5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("tsu"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("tsu"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu").as("purchase_us"),
+        col("last_click_us"),
+        (col("last_click_us").isNotNull).cast("int").as("attributed"))
+      .orderBy("event_id")
+  }
+
   /** e3: first-event-per-key dedup — the batch analog of streaming
     * `dropDuplicates` under a watermark.
     */
