@@ -53,6 +53,7 @@ object SparkEntry {
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
+    "m3_resize"          -> ((s: SparkSession, d: String) => Media.m3Resize(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -423,6 +424,19 @@ object SparkEntry {
          |  CAST(frame_offset AS BIGINT) AS frame_offset,
          |  md5(substr(hx, CAST(frame_offset * 2 + 1 AS INTEGER), 128)) AS frame_hash
          |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "m3_resize" ->
+      s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+         |r AS (
+         |  SELECT doc_id, length(hx) // 2 AS orig_bytes,
+         |    list_aggregate(
+         |      list_transform(range(0, length(hx) // 2, 8),
+         |        i -> substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)),
+         |      'string_agg', '') AS rhx
+         |  FROM p)
+         |SELECT doc_id, CAST(orig_bytes AS BIGINT) AS orig_bytes,
+         |  CAST(length(rhx) // 2 AS BIGINT) AS resized_bytes,
+         |  md5(rhx) AS resized_hash
+         |FROM r ORDER BY doc_id""".stripMargin,
     "e2_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
         |x AS (

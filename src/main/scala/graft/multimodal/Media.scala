@@ -83,6 +83,31 @@ object Media {
         md5(col("hx").substr((col("col") * 2 + 1).cast("int"), lit(frameBytes * 2))).as("frame_hash"))
       .orderBy("doc_id", "frame_no")
 
+  /** m3: deterministic RESIZE — stride resampling of the payload (every
+    * `stride`-th byte), the 1-D stand-in for image downscaling: output
+    * size is ⌈n/stride⌉, content is a deterministic function of the
+    * input, and the metadata row (original size, resized size, resized
+    * hash) is what a real thumbnailing pass would record. Runs on the hex
+    * view so the oracle derives the identical resample in SQL; a real
+    * resizer slots into the [[extractFeatures]] mapPartitions seam. One
+    * shuffle-free projection — fan-out is 1:1, cost linear in payload
+    * volume.
+    */
+  def m3Resize(spark: SparkSession, dir: String, stride: Int = 8): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), hex(payload(col("doc_id"), col("text"))).as("hx"))
+      .select(
+        col("doc_id"),
+        (length(col("hx")) / 2).cast("long").as("orig_bytes"),
+        concat_ws("", transform(
+          sequence(lit(0L), (length(col("hx")) / 2 - 1).cast("long"), lit(stride.toLong)),
+          i => col("hx").substr((i * 2 + 1).cast("int"), lit(2)))).as("rhx"))
+      .select(
+        col("doc_id"), col("orig_bytes"),
+        (length(col("rhx")) / 2).cast("long").as("resized_bytes"),
+        md5(col("rhx")).as("resized_hash"))
+      .orderBy("doc_id")
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * codecs would run the real image/audio decoder batch-wise per
     * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),

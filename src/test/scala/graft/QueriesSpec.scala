@@ -360,6 +360,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m3 resize output size is ceil(orig/stride) and deterministic") {
+    val rows = multimodal.Media.m3Resize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getAs[Long]("orig_bytes")
+      assert(r.getAs[Long]("resized_bytes") === (orig + 7) / 8)
+      assert(r.getAs[String]("resized_hash").length === 32)
+    }
+    val again = multimodal.Media.m3Resize(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("batch custom-state sessions agree with the window-based e2") {
     val ss = spark
     import ss.implicits._
