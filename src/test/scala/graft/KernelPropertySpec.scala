@@ -128,4 +128,29 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(set.toArray.toSet === xs.toSet)
     }
   }
+
+  test("Bitmap: cardinality of unioned sets matches scala Set semantics (incl. growth, serde trim)") {
+    val rng = new scala.util.Random(31)
+    (1 to 200).foreach { _ =>
+      // several per-group key sets, then a union — mirrors the two-hop
+      // build (bitmap per middle vertex) + OR (per-endpoint union) shape
+      val groups = Seq.fill(1 + rng.nextInt(5)) {
+        Seq.fill(rng.nextInt(400))(rng.nextInt(10000).toLong)
+      }
+      val bms = groups.map { ks =>
+        val bm = new org.apache.spark.sql.graft.Bitmap(1)
+        ks.foreach(bm.set)
+        assert(bm.cardinality === ks.toSet.size)
+        bm
+      }
+      val union = new org.apache.spark.sql.graft.Bitmap(1)
+      bms.foreach(b => union.or(b.words, b.usedWords))
+      assert(union.cardinality === groups.flatten.toSet.size)
+      // trailing-zero trim never drops set bits
+      val trimmed = bms.map(b => b.words.take(b.usedWords))
+      val reunion = new org.apache.spark.sql.graft.Bitmap(1)
+      trimmed.foreach(w => reunion.or(w, w.length))
+      assert(reunion.cardinality === union.cardinality)
+    }
+  }
 }

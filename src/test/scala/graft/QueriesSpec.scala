@@ -337,6 +337,14 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
+  test("graft_bitmap / graft_bitmap_or_count compose from SQL via session extensions") {
+    val c = spark.sql(
+      "SELECT graft_bitmap_or_count(bm) AS c FROM (" +
+        "SELECT graft_bitmap(v) AS bm FROM VALUES (0L), (1L), (65L), (1L) AS t(v) GROUP BY v % 2)")
+      .collect()(0).getLong(0)
+    assert(c === 3L) // union of {0} and {1, 65}
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val e = Tables(spark, dir).embeddings.limit(50)
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
