@@ -106,7 +106,14 @@ object EventsStream {
     import events.sparkSession.implicits._
     events
       .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
-      .withWatermark("event_time", "2 hours")
+      // Watermark delay derives from the quiet period: the timeout fires
+      // only once the watermark passes maxTs + quietPeriod, so a delay
+      // longer than the quiet period would silently govern flush latency
+      // instead of the parameter. Tying them keeps "flush after N ms of
+      // silence" true for any N a caller passes (lateness tolerance then
+      // equals the quiet period — events later than that hit a flushed
+      // user and are dropped by the state machine, the documented trade).
+      .withWatermark("event_time", s"$quietPeriodMs milliseconds")
       .as[RawEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelRow](

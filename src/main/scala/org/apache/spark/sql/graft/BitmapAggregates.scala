@@ -23,13 +23,24 @@ final class Bitmap(initialWords: Int = 8) {
 
   private def ensureWords(n: Int): Unit =
     if (n > words.length) {
+      // n is bounded by MaxKey/64 + 1 (set() guards the key range), so
+      // n * 2 - 1 cannot overflow Int here.
       val grown = new Array[Long](Integer.highestOneBit(n * 2 - 1))
       System.arraycopy(words, 0, grown, 0, words.length)
       words = grown
     }
 
   def set(v: Long): Unit = {
-    require(v >= 0, s"bitmap keys must be non-negative, got $v")
+    // Hard key-range guard, not a silent wrap: beyond 2^31 the word index
+    // `(v >>> 6).toInt` would truncate and ALIAS large keys onto small ones
+    // (v = 2^38 lands on word 0 — silently wrong distinct counts), and even
+    // in-range multi-GB buffers signal the wrong data structure. The bitmap
+    // is for DENSE dictionary-encoded id spaces; fail fast and point sparse
+    // 64-bit keyspaces at the cardinality-bounded alternative.
+    require(v >= 0 && v < Bitmap.MaxKey,
+      s"graft_bitmap keys must be in [0, ${Bitmap.MaxKey}) — got $v. " +
+        "For sparse or hashed 64-bit keyspaces use graft_distinct_union_count " +
+        "(DistinctLongUnionCount): its buffer is bounded by cardinality, not key range.")
     val w = (v >>> 6).toInt
     ensureWords(w + 1)
     words(w) |= 1L << (v & 63L)
@@ -54,6 +65,14 @@ final class Bitmap(initialWords: Int = 8) {
     while (n > 0 && words(n - 1) == 0L) n -= 1
     n
   }
+}
+
+object Bitmap {
+  /** Exclusive upper bound on bitmap keys: 2^31 keeps the word index an
+    * exact Int (no truncation aliasing) and caps the per-group buffer at
+    * 256 MB even in the worst case.
+    */
+  val MaxKey: Long = 1L << 31
 }
 
 private[graft] trait BitmapAggBase extends TypedImperativeAggregate[Bitmap] {

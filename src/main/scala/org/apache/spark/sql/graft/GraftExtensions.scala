@@ -11,6 +11,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or programmatically via `SparkSession.builder.withExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Resolve a literal-int function parameter at registration time with a
+    * proper analysis error instead of the unbound-reference / NPE / CCE a
+    * raw `eval().asInstanceOf` produces on a column reference or NULL:
+    * non-foldable args fail with NON_FOLDABLE_ARGUMENT, NULL literals with
+    * INVALID_PARAMETER_VALUE.NULL, non-integral literals with
+    * INVALID_PARAMETER_VALUE.INTEGER — each naming the function and
+    * parameter.
+    */
+  private def literalInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable) {
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+    }
+    e.eval() match {
+      case n: Number => n.intValue()
+      case null =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.NULL",
+          Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.INTEGER",
+          Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`",
+            "invalidValue" -> other.toString))
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
@@ -31,8 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_minhash_sig expects (text) or (text, n, k)")
           if (children.length == 1) MinHashSignature(children.head, 5, 128)
           else {
-            val n = children(1).eval().asInstanceOf[Number].intValue()
-            val k = children(2).eval().asInstanceOf[Number].intValue()
+            val n = literalInt("graft_minhash_sig", "n", children(1))
+            val k = literalInt("graft_minhash_sig", "k", children(2))
             MinHashSignature(children.head, n, k)
           }
         }
@@ -46,7 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(children.length == 1 || children.length == 2,
             "graft_simhash60 expects (text) or (text, n)")
           val n = if (children.length == 2)
-            children(1).eval().asInstanceOf[Number].intValue() else 5
+            literalInt("graft_simhash60", "n", children(1)) else 5
           SimHash60(children.head, n)
         }
       )
@@ -59,7 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(children.length == 1 || children.length == 2,
             "graft_gram_codes expects (text) or (text, n)")
           val n = if (children.length == 2)
-            children(1).eval().asInstanceOf[Number].intValue() else 5
+            literalInt("graft_gram_codes", "n", children(1)) else 5
           SortedGramCodes(children.head, n)
         }
       )

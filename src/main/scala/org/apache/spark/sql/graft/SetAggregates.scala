@@ -22,8 +22,18 @@ final class LongSet(initialCapacity: Int = 1 << 10) {
 
   def size: Int = n + (if (hasZero) 1 else 0)
 
-  def add(v: Long): Unit = {
-    if (v == 0L) { hasZero = true; return }
+  def add(v: Long): Unit = { addIfAbsent(v); () }
+
+  /** Add `v`; true iff it was not already present. The boolean form lets
+    * first-seen work (e.g. one md5 per DISTINCT gram in SimHashKernel)
+    * key off the insertion without a second probe.
+    */
+  def addIfAbsent(v: Long): Boolean = {
+    if (v == 0L) {
+      val added = !hasZero
+      hasZero = true
+      return added
+    }
     var idx = (java.lang.Long.hashCode(v * -7046029254386353131L) & mask)
     while (true) {
       val cur = table(idx)
@@ -31,11 +41,12 @@ final class LongSet(initialCapacity: Int = 1 << 10) {
         table(idx) = v
         n += 1
         if (n * 4 >= capacity * 3) grow()
-        return
+        return true
       }
-      if (cur == v) return
+      if (cur == v) return false
       idx = (idx + 1) & mask
     }
+    false // unreachable
   }
 
   private def grow(): Unit = {

@@ -309,6 +309,29 @@ case class SortedGramCodes(child: Expression, n: Int)
   * call it).
   */
 object GramCodes {
+  /** Packed code of one gram at byte range [st, st+len) of (base, off).
+    * Bijective for len ≤ 7 (bytes left-justified big-endian in the upper
+    * 56 bits, length in the low byte — code equality ⇔ gram equality);
+    * longer grams (multi-byte text only) fall back to a 56-bit two-seed
+    * murmur3 hash tagged 0xFF in the low byte, disjoint from every packed
+    * code (low byte 1..7). Never 0 (the low byte is always non-zero), so
+    * the code stream is directly usable as [[LongSet]] elements.
+    */
+  def gramCode(base: AnyRef, off: Long, st: Int, len: Int): Long =
+    if (len <= 7) {
+      var v = 0L
+      var j = 0
+      while (j < len) {
+        v |= (Platform.getByte(base, off + st + j) & 0xffL) << (48 - 8 * j)
+        j += 1
+      }
+      (v << 8) | len.toLong
+    } else {
+      val h1 = Murmur3_x86_32.hashUnsafeBytes(base, off + st, len, 42).toLong
+      val h2 = Murmur3_x86_32.hashUnsafeBytes(base, off + st, len, 1042).toLong
+      ((((h1 << 32) ^ (h2 & 0xffffffffL)) >>> 8) << 8) | 0xffL
+    }
+
   /** Sorted distinct gram codes; empty array for texts shorter than n
     * characters (mirrors the empty shingle set).
     */
@@ -332,27 +355,7 @@ object GramCodes {
     var i = 0
     while (i < nGrams) {
       val st = offs(i)
-      val len = offs(i + n) - st
-      codes(i) =
-        if (len <= 7) {
-          // Bytes left-justified big-endian in the upper 56 bits, length
-          // in the low byte: a bijection, so code equality ⇔ gram
-          // equality.
-          var v = 0L
-          var j = 0
-          while (j < len) {
-            v |= (Platform.getByte(base, off + st + j) & 0xffL) << (48 - 8 * j)
-            j += 1
-          }
-          (v << 8) | len.toLong
-        } else {
-          // > 7 UTF-8 bytes (multi-byte text only): 56-bit hash from two
-          // murmur3 seeds, low byte tagged 0xFF — disjoint from every
-          // packed code (low byte 1..7).
-          val h1 = Murmur3_x86_32.hashUnsafeBytes(base, off + st, len, 42).toLong
-          val h2 = Murmur3_x86_32.hashUnsafeBytes(base, off + st, len, 1042).toLong
-          ((((h1 << 32) ^ (h2 & 0xffffffffL)) >>> 8) << 8) | 0xffL
-        }
+      codes(i) = gramCode(base, off, st, offs(i + n) - st)
       i += 1
     }
     java.util.Arrays.sort(codes)
@@ -431,18 +434,22 @@ object SimHashKernel {
       ci += 1
     }
     offs(numChars) = bytes.length
-    // distinct grams only — votes are per SET element, matching the
-    // array_distinct in the reference formulation
-    val seen = new java.util.HashSet[UTF8String]()
+    // Distinct grams only — votes are per SET element, matching the
+    // array_distinct in the reference formulation. Distinctness runs on
+    // the packed gram CODES (same encoding as SortedGramCodes: exact for
+    // ≤7-byte grams, i.e. all ASCII 5-grams; 56-bit-hash near-exact
+    // beyond) through a primitive open-addressed LongSet — no per-gram
+    // UTF8String or boxed HashSet entry, so the only per-DISTINCT-gram
+    // allocation left is the md5 digest itself.
+    val nGrams = numChars - n + 1
+    val seen = new LongSet(nGrams)
     val votes = new Array[Int](60)
     val md = md5Local.get()
-    val nGrams = numChars - n + 1
     var i = 0
     while (i < nGrams) {
       val st = offs(i)
       val len = offs(i + n) - st
-      val gram = UTF8String.fromBytes(bytes, st, len)
-      if (seen.add(gram)) {
+      if (seen.addIfAbsent(GramCodes.gramCode(bytes, Platform.BYTE_ARRAY_OFFSET, st, len))) {
         md.reset()
         md.update(bytes, st, len)
         val d = md.digest()

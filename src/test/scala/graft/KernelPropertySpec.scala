@@ -117,6 +117,42 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash kernel matches the string-set md5-vote reference (ASCII and multibyte)") {
+    // Independent reimplementation over DISTINCT string grams — the
+    // contract the packed-gram-code distinctness in SimHashKernel must
+    // preserve bit-for-bit.
+    def ref(s: String, n: Int): Option[Long] = {
+      if (s.codePointCount(0, s.length) < n) return None
+      val grams = (0 to s.length - n).map(i => s.substring(i, i + n)).distinct
+      val votes = new Array[Int](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      grams.foreach { g =>
+        val d = md.digest(g.getBytes("UTF-8"))
+        var h = 0L
+        (0 until 7).foreach(j => h = (h << 8) | (d(j) & 0xffL))
+        h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        (0 until 60).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      var fp = 0L
+      (0 until 60).foreach(b => if (votes(b) >= 0) fp |= 1L << b)
+      Some(fp)
+    }
+    val rng = new scala.util.Random(37)
+    (1 to Reps).foreach { _ =>
+      val s = if (rng.nextBoolean()) asciiText(rng) else unicodeText(rng)
+      val got = Option(SimHashKernel.compute(UTF8String.fromString(s), 5)).map(_.longValue())
+      assert(got === ref(s, 5), s"text: '$s'")
+    }
+  }
+
+  test("Bitmap rejects out-of-range keys instead of aliasing them") {
+    val bm = new org.apache.spark.sql.graft.Bitmap(1)
+    bm.set(org.apache.spark.sql.graft.Bitmap.MaxKey - 1) // in range: fine
+    intercept[IllegalArgumentException](bm.set(org.apache.spark.sql.graft.Bitmap.MaxKey))
+    intercept[IllegalArgumentException](bm.set(1L << 38)) // would alias word 0
+    intercept[IllegalArgumentException](bm.set(-1L))
+  }
+
   test("LongSet agrees with scala Set under arbitrary adds (incl. 0, negatives, growth)") {
     val rng = new scala.util.Random(29)
     (1 to 200).foreach { _ =>
