@@ -122,31 +122,43 @@ object GraphIter {
     * what you want at 100 TB where a nondeterministic re-run diff is a
     * debugging nightmare.
     */
-  def pageRankMicro(edges: DataFrame, iterations: Int = 10): DataFrame = {
+  def pageRankMicro(
+      edges: DataFrame,
+      iterations: Int = 10,
+      checkpointCadence: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    // Pin the (large) edge table's hash partitioning on the join key ONCE
-    // before checkpointing: Dataset.localCheckpoint preserves
-    // outputPartitioning, so every superstep's join re-uses the edge
-    // layout and only the (small) rank table moves.
+    // Degree attached by a window count partitioned on the join key: ONE
+    // exchange both computes deg and pins the edge layout on src (the
+    // groupBy + self-join + explicit repartition it replaces cost two
+    // more). Dataset.localCheckpoint preserves outputPartitioning, so
+    // every superstep's join re-uses this layout and only the (small)
+    // rank table moves.
     val withDeg = sym
-      .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
-      .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
+    // Initial ranks: distinct over the src-partitioned edges — partial
+    // dedup runs exchange-free on the checkpointed layout.
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000L))
       .localCheckpoint(true)
     var lastCheckpoint = ranks
+    // Cadence trades plan depth against per-superstep materialization:
+    // between checkpoints the supersteps stay lazy and fuse into one
+    // multi-shuffle job; each eager checkpoint is a full materialization
+    // whose fixed cost dominates small-graph runs. Default 10 = a fixed
+    // 10-iteration ranking materializes exactly once, at the end; long or
+    // convergence-driven runs should pass a lower cadence to bound
+    // lineage.
     for (it <- 1 to iterations) {
       var next = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("rank DIV deg").as("contrib"))
         .groupBy("node")
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
-      // Same cadence rationale as [[pageRank]]: 2 materializations for the
-      // 10-step recurrence instead of 4.
-      if (it % 5 == 0 || it == iterations) {
+      if (it % checkpointCadence == 0 || it == iterations) {
         next = next.localCheckpoint(true)
         lastCheckpoint.unpersist()
         lastCheckpoint = next
