@@ -45,6 +45,7 @@ object SparkEntry {
     "d3_minhash_lsh"     -> ((s: SparkSession, d: String) => Dedup.d3MinHashLsh(s, d)),
     "d4_simhash"         -> Dedup.d4SimHash _,
     "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
+    "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
     // D. similarity
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
@@ -371,6 +372,35 @@ object SparkEntry {
         |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         |ORDER BY d.doc_id""".stripMargin,
+    "d7_incremental_dedup" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |exact AS (
+        |  SELECT i.doc_id, min(e.doc_id) AS exact_dup_of
+        |  FROM inc i JOIN ex e ON md5(i.text) = md5(e.text)
+        |  GROUP BY i.doc_id),
+        |shi AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 3), j -> substr(text, CAST(j AS INTEGER), 5))) AS g
+        |  FROM inc WHERE length(text) >= 5),
+        |she AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 3), j -> substr(text, CAST(j AS INTEGER), 5))) AS g
+        |  FROM ex WHERE length(text) >= 5),
+        |near AS (
+        |  SELECT i.doc_id, min(e.doc_id) AS near_dup_of
+        |  FROM shi i JOIN she e
+        |    ON len(list_intersect(i.g, e.g)) * 1.0 / len(list_distinct(list_concat(i.g, e.g))) >= 0.8
+        |  GROUP BY i.doc_id)
+        |SELECT i.doc_id,
+        |  CASE WHEN x.exact_dup_of IS NOT NULL THEN 'exact'
+        |       WHEN n.near_dup_of IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS status,
+        |  coalesce(x.exact_dup_of, n.near_dup_of) AS dup_of
+        |FROM inc i
+        |LEFT JOIN exact x ON i.doc_id = x.doc_id
+        |LEFT JOIN near n ON i.doc_id = n.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "s2_lsh_ann" ->
       """WITH hp AS (SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS he FROM embeddings WHERE vec_id < 4),
         |bk AS (

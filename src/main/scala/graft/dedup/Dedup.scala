@@ -233,6 +233,94 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d7: INCREMENTAL dedup — deduplicate a new batch against an existing
+    * corpus without rescanning or re-pairing the corpus with itself.
+    *
+    * Reference analog: the pipeline's skip-already-fetched pass
+    * (processor/data_processor.py:91-143 `filter_existing`,
+    * utils/db_utils.py:91 `check_html_exists`) — each crawl batch is
+    * checked against the accumulated store, not against itself plus all
+    * history. Here the corpus splits deterministically (even doc_id =
+    * existing, odd = incoming) so the oracle can derive the same split,
+    * and each incoming document is classified:
+    *
+    *  - `exact` — md5(text) matches an existing document (equijoin on the
+    *    128-bit digest; `dup_of` = smallest matching existing id);
+    *  - `near`  — ≥ threshold Jaccard with an existing document (MinHash
+    *    bands of the incoming batch equijoined against the EXISTING side's
+    *    bands only — never existing×existing — then exact-verified, same
+    *    prune/verify math as d3; `dup_of` = smallest verified existing id;
+    *    exact precedence wins when both hold);
+    *  - `new`   — neither (`dup_of` null).
+    *
+    * At 100 TB the existing side's digests and band hashes are a persisted
+    * index maintained at ingest (they are exactly what [[d1ExactDedup]]
+    * and the d3 signature stage emit), so the per-batch cost is
+    * |incoming| signatures + two index equijoins — independent of corpus
+    * history except through index size, which is the property that makes
+    * per-crawl dedup sustainable.
+    */
+  def d7IncrementalDedup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = Tables(spark, dir).documents
+    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id")), Seq("h"))
+      .groupBy("doc_id")
+      .agg(min(col("ex_id")).as("exact_dup_of"))
+    def banded(df: DataFrame, idAs: String): DataFrame = df
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id").as(idAs),
+        org.apache.spark.sql.graft.VectorExpressions
+          .minhashSignature(col("text"), 5, numHashes).as("sig"))
+      .select(col(idAs), explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
+      .select(col(idAs), col("band_id"),
+        hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("band_hash"))
+    // Asymmetric candidate join: incoming bands probe existing bands —
+    // the pair space is |incoming| × bucket overlap, with no
+    // existing-side self-pairs by construction.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val candidates = banded(incoming, "in_id")
+      .join(banded(existing, "ex_id"), Seq("band_id", "band_hash"))
+      .select("in_id", "ex_id")
+      .distinct()
+      .repartition(nPart, col("in_id"), col("ex_id"))
+    def grams(df: DataFrame, idAs: String, gAs: String): DataFrame = df
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id").as(idAs), gramCodes(col("text")).as(gAs))
+    val n1 = size(col("g1")).cast("double")
+    val n2 = size(col("g2")).cast("double")
+    val inter = org.apache.spark.sql.graft.VectorExpressions
+      .sortedIntersectCountLong(col("g1"), col("g2")).cast("double")
+    val near = candidates
+      .join(grams(incoming, "in_id", "g1"), Seq("in_id"))
+      .join(grams(existing, "ex_id", "g2"), Seq("ex_id"))
+      // Same division-form prune + verify as d3: identical rounding to
+      // the final predicate, so the prune can't drop a qualifying pair.
+      .filter(least(n1, n2) / greatest(n1, n2) >= threshold)
+      .filter(inter / (n1 + n2 - inter) >= threshold)
+      .groupBy("in_id")
+      .agg(min(col("ex_id")).as("near_dup_of"))
+      .withColumnRenamed("in_id", "doc_id")
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_dup_of").isNotNull, lit("exact"))
+          .when(col("near_dup_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** d4: 60-bit SimHash fingerprints with 4×15-bit hamming bands.
     *
     * Per-gram hashes come from md5 (first 15 hex chars parsed as an
