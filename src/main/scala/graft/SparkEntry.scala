@@ -20,6 +20,7 @@ object SparkEntry {
     // A. relational core
     "q1_pricing_agg"     -> Relational.q1PricingAgg _,
     "q2_join_agg"        -> Relational.q2JoinAgg _,
+    "q2b_bucketed"       -> Relational.q2bBucketed _,
     "q3_topk"            -> Relational.q3TopK _,
     "q4_window_latest"   -> Relational.q4WindowLatest _,
     "q5_semi_join"       -> Relational.q5SemiJoin _,
@@ -155,6 +156,16 @@ object SparkEntry {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_agg" ->
+      s"""SELECT n_name,
+         |  CAST(sum($decPrice) AS DOUBLE) AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Same result as q2 — the variant differs only in storage layout.
+    "q2b_bucketed" ->
       s"""SELECT n_name,
          |  CAST(sum($decPrice) AS DOUBLE) AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders

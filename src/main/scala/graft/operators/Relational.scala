@@ -62,6 +62,42 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q2b: the q2 aggregation on CO-BUCKETED fact storage — the
+    * pay-at-ingest path driven through the driver contract instead of
+    * spec-only. lineitem and orders are (idempotently) written as
+    * 32-bucket tables hashed on the order key; the per-order revenue
+    * rollup then aggregates WITHOUT an exchange (the bucket layout
+    * already hash-partitions on l_orderkey) and the fact⋈fact join is an
+    * exchange-free SortMergeJoin — the only shuffles left in the plan
+    * are the tiny per-nation aggregate and the final ordering, which is
+    * the plan shape a 100 TB warehouse wants for every recurring join on
+    * the same key. Output is identical to [[q2JoinAgg]] (same oracle).
+    * Reference analog: the MySQL schema's indexed join keys
+    * (leader/schema.py) — co-location paid at write time.
+    */
+  def q2bBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"graft_bkt_lineitem_$tag"
+    val orT = s"graft_bkt_orders_$tag"
+    val t = Tables(spark, dir)
+    graft.sources.Bucketing.ensureBucketed(t.lineitem, liT, "l_orderkey")
+    graft.sources.Bucketing.ensureBucketed(t.orders, orT, "o_orderkey")
+    val perOrder = spark.table(liT)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("ord_rev"))
+    perOrder
+      .join(spark.table(orT), col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("ord_rev")).cast("double").as("revenue"),
+        count(col("o_orderkey")).as("n_orders")
+      )
+      .orderBy("n_name")
+  }
+
   /** q3: global top-k with deterministic tie-break. */
   def q3TopK(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -54,6 +54,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ts should be pruned from the scan:\n$plan")
   }
 
+  test("q2b bucketed variant: pre-agg and fact join plan exchange-free, result matches q2") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.Relational.q2bBucketed(spark, dir)
+    val exchanges = df.queryExecution.executedPlan
+      .collectWithSubqueries { case e: ShuffleExchangeLike => e }
+    // Allowed shuffles: the per-nation aggregate, the customer join (not
+    // co-bucketed) and the final orderBy range partitioning. The
+    // lineitem pre-agg and the lineitem⋈orders join must ride the bucket
+    // layout — an exchange count above 3-per-side means the bucketed
+    // path regressed to re-shuffling a fact table.
+    assert(exchanges.length <= 4,
+      s"bucketed q2 should not shuffle facts, got ${exchanges.length} exchanges:\n${df.queryExecution.executedPlan}")
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val expected = operators.Relational.q2JoinAgg(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("co-bucketed fact-fact join plans without exchanges") {
     val t = Tables(spark, dir)
     sources.Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", buckets = 8)
