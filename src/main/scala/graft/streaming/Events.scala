@@ -105,12 +105,19 @@ object Events {
     * in a single pass — no pair explosion at any activity level, which is
     * the property that holds at 100 TB.
     */
-  def e5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+  def e5AsofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(Tables(spark, dir).events)
+
+  /** The as-of core over any events DataFrame with (event_id, user_id,
+    * event_type, ts-in-ns) — factored so the streaming form's agreement
+    * spec can run both on one in-memory input.
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tsu"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir).events
+    events
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts DIV 1000").as("tsu"))
       .withColumn("last_click_us",

@@ -17,6 +17,17 @@ final case class OpenSession(start_us: Long, end_us: Long, n: Long)
   */
 final case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long)
 
+/** Latest click per user carried between micro-batches (µs). */
+final case class LastClick(click_us: Long)
+
+/** Emitted as-of attribution row (µs; None = no prior click). */
+final case class AsofRow(
+  event_id: Long,
+  user_id: Long,
+  purchase_us: Long,
+  last_click_us: Option[Long],
+  attributed: Int)
+
 /** Emitted closed session. */
 final case class SessionRow(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
@@ -149,6 +160,77 @@ object EventsStream {
               maxTs / 1000L + quietPeriodMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming e5: as-of attribution IN FLIGHT — the `flatMapGroupsWithState`
+    * twin of the batch union-window form ([[Events.asofJoin]]). State is ONE
+    * µs timestamp per user (the latest click seen); purchases emit
+    * immediately, attributed to the state at that point. Within a
+    * micro-batch events fold in (ts, event_id) order — exactly the batch
+    * window's ROWS frame, so a single-batch run matches [[Events.asofJoin]]
+    * bit-for-bit (the spec asserts it). Across batches the state carries the
+    * last click forward, so a purchase in a later batch attributes to a
+    * click from any earlier batch; a LATE click older than the carried one
+    * is ignored (monotone state — the same O(users)-state best-effort trade
+    * as the funnel). Users idle past `idleTimeoutMs` in event time have
+    * their one-row state dropped, which is what bounds state on an
+    * unbounded user population.
+    */
+  def asofJoinStream(
+      events: Dataset[RawEvent],
+      idleTimeoutMs: Long = 2L * 3600 * 1000): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src =
+      if (streaming)
+        events
+          .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withWatermark("event_time", s"$idleTimeoutMs milliseconds")
+          .as[RawEvent]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, AsofRow](OutputMode.Append, timeoutConf) {
+        (uid: Long, evs: Iterator[RawEvent], state: GroupState[LastClick]) =>
+          if (streaming && state.hasTimedOut) {
+            // Nothing pending to flush — purchases emit eagerly; the
+            // timeout only reclaims the idle user's one-row state.
+            state.remove()
+            Iterator.empty
+          } else {
+            // (ts, event_id) order = the batch window's ROWS frame: a
+            // click sorting strictly before a purchase (earlier ts, or
+            // same ts with smaller event_id) is visible to it.
+            val sorted = evs.toArray.sortBy(e => (e.ts, e.event_id))
+            var last = state.getOption.map(_.click_us).getOrElse(-1L)
+            var maxTsMs = -1L
+            val out = Vector.newBuilder[AsofRow]
+            sorted.foreach { e =>
+              val tsu = e.ts / 1000L // ns -> µs, same integer division as the batch form
+              if (tsu / 1000L > maxTsMs) maxTsMs = tsu / 1000L
+              e.event_type match {
+                case "purchase" =>
+                  out += AsofRow(e.event_id, uid, tsu,
+                    if (last >= 0) Some(last) else None,
+                    if (last >= 0) 1 else 0)
+                case "click" =>
+                  if (tsu > last) last = tsu
+                case _ =>
+              }
+            }
+            if (last >= 0) {
+              state.update(LastClick(last))
+              if (streaming) {
+                state.setTimeoutTimestamp(math.max(
+                  maxTsMs + idleTimeoutMs,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.result().iterator
           }
       }
   }

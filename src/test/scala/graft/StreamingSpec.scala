@@ -133,6 +133,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2L)._4 === 0)
   }
 
+  test("streaming e5 as-of attribution matches the batch window form and carries state across batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    // Purchases interleaved with clicks, incl. same-timestamp ordering
+    // (ev3/ev4 share ts: the click's smaller event_id sorts it strictly
+    // before the purchase, so it must attribute) and a clickless user.
+    val evs = Seq(
+      Ev(1, 1, "view", 1 * hourNs, 0.1),
+      Ev(2, 1, "click", 1 * hourNs + 60L * 1000000000L, 0.2),
+      Ev(3, 1, "click", 1 * hourNs + 120L * 1000000000L, 0.3),
+      Ev(4, 1, "purchase", 1 * hourNs + 120L * 1000000000L, 9.0),
+      Ev(5, 1, "purchase", 1 * hourNs + 300L * 1000000000L, 8.0),
+      Ev(6, 2, "purchase", 1 * hourNs + 30L * 1000000000L, 7.0),
+      Ev(7, 3, "click", 1 * hourNs + 10L * 1000000000L, 0.4)
+    )
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+      r.getAs[Long]("purchase_us"),
+      Option(r.getAs[java.lang.Long]("last_click_us")).map(_.longValue()),
+      r.getAs[Int]("attributed"))
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.asofJoinStream(mem.toDF().as[graft.streaming.RawEvent]).toDF()
+      .writeStream.format("memory").queryName("e5s").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("e5s").collect().map(key).toSet
+    val batch = graft.streaming.Events.asofJoin(evs.toDF()).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.exists { case (id, _, _, click, att) => id == 4L && click.isDefined && att == 1 })
+    assert(streamed.exists { case (id, _, _, click, att) => id == 6L && click.isEmpty && att == 0 })
+    // Cross-batch carry: user 3's click lives in batch 1 state; a purchase
+    // arriving in a later batch attributes to it.
+    mem.addData(Ev(8, 3, "purchase", 1 * hourNs + 600L * 1000000000L, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("e5s").collect().map(key).toSet
+    assert(after.contains((8L, 3L, (3600L + 600) * 1000000L, Some((3600L + 10) * 1000000L), 1)))
+  }
+
   test("streaming e3 dedup keeps one row per (user, type)") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
