@@ -128,6 +128,168 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** TRAINED random hyperplanes for [[s2LshAnnTrained]]: seeded Gaussian
+    * vectors, generated driver-side (nPlanes × dim floats — trivially
+    * broadcastable at any scale). Unlike the first-N-corpus-vector planes
+    * of the oracle-checked [[s2LshAnn]], Gaussian planes are isotropic —
+    * each bit is an unbiased random halfspace, the standard SRP-LSH
+    * construction — and the seed makes training reproducible.
+    */
+  def trainedHyperplanes(spark: SparkSession, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val rows = (0 until nPlanes).map { i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    spark.createDataFrame(rows).toDF("h_id", "h_emb")
+  }
+
+  /** s2 with TRAINED hyperplanes — the shippable ANN half of the LSH
+    * path, using the standard MULTI-TABLE SRP-LSH construction: `nTables`
+    * independent seeded plane sets, each hashing the corpus into its own
+    * bucket space; a query's candidates are the union (dedup on the
+    * (query, neighbor) pair — the shuffle key, never all-pairs) of its
+    * bucket plus hamming-1 probes in every table. Recall composes as
+    * 1 − (1 − p_table)^L, the dial a deployment turns instead of scanning
+    * more of the corpus per table; per-table search stays a bucket
+    * equijoin, so the plan shape is [[s2LshAnn]]'s at any L. The fixed
+    * first-N-corpus-plane variant remains the oracle-checked one; recall
+    * here is spec-measured against [[s1CosineTopK]] (AnnSpec).
+    */
+  def s2LshAnnTrained(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nPlanes: Int = 4,
+      nTables: Int = 4,
+      seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val emb = t.embeddings
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val allPlanes = (0 until nTables)
+      .map(tb => trainedHyperplanes(spark, dim, nPlanes, seed + tb).withColumn("tbl", lit(tb)))
+      .reduce(_.unionByName(_))
+    val bucketed = emb
+      .crossJoin(broadcast(allPlanes))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(
+        sum(when(cosine(col("embedding"), col("h_emb")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h_id AS INT))")).otherwise(0L)).as("bucket"))
+    val probes =
+      if (!multiProbe) Seq(col("bucket"))
+      else col("bucket") +: (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val queryBuckets = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(array(probes: _*)).as("bucket"))
+    val candidates = bucketed
+      .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+      .join(queryBuckets, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates
+      .join(broadcast(queries), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** TRAINED centroids for [[s3CentroidIvfTrained]]: seeded deterministic
+    * spherical k-means — fixed init (first `nCells` corpus vectors, the
+    * same seed the fixed variant uses) refined by `iters` Lloyd rounds of
+    * cosine-argmax assignment + per-cell mean. Each round is one
+    * broadcast-scan assignment and one (cell, dimension) aggregate; only
+    * the nCells × dim centroid matrix ever reaches the driver, so the
+    * training loop holds at any corpus size. Cosine is scale-invariant,
+    * so the un-normalized mean assigns identically to the normalized
+    * spherical centroid. Empty cells keep their previous centroid.
+    */
+  def trainedCentroids(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir).embeddings
+    var cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id") < nCells)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq
+    for (_ <- 1 to iters) {
+      val cdf = spark.createDataFrame(cents).toDF("cent_id", "c_emb")
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cent_id").asc)
+      val assigned = emb
+        .crossJoin(broadcast(cdf))
+        .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("cent_id").as("cell"), col("embedding"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (cell, rows) =>
+          val vec = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m").toFloat).toSeq
+          cell -> vec
+        }
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    spark.createDataFrame(cents).toDF("cent_id", "c_emb")
+  }
+
+  /** s3 with TRAINED centroids and multi-cell probing — the shippable IVF
+    * half: corpus vectors live in their argmax cell, queries probe their
+    * `nProbe` best cells (the standard IVF recall dial; each corpus
+    * vector is in exactly one cell, so probing stays duplicate-free).
+    * The oracle-checked fixed variant [[s3CentroidIvf]] is unchanged.
+    */
+  def s3CentroidIvfTrained(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nCells: Int = 8,
+      iters: Int = 3,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val centroids = trainedCentroids(spark, dir, nCells, iters)
+      .select(col("cent_id"), col("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    val ranked = t.embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+    val queries = ranked.filter(col("vec_id") < 10 && col("arn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell"))
+      .join(queries, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** s3: IVF-style ANN — assign every vector to its nearest of `nCells`
     * fixed centroids (argmax cosine, deterministic tie-break on centroid
     * id), then search only the query's own cell. Centroids are the first
