@@ -54,6 +54,16 @@ object GraftSession {
     // round-3 full-bench outlier suspect (q1/q2 at 11 s in-session vs
     // 1-2 s isolated). Drop them eagerly; see SessionMaintenance.
     org.apache.spark.sql.graft.SessionMaintenance.dropBroadcastBlocks(spark)
+    // Then collect NOW, while the session is idle: a multi-query session
+    // otherwise accrues driver garbage (plan trees, generated classes and
+    // their classloaders, cleaner-tracked weak refs) until the JVM picks
+    // its own moment — typically mid-query, surfacing as nondeterministic
+    // multi-second outliers on whichever query is running. Pinning the
+    // collection to the between-queries boundary is what Spark's own
+    // spark.cleaner.periodicGC is for; per-query is the right cadence
+    // when queries take seconds. This is driver-side only and sits
+    // outside every timed region (Bench stops the clock first).
+    System.gc()
   }
 
   private val retainedIds =

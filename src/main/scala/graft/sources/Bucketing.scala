@@ -45,14 +45,37 @@ object Bucketing {
     * up-to-date one already exists. "Up to date" is a row-count match —
     * cheap (parquet metadata counts on both sides) and sufficient for the
     * append-only ingest this models; a mutable warehouse would version the
-    * table instead. This is what lets repeated sessions on the same source
-    * pay the bucketing once, which is the entire point of the layout.
+    * table instead.
+    *
+    * The default catalog is session-scoped while the warehouse directory
+    * is not, so a FRESH session first re-registers a layout left on disk
+    * by an earlier one (CREATE TABLE ... CLUSTERED BY ... LOCATION —
+    * bucket files keep their bucket-id naming, so the re-created table is
+    * fully bucket-aware) and only rewrites when no valid layout exists.
+    * This is what makes "pay the partitioning once at ingest" true across
+    * sessions, which is the entire point of the layout.
     */
   def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    val fresh = spark.catalog.tableExists(table) &&
-      scala.util.Try(spark.table(table).count() == df.count()).getOrElse(false)
-    if (!fresh) writeBucketed(df, table, key, buckets)
+    def upToDate = scala.util.Try(spark.table(table).count() == df.count()).getOrElse(false)
+    if (spark.catalog.tableExists(table) && upToDate) return
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(warehouse, table)
+      if (java.nio.file.Files.isDirectory(loc)) {
+        val registered = scala.util.Try {
+          spark.sql(
+            s"""CREATE TABLE $table (${df.schema.toDDL})
+               |USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+               |LOCATION '${loc.toUri}'""".stripMargin)
+          upToDate
+        }.getOrElse(false)
+        if (registered) return
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }
+    writeBucketed(df, table, key, buckets)
   }
 
   /** Join two co-bucketed tables on their bucket key. With matching bucket
