@@ -317,6 +317,35 @@ object GraphOps {
       .orderBy("custkey")
   }
 
+  /** g4 escalation path: APPROXIMATE two-hop counts via Spark's native
+    * HLL++ sketch aggregate — the documented fallback for when the vertex
+    * id space goes sparse/wide (raw 64-bit hashes, federated ids) and the
+    * dense bitmap of [[g4TwoHop]] stops being the right buffer. No
+    * distinct pre-aggregation, no bitmap: the wedge join streams straight
+    * into `approx_count_distinct`, whose partial aggregation merges
+    * sketches map-side, so the shuffle carries one fixed-size sketch per
+    * (customer, partition) regardless of degree or keyspace — the
+    * Θ(E·words) bitmap OR becomes Θ(wedges) sketch updates with O(1)
+    * state. Spark-first deliberately: HLL++ is built in (codegen'd,
+    * AQE-aware), so the escalation is a one-line plan change, not a new
+    * engine component. Accuracy is `rsd` relative error (exact in
+    * HLL++'s sparse regime — small neighborhoods pay no error at all);
+    * the union always contains self, hence the −1.
+    */
+  def g4TwoHopApprox(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+    edges.as("a")
+      .join(edges.as("b"), Seq("suppkey"))
+      .select(col("a.custkey").as("custkey"), col("b.custkey").as("other"))
+      .groupBy("custkey")
+      .agg((approx_count_distinct(col("other"), rsd) - 1L).as("n_two_hop_approx"))
+      .orderBy("custkey")
+  }
+
   /** g8: iterative parent-pointer expansion over a generic child→parent
     * edge table (org BELONGS_TO chains, mysql2neo4j.py:204-227).
     * The loop shuffles once per level; depth is the tree height (not the

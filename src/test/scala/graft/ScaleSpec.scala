@@ -72,6 +72,21 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("approximate two-hop (HLL escalation) tracks the exact bitmap counts") {
+    val exact = operators.GraphOps.g4TwoHop(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = operators.GraphOps.g4TwoHopApprox(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (ck, n) =>
+      val a = approx(ck)
+      // rsd = 0.05; small neighborhoods sit in HLL++'s exact sparse
+      // regime, so 3x the nominal deviation is a generous envelope.
+      assert(math.abs(a - n) <= math.max(3, 0.15 * n),
+        s"custkey $ck: exact=$n approx=$a")
+    }
+  }
+
   test("co-bucketed fact-fact join plans without exchanges") {
     val t = Tables(spark, dir)
     sources.Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", buckets = 8)

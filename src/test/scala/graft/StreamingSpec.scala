@@ -10,6 +10,8 @@ import graft.streaming.EventsStream
 
 final case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Long, value: Double)
 
+final case class Doc(doc_id: Long, text: String, ingest_ts_ns: Long)
+
 /** Structured Streaming forms of the F-group, driven through MemoryStream:
   * the streaming plans must (a) run incrementally with watermarked state and
   * (b) agree with the batch forms on the same finite input.
@@ -173,6 +175,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     val after = spark.table("e5s").collect().map(key).toSet
     assert(after.contains((8L, 3L, (3600L + 600) * 1000000L, Some((3600L + 10) * 1000000L), 1)))
+  }
+
+  test("streaming incremental dedup: anti-joins the corpus index, dedups in flight, carries state across batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val existing = Seq("corpus doc A", "corpus doc B").toDF("text")
+      .select(md5(org.apache.spark.sql.functions.col("text")).as("text_hash"))
+    val mem = MemoryStream[Doc]
+    val q = graft.dedup.DedupStream.incrementalDedupStream(mem.toDF(), existing)
+      .writeStream.format("memory").queryName("d7s").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(
+      Doc(1, "corpus doc A", 1 * hourNs), // exact dup of the store -> dropped
+      Doc(2, "fresh doc X", 1 * hourNs),  // new -> kept
+      Doc(3, "fresh doc X", 1 * hourNs),  // in-batch dup -> dropped (first wins)
+      Doc(4, "fresh doc Y", 1 * hourNs)   // new -> kept
+    )
+    q.processAllAvailable()
+    mem.addData(
+      Doc(5, "fresh doc X", 1 * hourNs + 60L * 1000000000L), // cross-batch dup -> dropped
+      Doc(6, "corpus doc B", 1 * hourNs + 60L * 1000000000L), // store dup -> dropped
+      Doc(7, "fresh doc Z", 1 * hourNs + 60L * 1000000000L)   // new -> kept
+    )
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("d7s").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(2L, 4L, 7L))
   }
 
   test("streaming e3 dedup keeps one row per (user, type)") {
