@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX interop — the north-star's named analysis engine, provided as a
+  * bridge for users arriving from RDD-based graph code.
+  *
+  * graft's shipped graph operators iterate over DataFrames
+  * ([[GraphIter]]) rather than GraphX RDDs: Catalyst/Tungsten give the
+  * loops whole-stage codegen, AQE re-planning and columnar shuffle, and
+  * the integer fixed-point recurrence is bit-reproducible across engines
+  * — properties the RDD path lacks at 100 TB (SURVEY §1 documents the
+  * choice). This module keeps the GraphX surface available anyway: the
+  * same long-keyed edge DataFrames convert losslessly, so a user can run
+  * their existing GraphX analysis unchanged, then migrate hot queries to
+  * the DataFrame operators. The agreement spec (GraphXSpec) pins the two
+  * engines to the same ranking on the shared graph.
+  */
+object GraphXInterop {
+
+  /** PageRank via GraphX's `staticPageRank` over the same packed-long
+    * customer/supplier bipartite graph [[GraphIter.g6PageRank]] uses
+    * (symmetrized, deduplicated). Float ranks with GraphX's 0.15 reset —
+    * the classic formulation; for the bit-reproducible fixed-point form
+    * use [[GraphIter.pageRankMicro]].
+    */
+  def pageRankGraphX(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    val edgeRdd = sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    val ranks = graph.staticPageRank(iterations).vertices
+    spark.createDataFrame(ranks).toDF("node", "rank")
+  }
+
+  /** g6's graph through the GraphX path (same packed-long node ids,
+    * decoded to the display form).
+    */
+  def g6PageRankGraphX(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRankGraphX(edges)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("rank"))
+      .orderBy("node")
+  }
+}
