@@ -56,6 +56,7 @@ object SparkEntry {
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
     "m3_resize"          -> ((s: SparkSession, d: String) => Media.m3Resize(s, d)),
+    "m4_byte_stats"      -> Media.m4ByteStats _,
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -478,6 +479,20 @@ object SparkEntry {
          |  CAST(length(rhx) // 2 AS BIGINT) AS resized_bytes,
          |  md5(rhx) AS resized_hash
          |FROM r ORDER BY doc_id""".stripMargin,
+    "m4_byte_stats" ->
+      s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, length(hx) // 2), i ->
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16 +
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INTEGER), 1)) - 1)) AS bytes
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(bytes) AS BIGINT) AS n_bytes,
+         |  CAST(CAST(list_sum(bytes) AS BIGINT) * 1000 // len(bytes) AS BIGINT) AS mean_byte_milli,
+         |  CAST(len(list_distinct(bytes)) AS BIGINT) AS n_distinct_bytes,
+         |  CAST(CAST(len(list_filter(bytes, v -> v >= 128)) AS BIGINT) * 1000000 // len(bytes) AS BIGINT) AS high_byte_ratio_micro
+         |FROM b ORDER BY doc_id""".stripMargin,
     "e2_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
         |x AS (

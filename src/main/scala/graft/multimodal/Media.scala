@@ -108,6 +108,31 @@ object Media {
         md5(col("rhx")).as("resized_hash"))
       .orderBy("doc_id")
 
+  /** m4: byte-level FEATURE EXTRACTION — the feature-extract stage of the
+    * multimodal pipeline as a driver-keyed operator. The native
+    * [[org.apache.spark.sql.graft.ByteStats]] expression computes
+    * (size, byte sum, distinct bytes, high bytes) in one fused codegen'd
+    * pass over the binary payload — no hex round-trip, no per-byte
+    * boxing; derived features are exact integer fixed-point so the
+    * oracle (which must parse the hex view byte-by-byte — DuckDB has no
+    * blob iteration) hash-matches unconditionally. A codec-backed
+    * extractor (CNN features, spectrograms) slots into the same
+    * scan-side position; [[extractFeatures]] is its typed
+    * `mapPartitions` seam.
+    */
+  def m4ByteStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .byteStats(payload(col("doc_id"), col("text"))).as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_bytes").as("n_bytes"),
+        expr("s.sum_bytes * 1000 DIV s.n_bytes").as("mean_byte_milli"),
+        col("s.n_distinct").cast("long").as("n_distinct_bytes"),
+        expr("s.n_high * 1000000 DIV s.n_bytes").as("high_byte_ratio_micro"))
+      .orderBy("doc_id")
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * codecs would run the real image/audio decoder batch-wise per
     * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),

@@ -115,6 +115,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_byte_stats"),
+        new ExpressionInfo(classOf[ByteStats].getName, "graft_byte_stats"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_byte_stats expects exactly 1 argument")
+          ByteStats(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_sorted_intersect"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
         (children: Seq[Expression]) => {

@@ -527,6 +527,62 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass byte-level feature extraction over a binary payload — the
+  * codegen'd FEATURE-EXTRACT stage of the multimodal plumbing (the stub
+  * position where a codec-backed extractor computes model features; these
+  * integer stats are the deterministic, oracle-checkable stand-in).
+  * Returns (n_bytes, sum_bytes, n_distinct, n_high) in one fused loop:
+  * no per-byte boxing, no intermediate arrays, stays inside whole-stage
+  * codegen — a 100 TB payload scan is one map-only pass.
+  */
+case class ByteStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = ByteStatsKernel.schema
+  override def prettyName: String = "graft_byte_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteStatsKernel.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = org.apache.spark.sql.graft.ByteStatsKernel.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[ByteStats]] (public object so generated code can call
+  * it).
+  */
+object ByteStatsKernel {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_high", LongType, nullable = false)))
+
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    var sum = 0L
+    var high = 0L
+    var distinct = 0
+    val seen = new Array[Boolean](256)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sum += v
+      if (v >= 128) high += 1
+      if (!seen(v)) { seen(v) = true; distinct += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bytes.length.toLong, sum, distinct, high)
+  }
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
@@ -554,4 +610,8 @@ object VectorExpressions {
   def sortedIntersectCountLong(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedIntersectCountLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[ByteStats]]. */
+  def byteStats(payload: Column): Column =
+    ExpressionUtils.column(ByteStats(ExpressionUtils.expression(payload)))
 }

@@ -145,6 +145,19 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte stats kernel matches the obvious per-byte reference") {
+    val rng = new scala.util.Random(41)
+    (1 to Reps).foreach { _ =>
+      val bytes = Array.fill(rng.nextInt(200))(rng.nextInt(256).toByte)
+      val row = org.apache.spark.sql.graft.ByteStatsKernel.compute(bytes)
+      val vs = bytes.map(_ & 0xff)
+      assert(row.getLong(0) === bytes.length.toLong)
+      assert(row.getLong(1) === vs.map(_.toLong).sum)
+      assert(row.getInt(2) === vs.distinct.length)
+      assert(row.getLong(3) === vs.count(_ >= 128).toLong)
+    }
+  }
+
   test("Bitmap rejects out-of-range keys instead of aliasing them") {
     val bm = new org.apache.spark.sql.graft.Bitmap(1)
     bm.set(org.apache.spark.sql.graft.Bitmap.MaxKey - 1) // in range: fine
