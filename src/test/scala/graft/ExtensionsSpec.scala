@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native expressions: every graft_* function must
+  * be callable from plain SQL (that is the point of GraftExtensions), and
+  * literal-parameter misuse must fail at ANALYSIS time with a real
+  * AnalysisException naming the function — not an unbound-reference
+  * error, NPE or ClassCastException at execution.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.create("graft-ext-test", master = "local[4]")
+    spark.sql("SELECT 'abcdefgh' AS t, 5 AS n").createOrReplaceTempView("ext_t")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("every graft_* function is callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |  size(graft_minhash_sig(t)) AS sig_len,
+        |  graft_simhash60(t) AS sh,
+        |  size(graft_gram_codes(t)) AS n_grams,
+        |  graft_sorted_intersect(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS inter,
+        |  graft_byte_stats(encode(t, 'UTF-8')).n_bytes AS nb
+        |FROM ext_t""".stripMargin).head()
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getInt(1) === 128)
+    assert((row.getLong(2) >>> 60) === 0L)
+    assert(row.getInt(3) === 4) // 8 chars -> 4 distinct 5-grams
+    assert(row.getInt(4) === 2)
+    assert(row.getLong(5) === 8L)
+    val agg = spark.sql(
+      """SELECT graft_bitmap_or_count(bm) AS c FROM (
+        |  SELECT graft_bitmap(v) AS bm FROM VALUES (1L), (2L), (2L), (65L) AS x(v))
+        |""".stripMargin).head()
+    assert(agg.getLong(0) === 3L)
+  }
+
+  test("non-foldable literal parameter fails analysis with the function name") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT graft_minhash_sig(t, n, 128) FROM ext_t").head()
+    }
+    assert(e.getMessage.contains("graft_minhash_sig"))
+  }
+
+  test("NULL literal parameter fails analysis, not NPE") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT graft_simhash60(t, NULL) FROM ext_t").head()
+    }
+    assert(e.getMessage.contains("graft_simhash60"))
+  }
+
+  test("non-integer literal parameter fails analysis, not ClassCastException") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT graft_gram_codes(t, 'five') FROM ext_t").head()
+    }
+    assert(e.getMessage.contains("graft_gram_codes"))
+  }
+
+  test("out-of-range bitmap key fails fast with the documented pointer") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bitmap(v) FROM VALUES (CAST(274877906944 AS BIGINT)) AS x(v)").head()
+    }
+    val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("graft_distinct_union_count"))
+  }
+}
