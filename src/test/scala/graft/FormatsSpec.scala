@@ -41,6 +41,31 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nation.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("dynamic partition pruning fires when the partition filter only exists at runtime") {
+    // The filter lives on the DIM side, so planning-time pruning can't
+    // see it — the scan must carry a dynamicpruning subquery that prunes
+    // partitions from the broadcast join's runtime keys. This is the
+    // mechanism that keeps partitioned-fact ⋈ filtered-dim joins from
+    // scanning the whole fact at 100 TB.
+    val ss = spark
+    import ss.implicits._
+    val docs = Tables(spark, dir).documents
+    Formats.writePartitioned(docs, s"$tmp/docs_by_lang_dpp", "lang")
+    // The dim must be a real source (not a literal Seq, which the
+    // optimizer folds into a filterless LocalRelation) so the selective
+    // predicate survives to the pruning rule.
+    Seq(("en", 1), ("de", 0), ("es", 0), ("fr", 0), ("zh", 0))
+      .toDF("lang", "wanted")
+      .write.mode("overwrite").parquet(s"$tmp/lang_dim_dpp")
+    val dim = spark.read.parquet(s"$tmp/lang_dim_dpp")
+    val joined = Formats.readPartitioned(spark, s"$tmp/docs_by_lang_dpp")
+      .join(dim.filter(col("wanted") === 1), Seq("lang"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning subquery in:\n$plan")
+    assert(joined.count() === docs.filter(col("lang") === "en").count())
+  }
+
   test("partitioned parquet prunes non-matching partitions at planning time") {
     val docs = Tables(spark, dir).documents
     Formats.writePartitioned(docs, s"$tmp/docs_by_lang", "lang")
