@@ -286,27 +286,29 @@ object GraphOps {
     // shuffles are the 8 MB edge repartitions, never the bitmaps. Every
     // customer appears in its own suppliers' bitmaps, so the union always
     // contains self: two-hop neighbors = count − 1.
+    // The bitmap aggregate is materialized once (it is tiny — one
+    // serialized bitmap per middle vertex) and reused for both the join
+    // and the size-based routing decision below.
     val supp2bm = edges.groupBy("suppkey")
       .agg(org.apache.spark.sql.graft.BitmapAggregates
         .bitmapOfLongs(col("custkey")).as("bm"))
+      .localCheckpoint(true)
     // Size-based join routing (the broadcast hint used to be
     // unconditional): the bitmap side is |middle vertices| ×
     // |keyspace|/8 bytes, which outgrows the driver long before 100 TB.
-    // Estimate it from one tiny aggregate over the checkpointed edges
-    // (already materialized — the stats pass costs no extra scan of the
-    // fact tables) and broadcast only under the session's
+    // The checkpointed aggregate makes the decision EXACT — sum the
+    // actual serialized bitmap bytes (a scalar agg over one row per
+    // middle vertex) — and broadcast only under the session's
     // autoBroadcastJoinThreshold; above it, degrade gracefully to a
     // shuffle join on suppkey followed by the custkey aggregate.
-    val stats = edges
-      .agg(countDistinct(col("suppkey")).as("n_supp"), max(col("custkey")).as("max_cust"))
-      .head()
-    val bmBytesEst = stats.getLong(0) * (stats.getLong(1) / 8L + 64L)
+    val bmBytes = supp2bm
+      .agg(coalesce(sum(length(col("bm"))), lit(0L))).head().getLong(0)
     val broadcastThreshold =
       spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         .map(_.stripSuffix("b").stripSuffix("B")).flatMap(s => scala.util.Try(s.toLong).toOption)
         .getOrElse(10L * 1024 * 1024)
     val joined =
-      if (bmBytesEst <= broadcastThreshold)
+      if (bmBytes <= broadcastThreshold)
         edges.repartition(nPart, col("custkey")).join(broadcast(supp2bm), Seq("suppkey"))
       else
         edges.join(supp2bm, Seq("suppkey"))
