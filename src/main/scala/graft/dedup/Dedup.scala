@@ -145,8 +145,17 @@ object Dedup {
       numHashes: Int,
       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = Tables(spark, dir).documents
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // One small shuffle spreads the corpus across the cores BEFORE the
+    // heavy kernel projections: a single parquet file arrives as ONE
+    // input split, which would serialize the signature and gram-code
+    // computation into a single task (identical subtrees below both
+    // projections, so the exchange is planned once and reused).
+    val base = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"))
+      .repartition(nPart)
+    val docs = base
       .select(col("doc_id"), gramCodes(col("text")).as("grams"))
     // Signatures via the native one-pass expression
     // ([[org.apache.spark.sql.graft.MinHashSignature]]): all 128
@@ -159,8 +168,7 @@ object Dedup {
     // which at 100 TB is the difference between the dedup pass being
     // scan-bound and shuffle-bound. Duplicate grams don't matter (min is
     // idempotent); only the verification join needs distinct shingle sets.
-    val sigs = Tables(spark, dir).documents
-      .filter(length(col("text")) >= 5)
+    val sigs = base
       .select(
         col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions
@@ -177,7 +185,6 @@ object Dedup {
     // can't see. The explicit key repartition restores compute parallelism
     // for the verification stage (profiled: the whole verify ran in ONE
     // task without it).
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band_id", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -267,9 +274,12 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = Tables(spark, dir).documents
-    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Same single-input-split consideration as the d3 pipeline: spread
+    // each side across the cores before the signature/gram projections.
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1).repartition(nPart)
+    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0).repartition(nPart)
     val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id")), Seq("h"))
       .groupBy("doc_id")
@@ -286,7 +296,6 @@ object Dedup {
     // Asymmetric candidate join: incoming bands probe existing bands —
     // the pair space is |incoming| × bucket overlap, with no
     // existing-side self-pairs by construction.
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val candidates = banded(incoming, "in_id")
       .join(banded(existing, "ex_id"), Seq("band_id", "band_hash"))
       .select("in_id", "ex_id")
