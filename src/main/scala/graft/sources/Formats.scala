@@ -67,4 +67,17 @@ object Formats {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write ORC — the other columnar format a warehouse boundary speaks
+    * (Hive-lineage systems hand over ORC the way everything else hands
+    * over parquet). Same posture as parquet: self-describing, predicate
+    * pushdown and column pruning at the scan (FormatsSpec asserts both
+    * on the round-trip).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC (schema from file metadata). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -41,6 +41,19 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nation.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("orc round-trips with pushdown and pruning at the scan") {
+    val docs = Tables(spark, dir).documents
+    Formats.writeOrc(docs, s"$tmp/docs_orc")
+    val back = Formats.readOrc(spark, s"$tmp/docs_orc")
+      .filter(col("n_chars") >= 1000)
+      .select("doc_id", "n_chars")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"expected the filter pushed to the ORC scan:\n$plan")
+    assert(!plan.contains("text:string"), s"text should be pruned from the scan:\n$plan")
+    assert(back.count() === docs.filter(col("n_chars") >= 1000).count())
+  }
+
   test("dynamic partition pruning fires when the partition filter only exists at runtime") {
     // The filter lives on the DIM side, so planning-time pruning can't
     // see it — the scan must carry a dynamicpruning subquery that prunes
