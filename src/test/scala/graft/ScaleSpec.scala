@@ -72,6 +72,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("incremental dedup fires all three branches with exact precedence over near") {
+    // The driver corpus has no byte-identical incoming/existing pair, so
+    // the 'exact' branch (and the exact-over-near precedence, since an
+    // exact dup also has Jaccard 1.0) only gets covered by a crafted
+    // corpus: even ids = existing, odd = incoming.
+    val ss = spark
+    import ss.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d7").toString
+    Seq(
+      (0L, "alpha text one shared", "en", "t", 21L),  // existing
+      (2L, "beta text two body", "en", "t", 18L),     // existing
+      (4L, "gamma text three here", "en", "t", 21L),  // existing
+      (1L, "alpha text one shared", "en", "t", 21L),  // exact dup of 0 (and jac=1.0 near) -> 'exact', dup_of 0
+      (3L, "beta text two body!", "en", "t", 19L),    // near dup of 2 (jac = 14/15) -> 'near', dup_of 2
+      (5L, "entirely unrelated words", "en", "t", 24L) // -> 'new', dup_of null
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = dedup.Dedup.d7IncrementalDedup(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(out(1L) === (("exact", Some(0L))))
+    assert(out(3L) === (("near", Some(2L))))
+    assert(out(5L) === (("new", None)))
+  }
+
   test("approximate two-hop (HLL escalation) tracks the exact bitmap counts") {
     val exact = operators.GraphOps.g4TwoHop(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
