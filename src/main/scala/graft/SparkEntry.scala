@@ -69,6 +69,8 @@ object SparkEntry {
     "t9_ngram_freq"      -> ((s: SparkSession, d: String) => TextFuncs.t9NgramFreq(s, d)),
     "t10_entity_extract" -> TextFuncs.t10EntityExtract _,
     "t11_bpe_tokens"     -> TextFuncs.t11BpeTokens _,
+    "t12_corpus_stats"   -> TextFuncs.t12CorpusStats _,
+    "t13_stratified_sample" -> ((s: SparkSession, d: String) => TextFuncs.t13StratifiedSample(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -638,6 +640,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_pieces,
         |  CAST(len(list_filter(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'), p -> NOT regexp_matches(p, '^\s+$'))) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t12_corpus_stats" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) * 1000 // max(n) AS BIGINT) AS mean_chars_milli,
+        |  CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN n_chars END) AS BIGINT) AS p50_chars,
+        |  CAST(max(CASE WHEN rn = ceil(n * 0.95) THEN n_chars END) AS BIGINT) AS p95_chars
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "t13_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 50 ORDER BY doc_id""".stripMargin,
     "e1_tumbling_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |  count(*) AS cnt,

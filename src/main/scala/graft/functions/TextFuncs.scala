@@ -210,6 +210,52 @@ object TextFuncs {
         regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"))
       .orderBy("doc_id")
 
+  /** t12: per-language corpus DISTRIBUTION stats — the curation dashboard
+    * numbers (how long are documents in each language, where is the
+    * tail?) computed exactly: p50/p95 are RANK-based (the value at row
+    * ceil(q·n) of the (n_chars, doc_id) order — deterministic under ties,
+    * no interpolation, so the oracle reproduces them bit-for-bit) and the
+    * mean is integer fixed-point. One window pass + one aggregate, both
+    * partitioned by the language key — at 100 TB each language's stats
+    * pipeline is an independent partition stream.
+    */
+  def t12CorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("lang"))
+    Tables(spark, dir).documents
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("lang")
+      .agg(
+        max(col("n")).as("n_docs"),
+        expr("sum(n_chars) * 1000 DIV max(n)").as("mean_chars_milli"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars"))).as("p50_chars"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("n_chars"))).as("p95_chars"))
+      .orderBy("lang")
+  }
+
+  /** t13: deterministic STRATIFIED sampling — cap each language at `cap`
+    * documents, chosen by md5(text) order (a content-derived uniform
+    * order both engines sort identically, so the sample is reproducible
+    * across runs, engines and cluster sizes — the property a corpus
+    * rebuild needs). This is the downsampling half of corpus balancing:
+    * over-represented strata are truncated, small strata pass whole. One
+    * window rank per stratum; the shuffle key is the stratum, so skew
+    * routing (salting) applies unchanged if one language dominates.
+    */
+  def t13StratifiedSample(spark: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")).asc, col("doc_id").asc)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= cap)
+      .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
+      .orderBy("doc_id")
+  }
+
   /** t9: corpus-level word-bigram frequency (top 100) — the n-gram
     * statistics pass of corpus analysis. Per-document bigram lists are
     * built with one array zip (no self-join); the global count is a single
