@@ -31,6 +31,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
+  /** Register every table as a temp view so the whole engine is usable
+    * from pure `spark.sql` — the surface a SQL-first user (or a BI tool)
+    * actually drives, with the graft_* functions available through
+    * GraftExtensions. Views are metadata only; pruning/pushdown behave
+    * exactly as through the DataFrame loaders.
+    */
+  def createViews(): Unit = {
+    region.createOrReplaceTempView("region")
+    nation.createOrReplaceTempView("nation")
+    customer.createOrReplaceTempView("customer")
+    supplier.createOrReplaceTempView("supplier")
+    part.createOrReplaceTempView("part")
+    orders.createOrReplaceTempView("orders")
+    lineitem.createOrReplaceTempView("lineitem")
+    events.createOrReplaceTempView("events")
+    documents.createOrReplaceTempView("documents")
+    embeddings.createOrReplaceTempView("embeddings")
+  }
+
   /** Typed views — metadata-only `.as[T]` casts over the same scans, for
     * operators that want compile-time row shapes (`groupByKey`,
     * `mapGroups`, `mapPartitions`).

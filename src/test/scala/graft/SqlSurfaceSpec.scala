@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface: a user driving the engine through `spark.sql`
+  * over the registered views (plus the graft_* functions) must get the
+  * same answers as the DataFrame operators — including the dedup path,
+  * whose heavy lifting is native expressions reachable from SQL.
+  */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.create("graft-sql-test", master = "local[4]")
+    Tables(spark, dir).createViews()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q2 revenue per nation agrees between SQL and the DataFrame operator") {
+    val sql = spark.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val df = operators.Relational.q2JoinAgg(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(sql === df)
+  }
+
+  test("the d3 signature/verify math is reachable from SQL via graft_* functions") {
+    val sqlPairs = spark.sql(
+      """WITH g AS (
+        |  SELECT doc_id, graft_gram_codes(text) AS grams
+        |  FROM documents WHERE length(text) >= 5)
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE graft_sorted_intersect(a.grams, b.grams) * 1.0 /
+        |      (size(a.grams) + size(b.grams) - graft_sorted_intersect(a.grams, b.grams)) >= 0.8
+        |ORDER BY doc_id1, doc_id2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dfPairs = dedup.Dedup.d3MinHashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlPairs === dfPairs)
+    assert(sqlPairs.nonEmpty)
+  }
+}
