@@ -30,8 +30,24 @@ object Bench {
     val sf    = sfDir.split("/").last.stripPrefix("sf")
     val spark = GraftSession.create("graft-bench")
 
-    // Warm the JVM/codegen once on the smallest table set.
-    run(SparkEntry.queries("q1_pricing_agg")(spark, sfDir))
+    // Warm-up (untimed): run one representative of each heavy code-path
+    // family on the SMALLEST scale factor available, so the timed numbers
+    // measure the engine's steady state rather than first-touch JIT and
+    // codegen of the kernels (bitmap aggregates, minhash/simhash loops,
+    // iterative supersteps, window/stream shapes). Falls back to the
+    // bench SF when no smaller sibling exists.
+    val warmDir = {
+      val sib = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      if (sib != sfDir && new java.io.File(sib).isDirectory) sib else sfDir
+    }
+    Seq("q1_pricing_agg", "q2_join_agg", "d3_minhash_lsh", "d4_simhash",
+      "g4_two_hop", "g6_pagerank", "g7_triangle_count", "g8_hierarchy_paths",
+      "e2_sessionize", "e4_funnel", "s1_cosine_topk", "m2_frame_sample",
+      "t9_ngram_freq", "t10_entity_extract")
+      .foreach { k =>
+        run(SparkEntry.queries(k)(spark, warmDir))
+        GraftSession.releaseCaches(spark)
+      }
 
     val times = headline.map { name =>
       val t0 = System.nanoTime()
