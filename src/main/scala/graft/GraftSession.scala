@@ -83,7 +83,7 @@ object GraftSession {
     val appId = sc.applicationId
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(eager = true)
-    (sc.getPersistentRDDs.keySet -- before).foreach(id => retainedIds.add((appId, id)))
+    sc.getPersistentRDDs.keySet.filterNot(before).foreach(id => retainedIds.add((appId, id)))
     out
   }
 }
