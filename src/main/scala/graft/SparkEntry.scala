@@ -47,6 +47,7 @@ object SparkEntry {
     "d4_simhash"         -> Dedup.d4SimHash _,
     "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
+    "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
     // D. similarity
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
@@ -415,6 +416,27 @@ object SparkEntry {
         |LEFT JOIN exact x ON i.doc_id = x.doc_id
         |LEFT JOIN near n ON i.doc_id = n.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+    "d8_decontaminate" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 7),
+        |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0 AND length(text) >= 7),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, length(text) - 5), i -> substr(text, CAST(i AS INTEGER), 7)))) AS g
+        |  FROM ev),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 5), i -> substr(text, CAST(i AS INTEGER), 7)))) AS g
+        |  FROM tr),
+        |h AS (SELECT doc_id, count(*) AS shared FROM tg JOIN eg USING (g) GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(list_transform(range(1, length(text) - 5), i -> substr(text, CAST(i AS INTEGER), 7)))) AS n_grams
+        |  FROM tr)
+        |SELECT t.doc_id,
+        |  CAST(t.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared_grams,
+        |  CAST(coalesce(h.shared, 0) * 1000000 // t.n_grams AS BIGINT) AS share_ratio_micro,
+        |  CAST(coalesce(h.shared, 0) * 1000000 // t.n_grams >= 500000 AS INTEGER) AS is_contaminated
+        |FROM tot t LEFT JOIN h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "s2_lsh_ann" ->
       """WITH hp AS (SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS he FROM embeddings WHERE vec_id < 4),
         |bk AS (

@@ -330,6 +330,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d8: DECONTAMINATION — flag training documents that overlap a
+    * held-out evaluation set, the pipeline step that keeps benchmark
+    * text out of a training corpus (the GPT-3-style n-gram collision
+    * scan, done here with character 7-grams: exactly packable in the
+    * 7-byte gram codes, so the collision join runs on longs).
+    *
+    * The corpus splits deterministically (doc_id % 97 == 0 = the
+    * stand-in eval set, the rest = training, so the oracle derives the
+    * same split). The eval side collapses to its DISTINCT gram-code set
+    * — small by construction (eval sets are thousands of documents, not
+    * billions) — and each training document counts its distinct grams
+    * colliding with it via one equijoin on the gram code; a document is
+    * contaminated when the shared fraction reaches `ratioMicro` (exact
+    * integer fixed-point — raw background sharing of common English
+    * 7-grams sits well below it, near-copies of eval text well above).
+    * At 100 TB: eval grams are a broadcast-or-bucketed index built once;
+    * the training side is a map-side explode + one aggregation keyed by
+    * doc — no pairwise anything.
+    */
+  def d8Decontaminate(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 7,
+      ratioMicro: Long = 500000L): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= n)
+    val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(gramCodes(col("text"), n)).as("g"))
+      .distinct()
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).repartition(nPart)
+    val trainGrams = train
+      .select(col("doc_id"), gramCodes(col("text"), n).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val shared = trainGrams
+      .join(evalGrams, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared"))
+    train
+      .select(col("doc_id"), size(gramCodes(col("text"), n)).cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("shared"), lit(0L)).as("n_shared_grams"),
+        expr("coalesce(shared, 0) * 1000000 DIV n_grams").as("share_ratio_micro"))
+      .withColumn("is_contaminated", (col("share_ratio_micro") >= ratioMicro).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** d4: 60-bit SimHash fingerprints with 4×15-bit hamming bands.
     *
     * Per-gram hashes come from md5 (first 15 hex chars parsed as an
