@@ -68,6 +68,29 @@ object Formats {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a parquet dataset to ~`targetBytes` files: the small-files
+    * remedy every long-lived warehouse needs (streaming sinks and
+    * per-batch ingests accrete kilobyte files whose per-file open/footer
+    * cost eventually dominates scans). File count is computed from the
+    * ACTUAL on-disk bytes, the rewrite is a single round-robin
+    * repartition (no skewed output files), and the write goes to a new
+    * path — swap-on-success is the caller's atomic rename, so a failed
+    * compaction never corrupts the live dataset.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Write ORC — the other columnar format a warehouse boundary speaks
     * (Hive-lineage systems hand over ORC the way everything else hands
     * over parquet). Same posture as parquet: self-describing, predicate

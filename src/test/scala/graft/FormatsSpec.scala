@@ -41,6 +41,19 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nation.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("compaction collapses a small-files dataset without changing its content") {
+    val docs = Tables(spark, dir).documents
+    docs.repartition(32).write.mode("overwrite").parquet(s"$tmp/docs_shattered")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/docs_shattered") === 32)
+    Formats.compactParquet(spark, s"$tmp/docs_shattered", s"$tmp/docs_compacted")
+    assert(parquetFiles(s"$tmp/docs_compacted") === 1) // well under one target block
+    val before = docs.collect().map(_.toString).sorted.toSeq
+    val after = spark.read.parquet(s"$tmp/docs_compacted").collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
   test("orc round-trips with pushdown and pruning at the scan") {
     val docs = Tables(spark, dir).documents
     Formats.writeOrc(docs, s"$tmp/docs_orc")
