@@ -48,6 +48,7 @@ object SparkEntry {
     "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
+    "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
     "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
     // D. similarity
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
@@ -91,12 +92,14 @@ object SparkEntry {
       |          WHEN doc_id % 3 = 1 THEN unhex('FFD8FFE0')
       |          ELSE unhex('52494646') END) || encode(text))""".stripMargin
 
-  /** Generated d4 oracle: parse the first 15 hex chars of md5(gram) as a
-    * 60-bit int (list_reduce polynomial eval — DuckDB has no hex→int cast),
-    * vote each bit ±1 over the gram list, fold sign bits into the
-    * fingerprint. Mirrors [[graft.dedup.Dedup.d4SimHash]] exactly.
+  /** Shared fingerprint CTE chain of the d4/d9 oracles: parse the first
+    * 15 hex chars of md5(gram) as a 60-bit int (list_reduce polynomial
+    * eval — DuckDB has no hex→int cast), vote each bit ±1 over the gram
+    * list, fold sign bits into the fingerprint. Mirrors
+    * [[graft.dedup.Dedup.d4SimHash]] exactly; yields relation `fb`
+    * (doc_id, simhash, band0..band3).
     */
-  private def d4OracleSql: String = {
+  private def simhashCte: String = {
     val hexParse =
       "list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1), (a, b) -> a * 16 + b)"
     val bitVotes = (0 until 60).map(i =>
@@ -113,14 +116,30 @@ object SparkEntry {
        |bits AS (SELECT doc_id,
        |    $bitVotes
        |  FROM hx),
-       |f AS (SELECT doc_id, $fp AS simhash FROM bits)
-       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+       |f AS (SELECT doc_id, $fp AS simhash FROM bits),
+       |fb AS (SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
        |  CAST((simhash >> 0) & 32767 AS BIGINT) AS band0,
        |  CAST((simhash >> 15) & 32767 AS BIGINT) AS band1,
        |  CAST((simhash >> 30) & 32767 AS BIGINT) AS band2,
-       |  CAST((simhash >> 45) & 32767 AS BIGINT) AS band3
-       |FROM f ORDER BY doc_id""".stripMargin
+       |  CAST((simhash >> 45) & 32767 AS BIGINT) AS band3 FROM f)""".stripMargin
   }
+
+  private def d4OracleSql: String =
+    s"""$simhashCte
+       |SELECT doc_id, simhash, band0, band1, band2, band3
+       |FROM fb ORDER BY doc_id""".stripMargin
+
+  /** Generated d9 oracle: banded SimHash candidate pairs verified by
+    * exact Hamming distance. Mirrors [[graft.dedup.Dedup.d9SimhashPairs]].
+    */
+  private def d9OracleSql: String =
+    s"""$simhashCte
+       |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fb a JOIN fb b ON a.doc_id < b.doc_id
+       |WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= 15
+       |ORDER BY doc_id1, doc_id2""".stripMargin
 
   /** Generated g6 oracle: 10 unrolled fixed-point power-iteration steps.
     * All-integer arithmetic (floor divisions, micro-units) makes the
@@ -364,6 +383,7 @@ object SparkEntry {
         |SELECT doc_id1, doc_id2, CAST(floor(jac * 1000000.0) AS BIGINT) AS jaccard_micro
         |FROM p WHERE jac >= 0.8 ORDER BY doc_id1, doc_id2""".stripMargin,
     "d4_simhash" -> d4OracleSql,
+    "d9_simhash_pairs" -> d9OracleSql,
     "d6_dedup_resolve" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

@@ -410,6 +410,38 @@ object Dedup {
         shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)).as("band3"))
       .orderBy("doc_id")
 
+  /** d9: SimHash near-dup PAIRS — the pairing stage d4's fingerprints
+    * exist for. Candidates come from the 4×15-bit band equijoin (by
+    * pigeonhole, any pair within Hamming distance 15 shares at least one
+    * band — so recall at the ≤15 threshold is exactly 1), then the exact
+    * Hamming distance (`bit_count(xor)`, codegen'd built-ins) verifies.
+    * Against d3's MinHash path this is the cheaper/coarser tier: one
+    * 8-byte fingerprint per document instead of a 1 KB signature, band
+    * join on 2-byte keys, verification a single xor-popcount — the
+    * pre-pass that thins a 100 TB corpus before the finer Jaccard tier
+    * runs. Same scale shape as d3: banded equijoin, never all-pairs.
+    */
+  def d9SimhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 15): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fp = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 5)
+      .repartition(nPart)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions.simhash60(col("text")).as("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*)))
+      .toDF("doc_id", "simhash", "band_id", "band")
+    banded.as("x")
+      .join(banded.as("y"), Seq("band_id", "band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_id1", "doc_id2")
+  }
+
   /** The explode + grouped-vote reference formulation of d4, kept as the
     * executable spec oracle for [[d4SimHash]]'s native expression: one md5
     * per distinct gram, 60 codegen'd ±1 sum aggregates.
