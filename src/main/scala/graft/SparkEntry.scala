@@ -40,6 +40,7 @@ object SparkEntry {
     "g6_pagerank"        -> GraphIter.g6PageRank _,
     "g7_triangle_count"  -> GraphIter.g7TriangleCount _,
     "g8_hierarchy_paths" -> GraphOps.g8HierarchyPaths _,
+    "g9_shortest_paths"  -> ((s: SparkSession, d: String) => GraphIter.g9ShortestPaths(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
     "d5_embedding_dedup" -> ((s: SparkSession, d: String) => Ann.d5EmbeddingDedup(s, d)),
+    "d10_semantic_dedup" -> ((s: SparkSession, d: String) => Ann.d10SemanticDedup(s, d)),
     // D. similarity
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
     "s2_lsh_ann"         -> ((s: SparkSession, d: String) => Ann.s2LshAnn(s, d)),
@@ -73,12 +75,14 @@ object SparkEntry {
     "t11_bpe_tokens"     -> TextFuncs.t11BpeTokens _,
     "t12_corpus_stats"   -> TextFuncs.t12CorpusStats _,
     "t13_stratified_sample" -> ((s: SparkSession, d: String) => TextFuncs.t13StratifiedSample(s, d)),
+    "t14_repetition"     -> TextFuncs.t14Repetition _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
     "e3_stream_dedup"    -> Events.e3StreamDedup _,
     "e4_funnel"          -> Events.e4Funnel _,
-    "e5_asof_join"       -> Events.e5AsofJoin _
+    "e5_asof_join"       -> Events.e5AsofJoin _,
+    "e6_interval_join"   -> Events.e6IntervalJoin _
   )
 
   private val decPrice =

@@ -256,6 +256,55 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
+  /** t14: repetition signals — the Gopher-rules quality gate (Rae et al.
+    * 2021, "Scaling Language Models", appendix A1.1) that a training
+    * corpus is filtered by: duplicate-word mass and most-frequent-word
+    * share per document. Machine-generated and boilerplate text shows up
+    * as a handful of tokens dominating the mass; both signals plus a
+    * threshold flag make that a per-row predicate.
+    *
+    * Computed WITHOUT exploding the corpus: the word list is sorted once
+    * per row and a single `aggregate` fold over the sorted runs yields
+    * (distinct count, longest run = top-word count) in one pass — the
+    * whole operator stays a shuffle-free projection, so at 100 TB it is a
+    * scan-bound corpus pass like t1–t13, not a doc_id×word aggregate
+    * (which is what the oracle does — the semantics are identical, the
+    * plan is not). Fixed-point ratios via integer DIV keep the oracle
+    * comparison exact.
+    */
+  def t14Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = array_sort(split(trim(lower(col("text"))), "\\s+"))
+    // Run-length fold over the sorted words: `run` = length of the current
+    // run, `best` = longest run so far (top word count), `nd` = number of
+    // run starts (distinct words). Tokens are non-empty, so "" is a safe
+    // initial `prev`.
+    val folded = aggregate(
+      words,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, w) => {
+        val same = w === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(
+          w.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
+      })
+    Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), size(words).cast("long").as("n_words"), folded.as("f"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("f.nd").as("n_distinct_words"),
+        expr("(n_words - f.nd) * 1000000 DIV n_words").as("dup_word_ratio_micro"),
+        col("f.best").as("top_word_count"),
+        expr("f.best * 1000000 DIV n_words").as("top_share_micro"))
+      .withColumn("repetition_flag",
+        (col("top_share_micro") >= 100000L || col("dup_word_ratio_micro") >= 600000L).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** t9: corpus-level word-bigram frequency (top 100) — the n-gram
     * statistics pass of corpus analysis. Per-document bigram lists are
     * built with one array zip (no self-join); the global count is a single

@@ -196,6 +196,78 @@ object GraphIter {
       .orderBy("node")
   }
 
+  /** Bounded multi-source BFS over an undirected edge list: the distance
+    * (hop count ≤ `maxDepth`) from the nearest seed to every reachable
+    * node. Classic frontier expansion — each superstep joins ONLY the
+    * newly-discovered frontier against the edge table (one shuffle) and
+    * anti-joins the settled set (one more), so total work is O(E·depth)
+    * regardless of how many paths exist; the path-counting blowup a naive
+    * all-paths formulation (or an UNION ALL recursive CTE) hits on dense
+    * graphs never appears. Edges are checkpointed once, pinned on the
+    * probe key; frontier/settled sets are checkpointed per superstep so
+    * lineage stays O(1) in depth. The depth bound makes the operator's
+    * output a well-defined k-hop semantics (and is what lets the oracle
+    * run as a depth-bounded recursive CTE).
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 6): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled
+    var depth = 0L
+    var done = false
+    while (depth < maxDepth && !done) {
+      depth += 1
+      val next = sym
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      done = next.isEmpty
+      val grown = settled.unionByName(next).localCheckpoint(true)
+      settled.unpersist()
+      if (frontier ne next) frontier.unpersist()
+      settled = grown
+      frontier = next
+    }
+    sym.unpersist()
+    settled
+  }
+
+  /** g9: hop distance from the "hub" suppliers (s_suppkey < 5) to every
+    * customer/supplier within 6 hops of one — the reach-of-a-leader
+    * traversal the reference runs in Neo4j (variable-length path match
+    * over its relationship edges) re-expressed as data-parallel BFS.
+    * Same packed-long bipartite graph as g6 (customer = 2k,
+    * supplier = 2k+1); display form decoded on the final result only.
+    */
+  def g9ShortestPaths(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = t.supplier.filter(col("s_suppkey") < 5)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    shortestPaths(edges, seeds, maxDepth)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("dist"))
+      .orderBy("node")
+  }
+
   /** g7: per-node triangle counts on the same-nation supplier co-purchase
     * graph — suppliers from the same nation appearing in the same order
     * (clique detection among COLLEAGUES: the reference's colleague edges

@@ -76,6 +76,52 @@ object Ann {
       .orderBy("vec_id1", "vec_id2")
   }
 
+  /** d10: SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then mark as
+    * duplicate any vector with a sufficiently-cosine-close neighbor of
+    * lower id *within its own cluster*. Where d5 is the exact all-pairs
+    * baseline, this is the shape that holds at 100 TB: assignment is a
+    * broadcast-centroid scan (no shuffle), and the pair predicate runs
+    * only inside cells — the shuffle key is the cell id and per-cell size
+    * bounds the quadratic term, exactly the IVF argument of s3. Output is
+    * a per-vector verdict (cell, keep/dup, canonical `dup_of` = min
+    * qualifying lower id — deterministic), i.e. the filter list a corpus
+    * build consumes. Centroids are the fixed first-`nCells` vectors (the
+    * oracle-reproducible seed); [[trainedCentroids]] slots in unchanged
+    * at deploy.
+    */
+  def d10SemanticDedup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      nCells: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val centroids = t.embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    // One parquet file = one input split: spread the assignment scan.
+    val assigned = t.embeddings.repartition(nPart)
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(col("a.emb"), col("b.emb")) >= threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** s2: LSH-bucketed ANN — random-hyperplane signatures turn the
     * all-pairs scan into a bucket equijoin: the shuffle key is the bucket
     * id, and search cost per query is the bucket size, not the corpus.

@@ -129,6 +129,43 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** e6: event-time INTERVAL join — every (click, purchase) pair of the
+    * same user with the purchase inside (click, click + 30 min]: the
+    * conversion-attribution join (e5 keeps only the latest prior click;
+    * this keeps every in-window pair, the input to multi-touch models).
+    *
+    * Batch form here: one shuffle keyed by user_id with the time-range
+    * predicate as a join residual — per-user pair counts bound the output,
+    * never all-pairs. The streaming twin
+    * [[EventsStream.intervalJoinStream]] is the canonical Structured
+    * Streaming stream-stream join: the SAME predicate plus watermarks on
+    * both sides, which is what lets Spark drop buffered rows once they can
+    * no longer match (state stays bounded on an unbounded stream).
+    */
+  def e6IntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoin(Tables(spark, dir).events)
+
+  /** The interval-join core over any events DataFrame with (event_id,
+    * user_id, event_type, ts-in-ns) — factored so the streaming form's
+    * agreement spec can run both on one in-memory input. µs integer
+    * bounds keep the oracle exact.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val windowUs = 30L * 60 * 1000000L
+    val ev = events.select(
+      col("event_id"), col("user_id"), col("event_type"), expr("ts DIV 1000").as("tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("tsu").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tsu").as("purchase_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") > col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(windowUs))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** e3: first-event-per-key dedup — the batch analog of streaming
     * `dropDuplicates` under a watermark.
     */

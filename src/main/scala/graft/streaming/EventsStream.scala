@@ -235,6 +235,44 @@ object EventsStream {
       }
   }
 
+  /** Streaming e6: stream-stream INTERVAL join — the canonical Structured
+    * Streaming join: clicks and purchases arrive as two unbounded streams,
+    * and each purchase pairs with every same-user click in the preceding
+    * 30 minutes. Both sides carry a watermark and the join condition
+    * carries the event-time range, which is exactly the contract Spark
+    * needs to bound state: a buffered click is dropped once the purchase
+    * watermark passes click_time + 30 min (no row that could still match
+    * is ever dropped, no row that can't is kept). Same µs integer output
+    * as the batch [[Events.intervalJoin]]; the spec asserts agreement.
+    *
+    * Takes the two streams separately (a real pipeline's clicks and
+    * purchases usually ARE distinct sources); pass the same filtered
+    * stream twice for a single-source topology.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("click_time", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        expr("ts DIV 1000").as("click_us"), col("click_time"))
+    val p = purchases
+      .withColumn("purchase_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("purchase_time", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts DIV 1000").as("purchase_us"), col("purchase_time"))
+    p.join(c,
+        col("c_user_id") === col("user_id") &&
+          col("purchase_time") > col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr("interval 30 minutes") &&
+          // The timestamp pair is µs-truncated from the same ns values, so
+          // the residual µs predicate only re-asserts exactness at the
+          // window boundary (ns inside the same µs tick).
+          col("purchase_us") > col("click_us") &&
+          col("purchase_us") <= col("click_us") + lit(30L * 60 * 1000000L))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+  }
+
   /** Idempotent micro-batch write — the egress half of an exactly-once
     * streaming pipeline: each batch lands in its own `ingest_batch=<id>`
     * partition under DYNAMIC partition overwrite, so a replayed batch
