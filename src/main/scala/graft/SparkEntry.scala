@@ -740,6 +740,65 @@ object SparkEntry {
         |  FROM ev)
         |SELECT event_id, user_id, tsu AS purchase_us, last_click_us,
         |  CAST(last_click_us IS NOT NULL AS INTEGER) AS attributed
-        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "e6_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tsu AS click_us FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, tsu AS purchase_us FROM ev WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, user_id, purchase_us - click_us AS lag_us
+        |FROM c JOIN p USING (user_id)
+        |WHERE purchase_us > click_us AND purchase_us <= click_us + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "t14_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        |st AS (SELECT doc_id, sum(c) AS n_words, count(*) AS nd, max(c) AS best
+        |       FROM wc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(nd AS BIGINT) AS n_distinct_words,
+        |  CAST((n_words - nd) * 1000000 // n_words AS BIGINT) AS dup_word_ratio_micro,
+        |  CAST(best AS BIGINT) AS top_word_count,
+        |  CAST(best * 1000000 // n_words AS BIGINT) AS top_share_micro,
+        |  CAST(best * 1000000 // n_words >= 100000
+        |    OR (n_words - nd) * 1000000 // n_words >= 600000 AS INTEGER) AS repetition_flag
+        |FROM st ORDER BY doc_id""".stripMargin,
+    "g9_shortest_paths" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |bfs AS (
+        |  SELECT s_suppkey * 2 + 1 AS node, 0 AS dist FROM supplier WHERE s_suppkey < 5
+        |  UNION
+        |  SELECT e.dst AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN e ON bfs.node = e.src WHERE bfs.dist < 6),
+        |m AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM m ORDER BY node""".stripMargin,
+    "d10_semantic_dedup" ->
+      """WITH ct AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
+        |            FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, emb, cell FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, ct.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, ct.cent_id) AS arn
+        |    FROM embeddings e CROSS JOIN ct)
+        |  WHERE arn = 1),
+        |dups AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |  GROUP BY a.vec_id)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
+        |  CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup
+        |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin
   )
 }

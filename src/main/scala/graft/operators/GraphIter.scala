@@ -238,6 +238,9 @@ object GraphIter {
       frontier = next
     }
     sym.unpersist()
+    // The depth-bound exit leaves the last frontier's checkpoint blocks
+    // pinned (it is distinct from the returned settled union); release it.
+    if (frontier ne settled) frontier.unpersist()
     settled
   }
 

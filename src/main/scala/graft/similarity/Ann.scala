@@ -103,12 +103,18 @@ object Ann {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("cent_id").asc)
     // One parquet file = one input split: spread the assignment scan.
+    // Checkpoint eagerly: the self-join below consumes `assigned` twice,
+    // and without materialization the O(N·nCells) assignment scan runs
+    // twice unless exchange reuse happens to fire — at scale that doubles
+    // the most expensive stage. Blocks are released between queries by
+    // GraftSession.releaseCaches.
     val assigned = t.embeddings.repartition(nPart)
       .crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+      .localCheckpoint(true)
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))

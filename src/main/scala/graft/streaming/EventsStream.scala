@@ -44,11 +44,13 @@ final case class SessionRow(user_id: Long, session_start: Long, session_end: Lon
   */
 object EventsStream {
 
-  /** Nanosecond epoch → TimestampType (microsecond precision, ample for
-    * windowing; the exact-integer batch forms keep the raw ns).
+  /** Nanosecond epoch → TimestampType via the same exact integer
+    * `ts DIV 1000` the batch forms use — long `/` would go through double
+    * division, whose ~256ns ulp at epoch-ns magnitude can shift the
+    * truncated µs by 1 relative to the batch value.
     */
   private def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+    events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
   /** Streaming e1: tumbling 1-hour counts/sums per event type. */
   def tumblingAggStream(events: DataFrame): DataFrame =
@@ -116,7 +118,7 @@ object EventsStream {
       quietPeriodMs: Long = 2L * 3600 * 1000): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
     events
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       // Watermark delay derives from the quiet period: the timeout fires
       // only once the watermark passes maxTs + quietPeriod, so a delay
       // longer than the quiet period would silently govern flush latency
@@ -186,7 +188,7 @@ object EventsStream {
     val src =
       if (streaming)
         events
-          .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
           .withWatermark("event_time", s"$idleTimeoutMs milliseconds")
           .as[RawEvent]
       else events
@@ -251,12 +253,12 @@ object EventsStream {
     */
   def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
     val c = clicks
-      .withColumn("click_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("click_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("click_time", "2 hours")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
         expr("ts DIV 1000").as("click_us"), col("click_time"))
     val p = purchases
-      .withColumn("purchase_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("purchase_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("purchase_time", "2 hours")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         expr("ts DIV 1000").as("purchase_us"), col("purchase_time"))
@@ -315,7 +317,7 @@ object EventsStream {
     val src =
       if (streaming)
         events
-          .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
           .withWatermark("event_time", "2 hours")
           .as[RawEvent]
       else events
