@@ -421,4 +421,55 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[String]("frame_hash").nonEmpty)
     }
   }
+
+  test("g9 BFS distances on a crafted graph: hop counts, undirectedness, depth bound") {
+    val ss = spark
+    import ss.implicits._
+    // Path 1-2-3-4-5 plus a branch 2-6; edge 5->1 stored reversed to
+    // exercise symmetrization. Seed {1}, maxDepth 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L), (7L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = operators.GraphIter.shortestPaths(edges, seeds, maxDepth = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    // 4, 5 are at depth 3/4 (beyond bound); 7/8 unreachable.
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L))
+    // Undirected: seeding from the sink end reaches back.
+    val rev = operators.GraphIter.shortestPaths(edges, Seq(5L).toDF("node"), maxDepth = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(rev === Map(5L -> 0L, 4L -> 1L, 3L -> 2L, 2L -> 3L, 1L -> 4L, 6L -> 4L))
+  }
+
+  test("t14 repetition stats are internally consistent") {
+    val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      val nd = r.getAs[Long]("n_distinct_words")
+      val top = r.getAs[Long]("top_word_count")
+      assert(n >= 1 && nd >= 1 && nd <= n)
+      assert(top >= 1 && top <= n - nd + 1)
+      assert(r.getAs[Long]("dup_word_ratio_micro") === (n - nd) * 1000000L / n)
+      assert(r.getAs[Long]("top_share_micro") === top * 1000000L / n)
+      val flag = r.getAs[Int]("repetition_flag")
+      val expect = top * 1000000L / n >= 100000L || (n - nd) * 1000000L / n >= 600000L
+      assert(flag === (if (expect) 1 else 0))
+    }
+  }
+
+  test("d10 semantic dedup assigns every vector a cell and canonicalizes downward") {
+    val t = Tables(spark, dir)
+    val rows = similarity.Ann.d10SemanticDedup(spark, dir).collect()
+    assert(rows.length === t.embeddings.count())
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      assert(cell >= 0 && cell < 8)
+      val dupOf = Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())
+      assert(r.getAs[Int]("is_dup") === (if (dupOf.isDefined) 1 else 0))
+      dupOf.foreach(d => assert(d < r.getAs[Long]("vec_id")))
+    }
+    // Centroid vectors assign to their own cell (cos(v, v) = 1 is maximal).
+    rows.filter(_.getAs[Long]("vec_id") < 8)
+      .foreach(r => assert(r.getAs[Long]("cell") === r.getAs[Long]("vec_id")))
+  }
 }

@@ -242,4 +242,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.length === keys.distinct.length)
     assert(keys.toSet === Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
+
+  test("streaming e6 interval join matches the batch form incl. the exact 30-min boundary") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    // Realistic epoch-ns magnitude (~1.7e18): ts is NOT exactly
+    // representable as a double here (ulp ≈ 256ns), which is precisely
+    // where a double-division-derived event_time diverges from the exact
+    // `ts DIV 1000` microseconds and silently drops boundary pairs.
+    val base = 1700000000000000000L
+    val min30 = 1800L * 1000000000L
+    val evs = Seq(
+      Ev(1, 1, "click", base, 0.1),
+      Ev(2, 1, "purchase", base + min30, 1.0),        // exactly 30 min -> in
+      Ev(3, 1, "purchase", base + min30 + 1000L, 2.0), // 30 min + 1µs -> out
+      Ev(4, 1, "purchase", base, 3.0),                 // same µs -> out (strict >)
+      Ev(5, 2, "purchase", base + 1000000L, 4.0),      // other user, no click -> out
+      Ev(6, 1, "purchase", base + 60L * 1000000000L, 5.0) // 1 min -> in
+    )
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+      r.getAs[Long]("user_id"), r.getAs[Long]("lag_us"))
+    val mem = MemoryStream[Ev]
+    val src = mem.toDF()
+    val q = EventsStream.intervalJoinStream(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("e6s").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("e6s").collect().map(key).toSet
+    val batch = graft.streaming.Events.intervalJoin(evs.toDF()).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (1L, 2L, 1L, 1800000000L),
+      (1L, 6L, 1L, 60000000L)))
+  }
 }
