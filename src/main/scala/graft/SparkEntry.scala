@@ -76,13 +76,16 @@ object SparkEntry {
     "t12_corpus_stats"   -> TextFuncs.t12CorpusStats _,
     "t13_stratified_sample" -> ((s: SparkSession, d: String) => TextFuncs.t13StratifiedSample(s, d)),
     "t14_repetition"     -> TextFuncs.t14Repetition _,
+    "t15_domain_stats"   -> TextFuncs.t15DomainStats _,
+    "t16_seq_pack"       -> ((s: SparkSession, d: String) => TextFuncs.t16SeqPack(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
     "e3_stream_dedup"    -> Events.e3StreamDedup _,
     "e4_funnel"          -> Events.e4Funnel _,
     "e5_asof_join"       -> Events.e5AsofJoin _,
-    "e6_interval_join"   -> Events.e6IntervalJoin _
+    "e6_interval_join"   -> Events.e6IntervalJoin _,
+    "e7_threshold_anomaly" -> Events.e7ThresholdAnomaly _
   )
 
   private val decPrice =
@@ -766,6 +769,42 @@ object SparkEntry {
         |  CAST(best * 1000000 // n_words >= 100000
         |    OR (n_words - nd) * 1000000 // n_words >= 600000 AS INTEGER) AS repetition_flag
         |FROM st ORDER BY doc_id""".stripMargin,
+    "t15_domain_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(n_chars) * 1000 // count(*) AS mean_chars_milli,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT md5(text)) AS n_unique_texts,
+        |  (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS dup_ratio_micro
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t16_seq_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  CAST(st // 2048 AS BIGINT) AS seq_id,
+        |  CAST(st % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "e7_threshold_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, event_type, value_milli,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value_milli, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |thr AS (SELECT event_type, value_milli AS p99_milli FROM r WHERE rn = ceil(n * 0.99))
+        |SELECT e.event_id, e.event_type, e.value_milli, t.p99_milli
+        |FROM ev e JOIN thr t USING (event_type)
+        |WHERE e.value_milli > t.p99_milli
+        |ORDER BY e.event_id""".stripMargin,
     "g9_shortest_paths" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

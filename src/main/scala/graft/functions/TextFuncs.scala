@@ -325,4 +325,74 @@ object TextFuncs {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(k)
   }
+
+  /** t15: per-source curation dashboard — doc counts, exact fixed-point
+    * mean length, language spread, and exact-duplicate rate within the
+    * source. The dup rate is the first thing a crawl operator reads per
+    * domain: a source whose docs hash to few distinct digests is a mirror
+    * or a template farm. One hash aggregate keyed by source (map-side
+    * partial on both count-distincts via Spark's expand), no joins —
+    * the cardinality is #sources, so the result always fits wherever the
+    * dashboard runs.
+    */
+  def t15DomainStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) * 1000 DIV count(1)").as("mean_chars_milli"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_unique_texts"))
+      .withColumn("dup_ratio_micro",
+        expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs"))
+      .orderBy("source")
+
+  /** t16: deterministic sequence packing — assign every document a
+    * position in the GPT-style concat-then-chunk training stream: docs in
+    * doc_id order, running token offset, `seq_id` = which fixed-budget
+    * context window the doc STARTS in, `seq_offset` = where inside it.
+    *
+    * The global running sum is the scale trap here: a single
+    * `Window.orderBy` would serialize 100 TB through one task. Instead the
+    * classic two-level prefix sum: per-range partial sums (one hash agg),
+    * a window over the tiny range-level aggregate to get each range's
+    * starting offset, broadcast-joined back, then a window PARTITIONED by
+    * range for the within-range running sum — every stage is distributed
+    * and the only ordered window runs over #ranges rows, not #docs.
+    * (At 1e10+ docs the range aggregate is still millions of rows —
+    * recurse the same construction once more; the shape is unchanged.)
+    */
+  def t16SeqPack(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 2048L,
+      rangeSize: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        expr(s"doc_id DIV $rangeSize").as("range_id"))
+    val rangeOffsets = toks.groupBy("range_id")
+      .agg(sum(col("n_tokens")).as("range_total"))
+      .withColumn("range_start",
+        coalesce(
+          sum(col("range_total")).over(
+            Window.orderBy(col("range_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("range_total")
+    val wInRange = Window.partitionBy(col("range_id"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(rangeOffsets), Seq("range_id"))
+      .withColumn("start",
+        col("range_start") + coalesce(sum(col("n_tokens")).over(wInRange), lit(0L)))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"start DIV $budget").as("seq_id"),
+        expr(s"start % $budget").as("seq_offset"))
+      .orderBy("doc_id")
+  }
 }

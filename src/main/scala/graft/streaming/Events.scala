@@ -180,4 +180,36 @@ object Events {
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
       .orderBy("user_id", "event_type")
   }
+
+  /** e7: exact-percentile outlier scan — flag events whose value exceeds
+    * their event type's exact p99. Rank-based like t12 (deterministic
+    * under ties via event_id), in exact fixed-point millis, so the flag
+    * set is bit-stable across engines — the property a monitoring alert
+    * needs (an approx-percentile threshold flaps near the boundary).
+    *
+    * Two passes over the same scan: a per-type ordered window to find the
+    * p99 row (each type's partition sorts independently and spills
+    * gracefully; types are few, so the threshold table is tiny), then a
+    * broadcast join back — no second shuffle of the fact side. At 100 TB,
+    * swap pass one for a per-type count + global-sort rank only if a
+    * single type outgrows executor spill capacity.
+    */
+  def e7ThresholdAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_milli").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    val thresholds = ev
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === ceil(col("n") * 0.99))
+      .select(col("event_type"), col("value_milli").as("p99_milli"))
+    ev.join(broadcast(thresholds), Seq("event_type"))
+      .filter(col("value_milli") > col("p99_milli"))
+      .select(col("event_id"), col("event_type"), col("value_milli"), col("p99_milli"))
+      .orderBy("event_id")
+  }
 }

@@ -457,6 +457,47 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t15 domain stats: dup-rate arithmetic and corpus coverage") {
+    val t = Tables(spark, dir)
+    val rows = functions.TextFuncs.t15DomainStats(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === t.documents.count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val uniq = r.getAs[Long]("n_unique_texts")
+      assert(uniq >= 1 && uniq <= n)
+      assert(r.getAs[Long]("n_langs") >= 1)
+      assert(r.getAs[Long]("dup_ratio_micro") === (n - uniq) * 1000000L / n)
+    }
+  }
+
+  test("t16 seq pack reproduces the sequential concat-then-chunk layout") {
+    val rows = functions.TextFuncs.t16SeqPack(spark, dir).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    // Replay the stream serially: each doc must start where the previous
+    // one ended — the two-level distributed prefix sum has to agree with
+    // the single-threaded definition exactly.
+    var cum = 0L
+    rows.foreach { r =>
+      val seqId = r.getAs[Long]("seq_id")
+      val off = r.getAs[Long]("seq_offset")
+      assert(off >= 0 && off < 2048)
+      assert(seqId * 2048 + off === cum)
+      cum += r.getAs[Long]("n_tokens")
+    }
+  }
+
+  test("e7 anomalies exceed their type's exact p99 and stay near the 1% tail") {
+    val rows = streaming.Events.e7ThresholdAnomaly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("value_milli") > r.getAs[Long]("p99_milli")))
+    val perType = Tables(spark, dir).events.groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (tpe, flagged) =>
+      assert(flagged.length <= math.max(1, perType(tpe) / 50), s"$tpe flags too many")
+    }
+  }
+
   test("d10 semantic dedup assigns every vector a cell and canonicalizes downward") {
     val t = Tables(spark, dir)
     val rows = similarity.Ann.d10SemanticDedup(spark, dir).collect()
