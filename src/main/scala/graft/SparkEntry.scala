@@ -61,6 +61,8 @@ object SparkEntry {
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
     "m3_resize"          -> ((s: SparkSession, d: String) => Media.m3Resize(s, d)),
     "m4_byte_stats"      -> Media.m4ByteStats _,
+    "m5_phash"           -> Media.m5Phash _,
+    "m6_phash_pairs"     -> ((s: SparkSession, d: String) => Media.m6PhashPairs(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -98,6 +100,40 @@ object SparkEntry {
     """hex((CASE WHEN doc_id % 3 = 0 THEN unhex('89504E470D0A1A0A')
       |          WHEN doc_id % 3 = 1 THEN unhex('FFD8FFE0')
       |          ELSE unhex('52494646') END) || encode(text))""".stripMargin
+
+  /** Shared CTE of the m5/m6 oracles: parse payload hex to a byte list,
+    * regroup bytes into the 60 proportional blocks (`j*60 DIV n`), set
+    * bit b iff block mean > global mean by exact cross-multiplication —
+    * mirrors [[org.apache.spark.sql.graft.BlockAvgHashKernel]]; yields
+    * relation `fb` (doc_id, phash, band0..band3).
+    */
+  private def phashCte: String =
+    s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, length(hx) // 2), i ->
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INTEGER), 1)) - 1)) AS bytes
+       |  FROM p),
+       |u AS (
+       |  SELECT doc_id, len(bytes) AS n, CAST(list_sum(bytes) AS BIGINT) AS s,
+       |    unnest(list_transform(range(0, len(bytes)), j ->
+       |      {'blk': j * 60 // len(bytes), 'v': bytes[CAST(j + 1 AS INTEGER)]})) AS e
+       |  FROM b),
+       |g AS (
+       |  SELECT doc_id, e.blk AS blk, CAST(sum(e.v) AS BIGINT) AS bs, count(*) AS bc,
+       |    max(n) AS n, max(s) AS s
+       |  FROM u GROUP BY doc_id, e.blk),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bs * n > s * bc
+       |      THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+       |  FROM g GROUP BY doc_id),
+       |fb AS (SELECT doc_id, phash,
+       |  CAST((phash >> 0) & 32767 AS BIGINT) AS band0,
+       |  CAST((phash >> 15) & 32767 AS BIGINT) AS band1,
+       |  CAST((phash >> 30) & 32767 AS BIGINT) AS band2,
+       |  CAST((phash >> 45) & 32767 AS BIGINT) AS band3 FROM f)""".stripMargin
 
   /** Shared fingerprint CTE chain of the d4/d9 oracles: parse the first
     * 15 hex chars of md5(gram) as a 60-bit int (list_reduce polynomial
@@ -544,6 +580,18 @@ object SparkEntry {
          |  CAST(len(list_distinct(bytes)) AS BIGINT) AS n_distinct_bytes,
          |  CAST(CAST(len(list_filter(bytes, v -> v >= 128)) AS BIGINT) * 1000000 // len(bytes) AS BIGINT) AS high_byte_ratio_micro
          |FROM b ORDER BY doc_id""".stripMargin,
+    "m5_phash" ->
+      s"""$phashCte
+         |SELECT doc_id, phash, band0, band1, band2, band3
+         |FROM fb ORDER BY doc_id""".stripMargin,
+    "m6_phash_pairs" ->
+      s"""$phashCte
+         |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM fb a JOIN fb b ON a.doc_id < b.doc_id
+         |WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+         |  AND bit_count(xor(a.phash, b.phash)) <= 15
+         |ORDER BY doc_id1, doc_id2""".stripMargin,
     "e2_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
         |x AS (

@@ -133,6 +133,60 @@ object Media {
         expr("s.n_high * 1000000 DIV s.n_bytes").as("high_byte_ratio_micro"))
       .orderBy("doc_id")
 
+  /** m5: perceptual fingerprint — 60-bit blockwise average hash over the
+    * payload via the native one-pass
+    * [[org.apache.spark.sql.graft.BlockAvgHash60]] expression, split into
+    * 4×15-bit LSH bands like the text-side d4. This is the multimodal
+    * analog of SimHash: re-encodings of the same content (different
+    * container, appended metadata) keep most block-mean signs, so they
+    * land within small Hamming distance, while the fingerprint is one
+    * shuffle-free codegen'd projection — the 100 TB pre-pass shape. A
+    * codec-backed pHash (DCT over decoded pixels) slots into the same
+    * kernel position.
+    */
+  def m5Phash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .blockAvgHash60(payload(col("doc_id"), col("text"))).as("phash"))
+      .select(
+        col("doc_id"), col("phash"),
+        shiftright(col("phash"), 0).bitwiseAND(lit(32767L)).as("band0"),
+        shiftright(col("phash"), 15).bitwiseAND(lit(32767L)).as("band1"),
+        shiftright(col("phash"), 30).bitwiseAND(lit(32767L)).as("band2"),
+        shiftright(col("phash"), 45).bitwiseAND(lit(32767L)).as("band3"))
+      .orderBy("doc_id")
+
+  /** m6: media near-dup PAIRS from m5's fingerprints — banded equijoin
+    * (pigeonhole: recall 1.0 at hamming ≤ 15 with 4 bands) then exact
+    * `bit_count(xor)` verification, the same never-all-pairs scale shape
+    * as the text-side d9. Candidate volume is governed by band
+    * cardinality; perceptual bands are less uniform than SimHash's (block
+    * means of similar media correlate), so a production deploy watches
+    * band skew and routes oversized bands through the salted path g1
+    * uses.
+    */
+  def m6PhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 15): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fp = Tables(spark, dir).documents
+      .repartition(nPart)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .blockAvgHash60(payload(col("doc_id"), col("text"))).as("phash"))
+    val banded = fp.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("phash"), i * 15).bitwiseAND(lit(32767L))): _*)))
+      .toDF("doc_id", "phash", "band_id", "band")
+    banded.as("x")
+      .join(banded.as("y"), Seq("band_id", "band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_id1", "doc_id2")
+  }
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * codecs would run the real image/audio decoder batch-wise per
     * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),

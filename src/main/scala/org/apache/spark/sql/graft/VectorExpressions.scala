@@ -583,6 +583,72 @@ object ByteStatsKernel {
   }
 }
 
+/** 60-bit blockwise average hash ("aHash") over a binary payload — the
+  * perceptual-fingerprint stage of multimodal near-dup detection. The
+  * payload is split into 60 proportional blocks (byte j belongs to block
+  * `j*60 DIV n`, sizes differing by at most one); bit b is set iff block
+  * b's mean byte exceeds the payload's global mean, compared in exact
+  * cross-multiplied integers (`sum_b * n > sum_total * count_b`) so no
+  * division and no float enters the fingerprint. Payloads shorter than 60
+  * bytes leave the unhit blocks' bits at 0.
+  *
+  * Like [[SimHash60]] the fingerprint is 60 bits so it both stays
+  * positive in a signed long and splits into 4×15-bit LSH bands; hamming
+  * distance between fingerprints of resized/re-encoded variants of the
+  * same content is small while unrelated payloads differ in ~30 bits.
+  * One fused codegen'd pass; two fixed 61-slot long arrays per call, no
+  * per-byte allocation.
+  */
+case class BlockAvgHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_block_avg_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BlockAvgHashKernel.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = org.apache.spark.sql.graft.BlockAvgHashKernel.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[BlockAvgHash60]] (public object so generated code can
+  * call it).
+  */
+object BlockAvgHashKernel {
+  final val Blocks = 60
+
+  def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](Blocks)
+    val counts = new Array[Long](Blocks)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = bytes(i) & 0xff
+      val b = (i.toLong * Blocks / n).toInt
+      sums(b) += v
+      counts(b) += 1
+      total += v
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < Blocks) {
+      if (sums(b) * n > total * counts(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
@@ -614,4 +680,8 @@ object VectorExpressions {
   /** Column wrapper for [[ByteStats]]. */
   def byteStats(payload: Column): Column =
     ExpressionUtils.column(ByteStats(ExpressionUtils.expression(payload)))
+
+  /** Column wrapper for [[BlockAvgHash60]]. */
+  def blockAvgHash60(payload: Column): Column =
+    ExpressionUtils.column(BlockAvgHash60(ExpressionUtils.expression(payload)))
 }

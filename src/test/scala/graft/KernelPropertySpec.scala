@@ -158,6 +158,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("block-avg-hash kernel matches the obvious grouped-mean reference") {
+    val rng = new scala.util.Random(43)
+    (1 to Reps).foreach { _ =>
+      // Lengths straddling the 60-block count: short payloads leave
+      // blocks empty, long ones split unevenly.
+      val bytes = Array.fill(rng.nextInt(300))(rng.nextInt(256).toByte)
+      val got = org.apache.spark.sql.graft.BlockAvgHashKernel.compute(bytes)
+      val n = bytes.length
+      val expect =
+        if (n == 0) 0L
+        else {
+          val vs = bytes.map(_ & 0xff).map(_.toLong)
+          val total = vs.sum
+          val byBlock = vs.zipWithIndex.groupBy { case (_, j) => j.toLong * 60 / n }
+          byBlock.foldLeft(0L) { case (acc, (b, grp)) =>
+            val s = grp.map(_._1).sum
+            if (s * n > total * grp.length) acc | (1L << b.toInt) else acc
+          }
+        }
+      assert(got === expect)
+      assert(got >= 0L && got < (1L << 60))
+    }
+  }
+
   test("Bitmap rejects out-of-range keys instead of aliasing them") {
     val bm = new org.apache.spark.sql.graft.Bitmap(1)
     bm.set(org.apache.spark.sql.graft.Bitmap.MaxKey - 1) // in range: fine

@@ -457,6 +457,39 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m5/m6: bands decompose the fingerprint; pairs share a band and verify hamming") {
+    val fp = multimodal.Media.m5Phash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("phash"), Seq(r.getAs[Long]("band0"), r.getAs[Long]("band1"),
+          r.getAs[Long]("band2"), r.getAs[Long]("band3")))).toMap
+    fp.values.foreach { case (h, bands) =>
+      assert(h >= 0L && h < (1L << 60))
+      bands.zipWithIndex.foreach { case (b, i) => assert(b === ((h >> (i * 15)) & 32767L)) }
+    }
+    val pairs = multimodal.Media.m6PhashPairs(spark, dir).collect()
+    pairs.foreach { r =>
+      val (h1, b1) = fp(r.getAs[Long]("doc_id1"))
+      val (h2, b2) = fp(r.getAs[Long]("doc_id2"))
+      assert(r.getAs[Long]("doc_id1") < r.getAs[Long]("doc_id2"))
+      assert(b1.zip(b2).exists { case (x, y) => x == y })
+      val ham = java.lang.Long.bitCount(h1 ^ h2).toLong
+      assert(ham === r.getAs[Long]("hamming") && ham <= 15)
+    }
+    // Identical payloads are hamming-0 pairs by construction: every doc
+    // shares its fingerprint with itself under any band — sanity via the
+    // exhaustive check that no qualifying pair was missed (pigeonhole).
+    val byBand = fp.toSeq.flatMap { case (id, (h, bands)) =>
+      bands.zipWithIndex.map { case (b, i) => (i, b) -> id }
+    }.groupBy(_._1).values.flatMap { grp =>
+      val ids = grp.map(_._2).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val expected = byBand.filter { case (a, b) =>
+      java.lang.Long.bitCount(fp(a)._1 ^ fp(b)._1) <= 15
+    }
+    assert(pairs.map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"))).toSet === expected)
+  }
+
   test("t15 domain stats: dup-rate arithmetic and corpus coverage") {
     val t = Tables(spark, dir)
     val rows = functions.TextFuncs.t15DomainStats(spark, dir).collect()
