@@ -41,6 +41,7 @@ object SparkEntry {
     "g7_triangle_count"  -> GraphIter.g7TriangleCount _,
     "g8_hierarchy_paths" -> GraphOps.g8HierarchyPaths _,
     "g9_shortest_paths"  -> ((s: SparkSession, d: String) => GraphIter.g9ShortestPaths(s, d)),
+    "g10_label_propagation" -> GraphIter.g10LabelPropagation _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -206,11 +207,42 @@ object SparkEntry {
        |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r10 ORDER BY node""".stripMargin
   }
 
+  /** Generated g10 oracle: 4 unrolled synchronous label-propagation
+    * steps. The argmax tie-break (count desc, label asc) is realized as a
+    * row_number pick — deterministic, hence portably exact; mirrors
+    * [[graft.operators.GraphIter.labelPropagation]].
+    */
+  private def g10OracleSql: String = {
+    val steps = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l${i - 1}.label AS label,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l${i - 1}.label ASC) AS rn
+         |    FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+         |    GROUP BY e.dst, l${i - 1}.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+       |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+       |  CASE WHEN label % 2 = 0 THEN 'c_' || CAST(label // 2 AS VARCHAR)
+       |       ELSE 's_' || CAST(label // 2 AS VARCHAR) END AS label
+       |FROM l4 ORDER BY node""".stripMargin
+  }
+
   /** DuckDB-dialect oracle SQL per query key; bare table names resolve to
     * the same parquet tables.
     */
   def oracleSql: Map[String, String] = Map(
     "g6_pagerank" -> g6OracleSql,
+    "g10_label_propagation" -> g10OracleSql,
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  count(*) AS cnt,

@@ -490,6 +490,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"))).toSet === expected)
   }
 
+  test("g10 label propagation separates two bridged triangles") {
+    val ss = spark
+    import ss.implicits._
+    // Triangle {1,2,3} + triangle {4,5,6} + bridge 3-4: after 4 sync
+    // supersteps (hand-traced) the triangles settle on labels 1 and 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = operators.GraphIter.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("t15 domain stats: dup-rate arithmetic and corpus coverage") {
     val t = Tables(spark, dir)
     val rows = functions.TextFuncs.t15DomainStats(spark, dir).collect()
