@@ -57,6 +57,7 @@ object SparkEntry {
     "s1_cosine_topk"     -> ((s: SparkSession, d: String) => Ann.s1CosineTopK(s, d)),
     "s2_lsh_ann"         -> ((s: SparkSession, d: String) => Ann.s2LshAnn(s, d)),
     "s3_centroid_ivf"    -> ((s: SparkSession, d: String) => Ann.s3CentroidIvf(s, d)),
+    "s4_knn_join"        -> ((s: SparkSession, d: String) => Ann.s4KnnJoin(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -560,6 +561,22 @@ object SparkEntry {
         |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM asg WHERE vec_id < 10),
         |s AS (SELECT query_id, a.vec_id AS neighbor_id, list_cosine_similarity(qe, a.emb) AS sim
         |      FROM q JOIN asg a USING (cell) WHERE a.vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s4_knn_join" ->
+      """WITH hp AS (SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS he FROM embeddings WHERE vec_id < 4),
+        |bk AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), he) >= 0
+        |      THEN (CAST(1 AS BIGINT) << h_id) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+        |b AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, bucket
+        |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |        list_cosine_similarity(a.emb, b.emb) AS sim
+        |      FROM b a JOIN b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id

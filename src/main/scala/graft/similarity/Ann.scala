@@ -136,6 +136,48 @@ object Ann {
     * oracle-reproducible); the signature bit j is sign(cos(v, h_j)). The
     * hyperplane set is broadcast, so bucketing is a shuffle-free scan.
     */
+  /** s4: kNN SELF-join — every corpus vector's top-k neighbors, not just
+    * a fixed query set: the workload behind dedup-aware sampling, graph
+    * construction over embeddings (kNN graphs for clustering), and
+    * retrieval-index QA. Same hyperplane bucketing as s2, but both sides
+    * of the join are the whole corpus, so the bucket equijoin is the
+    * load-bearing bound: cost is Σ bucket² instead of corpus², and the
+    * shuffle key stays the bucket id. The bucketed table is checkpointed
+    * once and probed twice (the d10 lesson — without it the assignment
+    * scan runs per side). Per-vector top-k is a window over each query's
+    * candidates, deterministic under ties via neighbor_id.
+    */
+  def s4KnnJoin(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val planes = t.embeddings.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
+    val bucketed = t.embeddings.repartition(nPart)
+      .crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("emb"),
+        sum(when(cosine(col("embedding"), col("h_emb")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h_id AS INT))")).otherwise(0L)).as("bucket"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    bucketed.as("a")
+      .join(bucketed.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        cosine(col("a.emb"), col("b.emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   def s2LshAnn(
       spark: SparkSession,
       dir: String,

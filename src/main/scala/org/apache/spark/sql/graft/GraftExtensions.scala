@@ -125,6 +125,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_block_avg_hash"),
+        new ExpressionInfo(classOf[BlockAvgHash60].getName, "graft_block_avg_hash"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_block_avg_hash expects exactly 1 argument")
+          BlockAvgHash60(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_sorted_intersect"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
         (children: Seq[Expression]) => {

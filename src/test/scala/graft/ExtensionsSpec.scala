@@ -30,7 +30,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  graft_simhash60(t) AS sh,
         |  size(graft_gram_codes(t)) AS n_grams,
         |  graft_sorted_intersect(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS inter,
-        |  graft_byte_stats(encode(t, 'UTF-8')).n_bytes AS nb
+        |  graft_byte_stats(encode(t, 'UTF-8')).n_bytes AS nb,
+        |  graft_block_avg_hash(encode(t, 'UTF-8')) AS bah
         |FROM ext_t""".stripMargin).head()
     assert(row.getDouble(0) === 1.0)
     assert(row.getInt(1) === 128)
@@ -38,6 +39,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(3) === 4) // 8 chars -> 4 distinct 5-grams
     assert(row.getInt(4) === 2)
     assert(row.getLong(5) === 8L)
+    assert(row.getLong(6) ===
+      org.apache.spark.sql.graft.BlockAvgHashKernel.compute("abcdefgh".getBytes("UTF-8")))
     val agg = spark.sql(
       """SELECT graft_bitmap_or_count(bm) AS c FROM (
         |  SELECT graft_bitmap(v) AS bm FROM VALUES (1L), (2L), (2L), (65L) AS x(v))

@@ -490,6 +490,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"))).toSet === expected)
   }
 
+  test("s4 kNN self-join restricted to s2's query set reproduces s2 exactly") {
+    val s4 = similarity.Ann.s4KnnJoin(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") < 10)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val s2 = similarity.Ann.s2LshAnn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(s4 === s2)
+    assert(s4.nonEmpty)
+  }
+
   test("g10 label propagation separates two bridged triangles") {
     val ss = spark
     import ss.implicits._
