@@ -20,6 +20,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  /** Physical plan with the AQE wrapper stripped: AdaptiveSparkPlanExec
+    * exposes the wrapped plan via a field, not `children`, so a naive
+    * `collect` over the wrapper sees NO operators and every structural
+    * assertion passes vacuously.
+    */
+  private def physical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
   test("blocked pair generation emits exactly the plain self-join pair set") {
     val t = Tables(spark, dir)
     val grouped = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey").as("id"))
@@ -39,9 +50,10 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exchange allowed in the physical plan is the range partitioning of
     // the final orderBy — no aggregate shuffle anywhere.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val plan = dedup.Dedup.d4SimHash(spark, dir).queryExecution.executedPlan
+    val plan = physical(dedup.Dedup.d4SimHash(spark, dir))
     val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
     assert(exchanges.length <= 1, s"expected at most the sort exchange, got:\n$plan")
+    assert(plan.collectWithSubqueries { case p => p }.nonEmpty)
   }
 
   test("t10 extraction scan prunes to the referenced event columns") {
@@ -57,7 +69,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q2b bucketed variant: pre-agg and fact join plan exchange-free, result matches q2") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = operators.Relational.q2bBucketed(spark, dir)
-    val exchanges = df.queryExecution.executedPlan
+    val exchanges = physical(df)
       .collectWithSubqueries { case e: ShuffleExchangeLike => e }
     // Allowed shuffles: the per-nation aggregate, the customer join (not
     // co-bucketed) and the final orderBy range partitioning. The
@@ -123,5 +135,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"expected no shuffle in:\n$plan")
     // FK join: every lineitem row survives
     assert(joined.count() === t.lineitem.count())
+  }
+
+  test("t16 seq-pack: no global-order window ever touches the document scan") {
+    // The scale hazard of a global prefix sum is one SinglePartition
+    // window over the corpus. The two-level construction must confine
+    // SinglePartition stages to the tiny range-level aggregate: the
+    // fact-side window is partitioned by range_id, and the doc scan
+    // reaches its window through a hash exchange, never a SinglePartition
+    // one.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = functions.TextFuncs.t16SeqPack(spark, dir)
+    val qe = df.queryExecution
+    val windows = physical(df).collectWithSubqueries { case w: WindowExec => w }
+    // Exactly two windows: the partition-less range-offset cumsum (over
+    // the aggregated #ranges rows) and the range_id-partitioned
+    // within-range cumsum that touches the docs. More than one
+    // partition-less window would mean the corpus itself serializes.
+    assert(windows.count(_.partitionSpec.isEmpty) === 1,
+      s"global-window count (total windows ${windows.length}), plan:\n${qe.executedPlan}")
+    assert(windows.count(_.partitionSpec.nonEmpty) === 1,
+      s"partitioned-window count, plan:\n${qe.executedPlan}")
+    // And the whole plan funnels through exactly one SinglePartition
+    // exchange — the one feeding that range-level window; the fact side
+    // reaches its window via hash partitioning.
+    val planStr = qe.executedPlan.toString
+    assert("Exchange SinglePartition".r.findAllIn(planStr).length === 1,
+      s"plan:\n$planStr")
+  }
+
+  test("m5 phash plans as a shuffle-free projection (sort exchange only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = physical(multimodal.Media.m5Phash(spark, dir))
+    val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+    assert(exchanges.length <= 1, s"expected at most the sort exchange, got:\n$plan")
+    assert(plan.collectWithSubqueries { case p => p }.nonEmpty)
+  }
+
+  test("e7: the events fact side is scanned pruned and joined broadcast") {
+    val plan = streaming.Events.e7ThresholdAnomaly(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table should broadcast back onto the fact scan:\n$plan")
+    assert(!plan.contains("ReadSchema: struct<event_id:bigint,ts"),
+      s"ts/user_id/props should be pruned from the events scan:\n$plan")
   }
 }
