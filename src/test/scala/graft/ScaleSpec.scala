@@ -110,6 +110,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) === (("new", None)))
   }
 
+  test("signature index classify == d7 recompute-from-raw; append extends the corpus") {
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    dedup.SignatureIndex.write(existing, s"$tmp/idx")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))
+    // The index path must reproduce d7 exactly: same split, same
+    // classification, but the existing side is read from the stored
+    // digests/signatures/grams instead of re-deriving from text.
+    val viaIndex = dedup.SignatureIndex.classify(spark, incoming, s"$tmp/idx")
+      .collect().map(key).toSet
+    val viaRaw = dedup.Dedup.d7IncrementalDedup(spark, dir)
+      .collect().map(key).toSet
+    assert(viaIndex === viaRaw)
+    assert(viaIndex.nonEmpty)
+    // Append the accepted batch; a byte-identical copy of an appended doc
+    // must now classify as its exact dup (cross-batch dedup without ever
+    // rescanning batch-1 text).
+    val ss = spark
+    import ss.implicits._
+    val newIds = viaIndex.collect { case (id, "new", _) => id }
+    assert(newIds.nonEmpty)
+    dedup.SignatureIndex.append(incoming.filter(col("doc_id").isin(newIds.toSeq: _*)), s"$tmp/idx")
+    val probeId = newIds.min
+    val probeText = docs.filter(col("doc_id") === probeId).head().getString(1)
+    val batch2 = Seq((1000000L, probeText)).toDF("doc_id", "text")
+    val r = dedup.SignatureIndex.classify(spark, batch2, s"$tmp/idx").head()
+    assert(r.getString(1) === "exact" && r.getLong(2) === probeId)
+  }
+
   test("approximate two-hop (HLL escalation) tracks the exact bitmap counts") {
     val exact = operators.GraphOps.g4TwoHop(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
