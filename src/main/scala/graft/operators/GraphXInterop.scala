@@ -38,6 +38,31 @@ object GraphXInterop {
     spark.createDataFrame(ranks).toDF("node", "rank")
   }
 
+  /** Hop distances via GraphX's Pregel-based `lib.ShortestPaths` over the
+    * same symmetrized long-keyed edges [[GraphIter.shortestPaths]] walks —
+    * an INDEPENDENT engine computing the same BFS semantics, which is what
+    * makes the agreement spec a real cross-check (two implementations, one
+    * truth). GraphX has no depth bound, so the bridge filters to
+    * `maxDepth` after the fact; nodes out of seed reach carry no entry in
+    * the landmark map and are dropped, matching the DataFrame operator's
+    * reachable-only output.
+    */
+  def shortestPathsGraphX(edges: DataFrame, seeds: Seq[Long], maxDepth: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    val edgeRdd = sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    val res = org.apache.spark.graphx.lib.ShortestPaths.run(graph, seeds)
+    val dists = res.vertices.flatMap { case (v, spMap) =>
+      if (spMap.isEmpty) None else Some((v, spMap.values.min.toLong))
+    }
+    spark.createDataFrame(dists).toDF("node", "dist")
+      .filter(col("dist") <= maxDepth)
+  }
+
   /** g6's graph through the GraphX path (same packed-long node ids,
     * decoded to the display form).
     */

