@@ -48,6 +48,7 @@ object SparkEntry {
     "d3_minhash_lsh"     -> ((s: SparkSession, d: String) => Dedup.d3MinHashLsh(s, d)),
     "d4_simhash"         -> Dedup.d4SimHash _,
     "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
+    "d11_dedup_report"   -> ((s: SparkSession, d: String) => Dedup.d11DedupReport(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -483,6 +484,31 @@ object SparkEntry {
         |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         |ORDER BY d.doc_id""".stripMargin,
+    "d11_dedup_report" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents WHERE length(text) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+        |edges AS (
+        |  SELECT doc_id1 AS a, doc_id2 AS b FROM p
+        |  UNION SELECT doc_id2, doc_id1 FROM p),
+        |reach AS (
+        |  SELECT a AS node, b AS reachable FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+        |comp AS (
+        |  SELECT node, least(node, min(reachable)) AS canonical FROM reach GROUP BY node),
+        |res AS (
+        |  SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |cl AS (SELECT canonical_id, count(*) AS cluster_size FROM res GROUP BY canonical_id)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  count(*) * cluster_size AS n_docs
+        |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "d7_incremental_dedup" ->
       """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
         |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -267,6 +267,27 @@ object Dedup {
     * history except through index size, which is the property that makes
     * per-crawl dedup sustainable.
     */
+  /** d11: dedup RESOLUTION REPORT — the dashboard tier over d6: how many
+    * clusters exist at each size, how many documents they hold, and how
+    * many survive keep-one. cluster_size 1 = unique documents. This is
+    * the number a curation run publishes ("38% of the crawl was
+    * near-duplicate; the largest mirror cluster held N copies") and the
+    * regression signal between crawls. Two tiny aggregates over d6's
+    * per-doc output — which itself consumes the memoized verified-pairs
+    * checkpoint, so a detect→resolve→report session runs the LSH
+    * pipeline exactly once.
+    */
+  def d11DedupReport(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    d6DedupResolve(spark, dir, threshold)
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy("cluster_size")
+
   def d7IncrementalDedup(
       spark: SparkSession,
       dir: String,

@@ -257,13 +257,13 @@ object GraphIter {
     * edge list, one (node, label) count aggregate, one per-node argmax —
     * all shuffles on 8-byte packed keys. The label table checkpoints
     * every `cadence` supersteps (the final one stays lazy for the
-    * consumer's action); measured head-to-head at sf0.1, cadence 1 beats
-    * a fully lazy 12-stage recurrence (5.1 s vs 6.6 s warm) — the deep
-    * un-materialized plan costs more in planning/AQE than the
-    * checkpoints save, the same trade g6 landed on. Blocks are released
-    * between queries by releaseCaches.
+    * consumer's action); measured head-to-head at sf0.1, cadence 1 and 2
+    * are equivalent (4–5 s warm) and both beat the fully lazy 12-stage
+    * recurrence (6.6 s) — the deep un-materialized plan costs more in
+    * planning/AQE than the checkpoints save. Blocks are released between
+    * queries by releaseCaches.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 4, cadence: Int = 1): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 4, cadence: Int = 2): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -278,6 +278,20 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === nCanon)
   }
 
+  test("d11 report accounts for every document and agrees with d6") {
+    val t = Tables(spark, dir)
+    val report = dedup.Dedup.d11DedupReport(spark, dir).collect()
+    assert(report.map(r => r.getAs[Long]("n_docs")).sum === t.documents.count())
+    report.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    // Kept docs in d6 == total clusters in the report.
+    val kept = dedup.Dedup.d6DedupResolve(spark, dir)
+      .filter(col("is_kept") === 1).count()
+    assert(report.map(_.getAs[Long]("n_clusters")).sum === kept)
+  }
+
   test("d4 simhash bands decompose the fingerprint") {
     dedup.Dedup.d4SimHash(spark, dir).collect().foreach { r =>
       val fp = r.getAs[Long]("simhash")
