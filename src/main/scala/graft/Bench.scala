@@ -28,6 +28,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf    = sfDir.split("/").last.stripPrefix("sf")
+    // Optional subset (comma-separated keys): lets a session-effect be
+    // isolated — the same query benched alone vs inside the full sweep —
+    // without touching the default full-coverage run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
     val spark = GraftSession.create("graft-bench")
 
     // Warm-up (untimed): run one representative of each heavy code-path
@@ -49,7 +55,7 @@ object Bench {
         GraftSession.releaseCaches(spark)
       }
 
-    val times = headline.map { name =>
+    val times = selected.map { name =>
       val t0 = System.nanoTime()
       run(SparkEntry.queries(name)(spark, sfDir))
       val dt = (System.nanoTime() - t0) / 1e9
