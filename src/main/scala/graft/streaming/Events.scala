@@ -195,21 +195,41 @@ object Events {
     * single type outgrows executor spill capacity.
     */
   def e7ThresholdAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir).events
+    anomalyScan(events, e7Thresholds(events)).orderBy("event_id")
+  }
+
+  /** The per-type exact-p99 threshold table of e7 — factored out because
+    * it is also the STATIC side of the streaming form: a monitoring
+    * pipeline recomputes thresholds on a batch cadence (hourly/daily) and
+    * the live stream filters against the latest table.
+    */
+  def e7Thresholds(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables(spark, dir).events
-      .select(col("event_id"), col("event_type"),
-        expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli"))
+    val ev = events.select(col("event_id"), col("event_type"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli"))
     val wOrd = Window.partitionBy(col("event_type"))
       .orderBy(col("value_milli").asc, col("event_id").asc)
     val wAll = Window.partitionBy(col("event_type"))
-    val thresholds = ev
-      .withColumn("rn", row_number().over(wOrd))
+    ev.withColumn("rn", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
       .filter(col("rn") === ceil(col("n") * 0.99))
       .select(col("event_type"), col("value_milli").as("p99_milli"))
-    ev.join(broadcast(thresholds), Seq("event_type"))
+  }
+
+  /** The filter core shared by batch e7 and its streaming twin: works
+    * unchanged on an unbounded `events` because a stream-static broadcast
+    * join is stateless — each micro-batch joins the same tiny threshold
+    * table; nothing is buffered, no watermark needed. That statelessness
+    * is exactly why the threshold lives in a separate batch-maintained
+    * table rather than being computed on the stream (an exact percentile
+    * over an unbounded stream would need unbounded state).
+    */
+  def anomalyScan(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli"))
+      .join(broadcast(thresholds), Seq("event_type"))
       .filter(col("value_milli") > col("p99_milli"))
       .select(col("event_id"), col("event_type"), col("value_milli"), col("p99_milli"))
-      .orderBy("event_id")
-  }
 }

@@ -243,6 +243,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.toSet === Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("streaming e7: stream-static anomaly scan flags exactly the batch rows") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    // Thresholds maintained batch-side (the monitoring cadence); the
+    // stream filters against the broadcast table statelessly.
+    val history = Seq.tabulate(100)(i =>
+      Ev(i.toLong, 1, "click", 1 * hourNs + i * 1000000000L, i / 100.0)) :+
+      Ev(100L, 1, "view", 1 * hourNs, 5.0)
+    val thresholds = graft.streaming.Events.e7Thresholds(history.toDF())
+    val mem = MemoryStream[Ev]
+    mem.addData(history: _*)
+    val rows = runStream("e7s", graft.streaming.Events.anomalyScan(mem.toDF(), thresholds))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[Long]("value_milli"), r.getAs[Long]("p99_milli"))
+    val batch = graft.streaming.Events.anomalyScan(history.toDF(), thresholds)
+      .collect().map(key).toSet
+    assert(rows.map(key).toSet === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming e6 interval join matches the batch form incl. the exact 30-min boundary") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
