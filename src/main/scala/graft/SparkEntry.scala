@@ -29,6 +29,7 @@ object SparkEntry {
     "q8_conditional_agg" -> Relational.q8ConditionalAgg _,
     "q9_multi_join"      -> Relational.q9MultiJoin _,
     "q10_running_window" -> Relational.q10RunningWindow _,
+    "q11_cube"           -> Relational.q11Cube _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -82,6 +83,7 @@ object SparkEntry {
     "t13_stratified_sample" -> ((s: SparkSession, d: String) => TextFuncs.t13StratifiedSample(s, d)),
     "t14_repetition"     -> TextFuncs.t14Repetition _,
     "t15_domain_stats"   -> TextFuncs.t15DomainStats _,
+    "t17_weighted_sample" -> TextFuncs.t17WeightedSample _,
     "t16_seq_pack"       -> ((s: SparkSession, d: String) => TextFuncs.t16SeqPack(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
@@ -323,6 +325,29 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q11_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY mktsegment, orderstatus""".stripMargin,
+    "t17_weighted_sample" ->
+      """SELECT doc_id, source,
+        |  list_reduce(list_transform(range(1, 13),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 1000 AS u_milli,
+        |  200 + list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(source), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 600 AS w_milli,
+        |  CAST(list_reduce(list_transform(range(1, 13),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 1000
+        |    < 200 + list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(source), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 600 AS INTEGER) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "g1_same_group_pairs" ->
       """SELECT n_name AS nation_name, a.c_custkey AS custkey1, b.c_custkey AS custkey2
         |FROM customer a

@@ -348,6 +348,27 @@ object TextFuncs {
         expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs"))
       .orderBy("source")
 
+  /** t17: deterministic weighted resampling — the temperature-sampling
+    * pass of corpus balancing: each document draws a reproducible uniform
+    * from its content hash and survives iff it lands under its source's
+    * acceptance rate. Reruns, engines, and cluster sizes all keep the
+    * same sample (the md5 draw is the t13 trick, per-document instead of
+    * per-rank), so a training mix is exactly reproducible from the
+    * recipe. The per-source rate here is itself hash-derived (a
+    * deterministic stand-in spanning 200–799‰); a production run
+    * broadcast-joins a real weights table — same plan, one shuffle-free
+    * projection either way.
+    */
+  def t17WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT) % 1000")
+          .as("u_milli"),
+        expr("200 + CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT) % 600")
+          .as("w_milli"))
+      .withColumn("kept", (col("u_milli") < col("w_milli")).cast("int"))
+      .orderBy("doc_id")
+
   /** t16: deterministic sequence packing — assign every document a
     * position in the GPT-style concat-then-chunk training stream: docs in
     * doc_id order, running token offset, `seq_id` = which fixed-budget

@@ -218,4 +218,26 @@ object Relational {
       .select("o_custkey", "o_orderkey", "running_total")
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** q11: CUBE over (market segment × order status) — all four grouping
+    * sets in one pass. Like ROLLUP (q7) this plans as a single expand +
+    * hash aggregate: each input row fans out once per grouping set and
+    * the aggregate shuffles once, so the cube costs one scan regardless
+    * of how many marginals it reports — the shape that replaces four
+    * separate dashboard queries at 100 TB.
+    */
+  def q11Cube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_totalprice"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy("mktsegment", "orderstatus")
+  }
 }

@@ -504,6 +504,40 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"))).toSet === expected)
   }
 
+  test("q11 cube marginals are mutually consistent") {
+    val rows = operators.Relational.q11Cube(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_orders")).toMap
+    val total = rows(("ALL", "ALL"))
+    assert(total > 0)
+    // .toSeq before mapping to counts: two marginals with EQUAL counts
+    // must both contribute to the sum (a Set.map would dedup them).
+    val segs = rows.keys.collect { case (s, "ALL") if s != "ALL" => s }.toSeq
+    val stats = rows.keys.collect { case ("ALL", o) if o != "ALL" => o }.toSeq
+    assert(segs.map(s => rows((s, "ALL"))).sum === total)
+    assert(stats.map(o => rows(("ALL", o))).sum === total)
+    // Cell counts roll up into both marginals.
+    segs.foreach { s =>
+      val cells = stats.toSeq.flatMap(o => rows.get((s, o)))
+      assert(cells.sum === rows((s, "ALL")))
+    }
+  }
+
+  test("t17 weighted sample is deterministic and flag-consistent") {
+    val rows = functions.TextFuncs.t17WeightedSample(spark, dir).collect()
+    rows.foreach { r =>
+      val u = r.getAs[Long]("u_milli")
+      val w = r.getAs[Long]("w_milli")
+      assert(u >= 0 && u < 1000)
+      assert(w >= 200 && w < 800)
+      assert(r.getAs[Int]("kept") === (if (u < w) 1 else 0))
+    }
+    val kept = rows.count(_.getAs[Int]("kept") == 1)
+    assert(kept > 0 && kept < rows.length)
+    // Same sample on a re-run — the property that makes the mix a recipe.
+    val again = functions.TextFuncs.t17WeightedSample(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("s4 kNN self-join restricted to s2's query set reproduces s2 exactly") {
     val s4 = similarity.Ann.s4KnnJoin(spark, dir).collect()
       .filter(_.getAs[Long]("query_id") < 10)
