@@ -271,17 +271,27 @@ object GraphIter {
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    var lastCp: DataFrame = null
     (1 to iters).foreach { i =>
       val next = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        // argmax by (count desc, label asc): max over (c, -label) — labels
-        // are non-negative packed ids, so -label orders them inversely.
+        // argmax by (count desc, label asc): max over (c, -label) — the
+        // negation inverts the label order for any long (Long.MinValue
+        // aside), so min-label ties hold for arbitrary caller node ids.
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      labels = if (i % cadence == 0 && i < iters) next.localCheckpoint(true) else next
+      labels = if (i % cadence == 0 && i < iters) {
+        // Eager checkpoint: the previous one is fully consumed by the
+        // materialization, so its blocks release immediately — a deep run
+        // pins one checkpoint, not iters/cadence of them (g6's pattern).
+        val cp = next.localCheckpoint(true)
+        if (lastCp != null) lastCp.unpersist()
+        lastCp = cp
+        cp
+      } else next
     }
     labels
   }
