@@ -295,12 +295,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
     mem.addData(evs: _*)
     q.processAllAvailable()
-    q.stop()
     val streamed = spark.table("e6s").collect().map(key).toSet
     val batch = graft.streaming.Events.intervalJoin(evs.toDF()).collect().map(key).toSet
     assert(streamed === batch)
     assert(streamed === Set(
       (1L, 2L, 1L, 1800000000L),
       (1L, 6L, 1L, 60000000L)))
+    // Cross-batch buffering: the click was delivered in batch 1; a
+    // purchase arriving in a LATER micro-batch still pairs with it — the
+    // buffered-state behavior the watermark bounds.
+    mem.addData(Ev(7, 1, "purchase", base + 120L * 1000000000L, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("e6s").collect().map(key).toSet
+    assert(after === streamed + ((1L, 7L, 1L, 120000000L)))
   }
 }
