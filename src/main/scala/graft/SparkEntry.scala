@@ -92,7 +92,8 @@ object SparkEntry {
     "e4_funnel"          -> Events.e4Funnel _,
     "e5_asof_join"       -> Events.e5AsofJoin _,
     "e6_interval_join"   -> Events.e6IntervalJoin _,
-    "e7_threshold_anomaly" -> Events.e7ThresholdAnomaly _
+    "e7_threshold_anomaly" -> Events.e7ThresholdAnomaly _,
+    "e8_retention_cohorts" -> Events.e8RetentionCohorts _
   )
 
   private val decPrice =
@@ -939,6 +940,16 @@ object SparkEntry {
         |  CAST(st // 2048 AS BIGINT) AS seq_id,
         |  CAST(st % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "e8_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour FROM events),
+        |c AS (SELECT user_id, min(hour) AS cohort_hour FROM ev GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT ev.user_id, c.cohort_hour, ev.hour - c.cohort_hour AS hours_since
+        |  FROM ev JOIN c ON ev.user_id = c.user_id)
+        |SELECT cohort_hour, hours_since, count(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY cohort_hour, hours_since
+        |ORDER BY cohort_hour, hours_since""".stripMargin,
     "e7_threshold_anomaly" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS value_milli

@@ -181,6 +181,29 @@ object Events {
       .orderBy("user_id", "event_type")
   }
 
+  /** e8: retention cohorts — the canonical product-analytics matrix:
+    * users grouped by the hour they were first seen (the cohort), and for
+    * each later hour, how many of that cohort were active. Two exact
+    * integer aggregates: min event-hour per user (one shuffle keyed by
+    * user), then distinct (cohort, activity-hour, user) counts — the
+    * distinct rides the same user-keyed partitioning, so the fact table
+    * shuffles once. `hours_since` ≥ 0 by construction (the cohort hour is
+    * the user's minimum). Exact integer hour buckets from the ns
+    * timestamp keep the matrix bit-stable.
+    */
+  def e8RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts DIV 3600000000000").as("hour"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("hour")).as("cohort_hour"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_hour"),
+        (col("hour") - col("cohort_hour")).as("hours_since"))
+      .distinct()
+      .groupBy("cohort_hour", "hours_since")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_hour", "hours_since")
+  }
+
   /** e7: exact-percentile outlier scan — flag events whose value exceeds
     * their event type's exact p99. Rank-based like t12 (deterministic
     * under ties via event_id), in exact fixed-point millis, so the flag

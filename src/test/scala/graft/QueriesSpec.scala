@@ -504,6 +504,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"))).toSet === expected)
   }
 
+  test("e8 retention cohorts: hour-zero rows cover every user and bound later activity") {
+    val t = Tables(spark, dir)
+    val rows = streaming.Events.e8RetentionCohorts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_hour"), r.getAs[Long]("hours_since")) ->
+        r.getAs[Long]("n_active")).toMap
+    val nUsers = t.events.select("user_id").distinct().count()
+    // Every user is active in their own cohort hour (hours_since = 0).
+    val cohortSizes = rows.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSizes.values.sum === nUsers)
+    rows.foreach { case ((c, since), n) =>
+      assert(since >= 0)
+      assert(n <= rows((c, 0L)), s"cohort $c hour $since exceeds cohort size")
+    }
+  }
+
   test("q11 cube marginals are mutually consistent") {
     val rows = operators.Relational.q11Cube(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_orders")).toMap
