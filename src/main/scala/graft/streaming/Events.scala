@@ -183,13 +183,15 @@ object Events {
 
   /** e8: retention cohorts — the canonical product-analytics matrix:
     * users grouped by the hour they were first seen (the cohort), and for
-    * each later hour, how many of that cohort were active. Two exact
-    * integer aggregates: min event-hour per user (one shuffle keyed by
-    * user), then distinct (cohort, activity-hour, user) counts — the
-    * distinct rides the same user-keyed partitioning, so the fact table
-    * shuffles once. `hours_since` ≥ 0 by construction (the cohort hour is
-    * the user's minimum). Exact integer hour buckets from the ns
-    * timestamp keep the matrix bit-stable.
+    * each later hour, how many of that cohort were active. The per-user
+    * min-hour aggregate is tiny (one row per user) and BROADCASTS back
+    * onto the event scan, so the fact table shuffles exactly once — for
+    * the distinct (user, cohort, hours_since) triples; the matrix then
+    * reduces already-distinct rows with a plain count (a countDistinct
+    * here would re-pay a two-phase distinct aggregate for nothing).
+    * `hours_since` ≥ 0 by construction; exact integer hour buckets from
+    * the ns timestamp keep the matrix bit-stable. Plan verified in
+    * ExplainDump: one fact Exchange, cohorts via BroadcastExchange.
     */
   def e8RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
@@ -200,7 +202,7 @@ object Events {
         (col("hour") - col("cohort_hour")).as("hours_since"))
       .distinct()
       .groupBy("cohort_hour", "hours_since")
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_hour", "hours_since")
   }
 
