@@ -49,6 +49,16 @@ def main() -> int:
                 raise AssertionError(f"columns {list(g.columns)} != {list(w.columns)}")
             if len(g) != len(w):
                 raise AssertionError(f"rows {len(g)} != {len(w)}")
+            # The driver hashes rendered values, so an int column on one
+            # side vs a float column on the other (e.g. DuckDB HUGEINT ->
+            # float64) hash-mismatches even when values agree. Mirror that:
+            # integer-vs-float kind drift is a failure here too.
+            for c in g.columns:
+                gk, wk = g[c].dtype.kind, w[c].dtype.kind
+                if {gk, wk} <= {"i", "u", "f"} and ("f" in (gk, wk)) != (gk == wk == "f"):
+                    raise AssertionError(
+                        f"dtype kind drift on '{c}': spark={g[c].dtype} oracle={w[c].dtype}"
+                    )
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1

@@ -33,6 +33,15 @@ object Bench {
     // without touching the default full-coverage run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd key would otherwise silently shrink the sweep and still
+    // emit a normal-looking JSON line — fail fast instead.
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_KEYS has unknown keys: ${unknown.toSeq.sorted.mkString(",")}")
+      require(s.exists(headline.contains),
+        "SPARK_GRAFT_BENCH_KEYS selects no headline query (only excluded exact baselines?)")
+    }
     val selected = only.fold(headline)(s => headline.filter(s))
     val spark = GraftSession.create("graft-bench")
 
@@ -67,7 +76,15 @@ object Bench {
     }
     val total = times.map(_._2).sum
     val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"sf":"$sf"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"sf":"$sf"}"""
+    // Print the JSON line FIRST (before any shutdown noise can clip a
+    // captured stdout tail) and also persist it to a file so the scored
+    // artifact survives truncation of the capture (the r7 lost-d-group
+    // failure mode).
+    println(line)
+    val benchFile = java.nio.file.Paths.get(s"bench_$sf.json")
+    java.nio.file.Files.write(benchFile, line.getBytes("UTF-8"))
     spark.stop()
   }
 }

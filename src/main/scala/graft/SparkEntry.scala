@@ -920,10 +920,10 @@ object SparkEntry {
         |FROM st ORDER BY doc_id""".stripMargin,
     "t15_domain_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(n_chars) * 1000 // count(*) AS mean_chars_milli,
+        |  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS mean_chars_milli,
         |  count(DISTINCT lang) AS n_langs,
         |  count(DISTINCT md5(text)) AS n_unique_texts,
-        |  (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS dup_ratio_micro
+        |  CAST((count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS BIGINT) AS dup_ratio_micro
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t16_seq_pack" ->
       """WITH tk AS (

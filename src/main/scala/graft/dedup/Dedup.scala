@@ -408,9 +408,12 @@ object Dedup {
     * integer) so the oracle can reproduce them exactly in DuckDB; the bit
     * votes are folded with codegen'd `aggregate` over the gram array — the
     * whole operator is one shuffle-free projection, which is what makes it
-    * viable as a 100 TB pre-pass. Documents within hamming distance 15 are
-    * guaranteed to share at least one of the 4 bands (pigeonhole), so the
-    * bands are the LSH bucketing key for near-dup candidate generation.
+    * viable as a 100 TB pre-pass. Documents within hamming distance 3 are
+    * guaranteed to share at least one of the 4 bands (pigeonhole: 4
+    * differing bits could hit all 4 bands, 3 cannot); pairs at hamming
+    * 4–15 are caught only when their differing bits happen to leave a
+    * band untouched — so the bands are a high-recall (not exhaustive)
+    * LSH bucketing key for near-dup candidate generation.
     */
   def d4SimHash(spark: SparkSession, dir: String): DataFrame =
     // One-pass native fingerprint ([[org.apache.spark.sql.graft.SimHash60]]):
@@ -433,9 +436,11 @@ object Dedup {
 
   /** d9: SimHash near-dup PAIRS — the pairing stage d4's fingerprints
     * exist for. Candidates come from the 4×15-bit band equijoin (by
-    * pigeonhole, any pair within Hamming distance 15 shares at least one
-    * band — so recall at the ≤15 threshold is exactly 1), then the exact
-    * Hamming distance (`bit_count(xor)`, codegen'd built-ins) verifies.
+    * pigeonhole, recall is exactly 1 at Hamming ≤ 3; pairs at hamming
+    * 4–15 are returned only when a band happens to stay untouched —
+    * widen to more/narrower bands if full ≤15 recall is required), then
+    * the exact Hamming distance (`bit_count(xor)`, codegen'd built-ins)
+    * verifies.
     * Against d3's MinHash path this is the cheaper/coarser tier: one
     * 8-byte fingerprint per document instead of a 1 KB signature, band
     * join on 2-byte keys, verification a single xor-popcount — the

@@ -158,7 +158,9 @@ object Media {
       .orderBy("doc_id")
 
   /** m6: media near-dup PAIRS from m5's fingerprints — banded equijoin
-    * (pigeonhole: recall 1.0 at hamming ≤ 15 with 4 bands) then exact
+    * (pigeonhole: recall 1.0 at hamming ≤ 3 with 4 bands; pairs at
+    * hamming 4–15 surface only when a band happens to collide — add
+    * bands or multi-probe if exhaustive ≤15 recall is needed) then exact
     * `bit_count(xor)` verification, the same never-all-pairs scale shape
     * as the text-side d9. Candidate volume is governed by band
     * cardinality; perceptual bands are less uniform than SimHash's (block

@@ -642,10 +642,22 @@ object BlockAvgHashKernel {
     var hash = 0L
     var b = 0
     while (b < Blocks) {
-      if (sums(b) * n > total * counts(b)) hash |= 1L << b
+      // Cross-multiplication sums(b)*n can exceed Long for payloads past
+      // ~1.4 GB (bounded by ~4.25·n²), so compare the 128-bit products.
+      if (cmpProducts(sums(b), n.toLong, total, counts(b)) > 0) hash |= 1L << b
       b += 1
     }
     hash
+  }
+
+  /** Compares a·b vs c·d exactly for non-negative longs via 128-bit
+    * products (high word from `Math.multiplyHigh`, low word unsigned).
+    */
+  private def cmpProducts(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 }
 
