@@ -215,24 +215,37 @@ object TextFuncs {
     * tail?) computed exactly: p50/p95 are RANK-based (the value at row
     * ceil(q·n) of the (n_chars, doc_id) order — deterministic under ties,
     * no interpolation, so the oracle reproduces them bit-for-bit) and the
-    * mean is integer fixed-point. One window pass + one aggregate, both
-    * partitioned by the language key — at 100 TB each language's stats
-    * pipeline is an independent partition stream.
+    * mean is integer fixed-point.
+    *
+    * Scale shape: the rank-r VALUE is fully determined by per-value
+    * counts (value v occupies ranks cum(<v)+1 .. cum(≤v), whatever the
+    * doc_id tiebreak does inside the run), so the corpus only ever passes
+    * through a hash aggregate `(lang, n_chars) → count` — map-side
+    * combined, parallel in #distinct pairs. The ordered window that turns
+    * counts into cumulative ranks runs over that HISTOGRAM (≤ #distinct
+    * lengths per language, bounded by the value domain), never over the
+    * documents themselves. The previous formulation's
+    * `row_number() over (partition by lang order by …)` sorted every row
+    * of a language in ONE task — invisible at sf0.1, a serialization
+    * point at 100 TB with a handful of languages.
     */
   def t12CorpusStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id").asc)
+    val hist = Tables(spark, dir).documents
+      .select(col("lang"), col("n_chars"))
+      .groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc)
     val wAll = Window.partitionBy(col("lang"))
-    Tables(spark, dir).documents
-      .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .groupBy("lang")
       .agg(
         max(col("n")).as("n_docs"),
-        expr("sum(n_chars) * 1000 DIV max(n)").as("mean_chars_milli"),
-        max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars"))).as("p50_chars"),
-        max(when(col("rn") === ceil(col("n") * 0.95), col("n_chars"))).as("p95_chars"))
+        expr("sum(n_chars * cnt) * 1000 DIV max(n)").as("mean_chars_milli"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("n_chars"))).as("p50_chars"),
+        min(when(col("cum") >= ceil(col("n") * 0.95), col("n_chars"))).as("p95_chars"))
       .orderBy("lang")
   }
 

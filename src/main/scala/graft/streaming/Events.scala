@@ -212,12 +212,11 @@ object Events {
     * set is bit-stable across engines — the property a monitoring alert
     * needs (an approx-percentile threshold flaps near the boundary).
     *
-    * Two passes over the same scan: a per-type ordered window to find the
-    * p99 row (each type's partition sorts independently and spills
-    * gracefully; types are few, so the threshold table is tiny), then a
-    * broadcast join back — no second shuffle of the fact side. At 100 TB,
-    * swap pass one for a per-type count + global-sort rank only if a
-    * single type outgrows executor spill capacity.
+    * Two passes over the same scan: a per-type value HISTOGRAM reduced by
+    * a parallel hash aggregate feeds the cumulative-rank pick of the p99
+    * value (see [[e7Thresholds]] — no stratum is ever sorted in one
+    * task), then a broadcast join back — no second shuffle of the fact
+    * side.
     */
   def e7ThresholdAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir).events
@@ -231,15 +230,26 @@ object Events {
     */
   def e7Thresholds(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = events.select(col("event_id"), col("event_type"),
-      expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli"))
-    val wOrd = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_milli").asc, col("event_id").asc)
+    // Exact p99 without sorting any stratum in one task: the rank-r VALUE
+    // depends only on per-value counts, so reduce the fact table with a
+    // map-side-combined hash aggregate `(type, value_milli) → count` and
+    // run the cumulative-rank window over that small histogram. The value
+    // at rank ceil(0.99·n) is the first one whose cumulative count
+    // reaches the rank — identical to the old row_number() formulation
+    // (the event_id tiebreak only orders rows WITHIN a value's run, never
+    // changes which value holds a rank).
+    val hist = events
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli"))
+      .groupBy("event_type", "value_milli")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value_milli").asc)
     val wAll = Window.partitionBy(col("event_type"))
-    ev.withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter(col("rn") === ceil(col("n") * 0.99))
-      .select(col("event_type"), col("value_milli").as("p99_milli"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.99), col("value_milli"))).as("p99_milli"))
   }
 
   /** The filter core shared by batch e7 and its streaming twin: works

@@ -206,6 +206,46 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.collectWithSubqueries { case p => p }.nonEmpty)
   }
 
+  test("t12/e7 exact percentiles: ordered windows run over histograms, never fact rows") {
+    // The scale hazard: `row_number() over (partition by lang|event_type
+    // order by …)` sorts a whole low-cardinality stratum in ONE task. The
+    // histogram construction must put a hash aggregate between the scan
+    // and every window, so the window's input is per-value counts
+    // (bounded by the value domain), not corpus rows.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, df) <- Seq(
+        "t12" -> functions.TextFuncs.t12CorpusStats(spark, dir),
+        "e7"  -> streaming.Events.e7Thresholds(Tables(spark, dir).events))) {
+      val windows = physical(df).collectWithSubqueries { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected the cumulative-rank window")
+      windows.foreach { w =>
+        assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$name: window consumes raw fact rows (no aggregate below it):\n$w")
+      }
+    }
+  }
+
+  test("rank<=k windows plan as WindowGroupLimit (per-task top-k, no full stratum sort)") {
+    // t13/q4/s2/s3/s4 filter `row_number() <= k`; Spark 4's
+    // WindowGroupLimit pushes that to a per-map-task top-k so no task
+    // ever sorts a whole stratum. Lock the plan shape in so a refactor
+    // (e.g. materializing the rank column before the filter) can't
+    // silently reintroduce the full sort.
+    for ((name, df) <- Seq(
+        "q4_window_latest"      -> operators.Relational.q4WindowLatest(spark, dir),
+        "t13_stratified_sample" -> functions.TextFuncs.t13StratifiedSample(spark, dir),
+        "s2_lsh_ann"            -> similarity.Ann.s2LshAnn(spark, dir),
+        "s3_centroid_ivf"       -> similarity.Ann.s3CentroidIvf(spark, dir),
+        "s4_knn_join"           -> similarity.Ann.s4KnnJoin(spark, dir))) {
+      val plan = physical(df)
+      val hasLimit = plan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }.nonEmpty
+      assert(hasLimit, s"$name: expected WindowGroupLimitExec in:\n$plan")
+    }
+  }
+
   test("e7: the events fact side is scanned pruned and joined broadcast") {
     val plan = streaming.Events.e7ThresholdAnomaly(spark, dir)
       .queryExecution.executedPlan.toString
