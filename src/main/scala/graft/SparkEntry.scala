@@ -43,6 +43,7 @@ object SparkEntry {
     "g8_hierarchy_paths" -> GraphOps.g8HierarchyPaths _,
     "g9_shortest_paths"  -> ((s: SparkSession, d: String) => GraphIter.g9ShortestPaths(s, d)),
     "g10_label_propagation" -> GraphIter.g10LabelPropagation _,
+    "g11_news_copairs"   -> GraphOps.g11NewsCopairs _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "t15_domain_stats"   -> TextFuncs.t15DomainStats _,
     "t17_weighted_sample" -> TextFuncs.t17WeightedSample _,
     "t16_seq_pack"       -> ((s: SparkSession, d: String) => TextFuncs.t16SeqPack(s, d)),
+    "t18_cost_accounting" -> ((s: SparkSession, d: String) => TextFuncs.t18CostAccounting(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -447,6 +449,31 @@ object SparkEntry {
         |  FROM anc JOIN edges e ON anc.ancestor = e.child
         |)
         |SELECT node, ancestor, depth, path FROM anc ORDER BY node, depth, ancestor""".stripMargin,
+    "g11_news_copairs" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"leader":{"name":"u' || user_id ||
+        |    '"},"accompanying_persons":[{"name":"a' ||
+        |      (CAST(json_extract_string(props, '$.k') AS BIGINT) % 12) ||
+        |    '"}],"targets":[{"name":"t' || event_type ||
+        |    '","type":"person"},{"name":"org' || event_type ||
+        |    '","type":"org"}]}' AS doc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, json_transform(doc,
+        |    '{"leader":{"name":"VARCHAR"},"accompanying_persons":[{"name":"VARCHAR"}],"targets":[{"name":"VARCHAR","type":"VARCHAR"}]}') AS t
+        |  FROM j),
+        |m AS (
+        |  SELECT DISTINCT event_id, person FROM (
+        |    SELECT event_id, t.leader.name AS person FROM s
+        |    UNION ALL
+        |    SELECT event_id, unnest(list_transform(t.accompanying_persons, x -> x.name)) AS person FROM s
+        |    UNION ALL
+        |    SELECT event_id, unnest(list_transform(list_filter(t.targets, x -> x.type = 'person'), x -> x.name)) AS person FROM s))
+        |SELECT a.person AS person1, b.person AS person2, count(*) AS n_items
+        |FROM m a JOIN m b USING (event_id)
+        |WHERE a.person < b.person
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "g5_connected_components" ->
       """WITH nodes AS (
         |  SELECT 'c_' || c_custkey AS node, r_name AS root
@@ -950,6 +977,37 @@ object SparkEntry {
         |SELECT cohort_hour, hours_since, count(DISTINCT user_id) AS n_active
         |FROM a GROUP BY cohort_hour, hours_since
         |ORDER BY cohort_hour, hours_since""".stripMargin,
+    "t18_cost_accounting" ->
+      """WITH calls AS (
+        |  SELECT 'gpt-' || event_type AS model,
+        |    epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(floor(value * 10) AS BIGINT) + 100 AS prompt_tokens,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS cached_tokens,
+        |    CAST(floor(value * 3) AS BIGINT) AS output_tokens
+        |  FROM events),
+        |pc AS (
+        |  SELECT model, day_idx,
+        |    prompt_tokens - cached_tokens AS input_tokens, cached_tokens, output_tokens,
+        |    ((prompt_tokens - cached_tokens) * 2500000) // 1000000
+        |      + (cached_tokens * 1250000) // 1000000
+        |      + (output_tokens * 10000000) // 1000000 AS cost_micro
+        |  FROM calls),
+        |d AS (
+        |  SELECT model, day_idx, count(*) AS n_calls,
+        |    CAST(sum(input_tokens) AS BIGINT) AS input_tokens,
+        |    CAST(sum(cached_tokens) AS BIGINT) AS cached_tokens,
+        |    CAST(sum(output_tokens) AS BIGINT) AS output_tokens,
+        |    CAST(sum(cost_micro) AS BIGINT) AS cost_micro
+        |  FROM pc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(sum(cost_micro) OVER (
+        |    PARTITION BY model ORDER BY day_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_cost_micro
+        |  FROM d)
+        |SELECT model, day_idx, n_calls, input_tokens, cached_tokens, output_tokens,
+        |  cost_micro, cum_cost_micro,
+        |  CAST(cum_cost_micro >= 2000000 AS INTEGER) AS limit_reached
+        |FROM r ORDER BY model, day_idx""".stripMargin,
     "e7_threshold_anomaly" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS value_milli

@@ -429,4 +429,54 @@ object TextFuncs {
         expr(s"start % $budget").as("seq_offset"))
       .orderBy("doc_id")
   }
+
+  /** t18: API token/cost accounting — the reference's `TokenCostTracker`
+    * (leader/bio_processor.py:29-180) re-expressed as a grouped aggregate:
+    * per call, actual input tokens are prompt minus cached, the three
+    * token classes are priced per-1M in integer micro-dollars (floored
+    * per call, exactly as a fixed-point ledger would), and `get_stats`
+    * (:154) becomes the per-model/per-day rollup. The tracker's
+    * `cost_limit` / `limit_reached` latch (:67-83) becomes a running
+    * cumulative cost per model with a flag on every day-row at or past
+    * the limit — the batch view of "stop processing when the budget is
+    * burned".
+    *
+    * The call log is derived deterministically from `events` (one event =
+    * one call; tokens from the value/props fields) so the oracle
+    * reproduces it bit-for-bit. Scale shape: one map-side-combined hash
+    * aggregate over the call log; the running-total window runs over the
+    * (model, day) rollup — #models × #days rows — never over calls.
+    */
+  def t18CostAccounting(
+      spark: SparkSession,
+      dir: String,
+      costLimitMicro: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCall = Tables(spark, dir).events
+      .select(
+        concat(lit("gpt-"), col("event_type")).as("model"),
+        expr("ts DIV 86400000000000").as("day_idx"),
+        expr("CAST(floor(value * 10) AS BIGINT) + 100").as("prompt_tokens"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("cached_tokens"),
+        expr("CAST(floor(value * 3) AS BIGINT)").as("output_tokens"))
+      .withColumn("input_tokens", col("prompt_tokens") - col("cached_tokens"))
+      .withColumn("cost_micro",
+        expr("(input_tokens * 2500000) DIV 1000000" +
+          " + (cached_tokens * 1250000) DIV 1000000" +
+          " + (output_tokens * 10000000) DIV 1000000"))
+    val daily = perCall
+      .groupBy("model", "day_idx")
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum("input_tokens").as("input_tokens"),
+        sum("cached_tokens").as("cached_tokens"),
+        sum("output_tokens").as("output_tokens"),
+        sum("cost_micro").as("cost_micro"))
+    val wRun = Window.partitionBy(col("model")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_cost_micro", sum(col("cost_micro")).over(wRun))
+      .withColumn("limit_reached", (col("cum_cost_micro") >= costLimitMicro).cast("int"))
+      .orderBy("model", "day_idx")
+  }
 }

@@ -406,4 +406,56 @@ object GraphOps {
       .select("node", "ancestor", "depth", "path")
       .orderBy("node", "depth", "ancestor")
   }
+
+  /** g11: news co-occurrence EDGES from the typed extraction — the step
+    * between t10's per-item parse and the reference's graph load. The
+    * reference extracts one `NewsExtraction` per item (news_schema.py:
+    * 1-88: leader + accompanying persons + typed targets) and its loader
+    * turns the entity lists of one item into person–person relationships
+    * (news_processor.py / mysql2neo4j.py MERGE edges). Here: parse the
+    * item's JSON once, collect the person mentions (leader, accompanying,
+    * and only the person-TYPED targets — the 个人/公司/组织 filter), and
+    * emit one undirected co-occurrence pair per unordered combination,
+    * counted across items.
+    *
+    * Scale shape: mention lists per news item are tiny (a leader plus a
+    * handful of names), so pairs are generated INSIDE the row with a
+    * nested `transform` over the sorted-distinct mention array — a
+    * codegen'd projection, no self-join of the fact table against itself.
+    * The only shuffle is the final (person1, person2) count, which is
+    * map-side combined. At 100 TB the plan is scan-bound like t10, and
+    * a viral person (appearing in many items) skews only the count
+    * aggregate's key, not a join explosion.
+    */
+  def g11NewsCopairs(spark: SparkSession, dir: String): DataFrame = {
+    val uid = col("user_id").cast("string")
+    val kmod = pmod(get_json_object(col("props"), "$.k").cast("long"), lit(12)).cast("string")
+    // The item's typed-extraction document, built verbatim from the row
+    // (same construction discipline as t10): leader + one accompanying
+    // person + a person-typed and an org-typed target, so the pair stage
+    // exercises the type filter rather than formatting luck.
+    val doc = concat(
+      lit("{\"leader\":{\"name\":\"u"), uid,
+      lit("\"},\"accompanying_persons\":[{\"name\":\"a"), kmod,
+      lit("\"}],\"targets\":[{\"name\":\"t"), col("event_type"),
+      lit("\",\"type\":\"person\"},{\"name\":\"org"), col("event_type"),
+      lit("\",\"type\":\"org\"}]}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "leader STRUCT<name: STRING>, accompanying_persons ARRAY<STRUCT<name: STRING>>, " +
+        "targets ARRAY<STRUCT<name: STRING, type: STRING>>")
+    val mentions = Tables(spark, dir).events
+      .select(col("event_id"), from_json(doc, schema).as("j"))
+      .select(col("event_id"),
+        array_sort(array_distinct(concat(
+          array(col("j.leader.name")),
+          col("j.accompanying_persons.name"),
+          expr("transform(filter(j.targets, t -> t.type = 'person'), t -> t.name)")))).as("ps"))
+    mentions
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))")).as("p"))
+      .groupBy(col("p.p1").as("person1"), col("p.p2").as("person2"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("person1", "person2")
+  }
 }

@@ -618,6 +618,54 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g11 news co-pairs: every item contributes its 3 mention pairs, ordered and typed") {
+    val t = Tables(spark, dir)
+    val rows = operators.GraphOps.g11NewsCopairs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // Each item mentions exactly 3 distinct persons (u-leader, a-accomp,
+    // t-person-target; the org-typed target must be filtered out), so the
+    // total pair mass is 3 × #items.
+    val nEvents = t.events.count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum === 3 * nEvents)
+    rows.foreach { r =>
+      val (p1, p2) = (r.getAs[String]("person1"), r.getAs[String]("person2"))
+      assert(p1 < p2, s"pair not ordered: $p1, $p2")
+      Seq(p1, p2).foreach(p =>
+        assert(p.startsWith("u") || p.startsWith("a") || p.startsWith("t"),
+          s"unexpected mention (org leaked through the type filter?): $p"))
+    }
+  }
+
+  test("t18 cost accounting: ledger arithmetic, monotone running totals, latched flag") {
+    val rows = functions.TextFuncs.t18CostAccounting(spark, dir, costLimitMicro = 50000L).collect()
+    assert(rows.nonEmpty)
+    assert(Tables(spark, dir).events.count() ===
+      rows.map(_.getAs[Long]("n_calls")).sum)
+    rows.groupBy(_.getAs[String]("model")).foreach { case (_, days) =>
+      val sorted = days.sortBy(_.getAs[Long]("day_idx"))
+      var cum = 0L
+      var flagged = false
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("cost_micro")
+        assert(r.getAs[Long]("cum_cost_micro") === cum, "running total drifts")
+        val f = r.getAs[Int]("limit_reached") === 1
+        assert(f === (cum >= 50000L))
+        // once latched, never un-latched (the tracker's limit_reached)
+        assert(!flagged || f, "flag un-latched")
+        flagged = f
+      }
+      // per-day cost must equal the priced token classes re-derived from sums
+      // only approximately (per-call floors), so just sanity-bound it:
+      sorted.foreach { r =>
+        val ub = (r.getAs[Long]("input_tokens") * 2500000L / 1000000L) +
+          (r.getAs[Long]("cached_tokens") * 1250000L / 1000000L) +
+          (r.getAs[Long]("output_tokens") * 10000000L / 1000000L)
+        val cost = r.getAs[Long]("cost_micro")
+        assert(cost <= ub && cost >= ub - 3L * r.getAs[Long]("n_calls"))
+      }
+    }
+  }
+
   test("d10 semantic dedup assigns every vector a cell and canonicalizes downward") {
     val t = Tables(spark, dir)
     val rows = similarity.Ann.d10SemanticDedup(spark, dir).collect()
