@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch upsert-by-key: MERGE semantics for dimension maintenance.
+  *
+  * The reference's graph loader is MERGE-heavy — every node import is an
+  * idempotent upsert (`MERGE (o:Organization {uuid: $uuid}) ON CREATE SET
+  * ...`, mysql2neo4j.py:573; `MERGE (p:Person {uuid: $uuid})`, :631) and
+  * workplace orgs are auto-created on first sight (`MERGE (o:Organization
+  * {org_name: $place})`, :740). Re-expressed relationally that is
+  * "dedupe-and-union write": union the incoming batch with the stored
+  * dimension, keep exactly one row per key (newest version wins; at equal
+  * version the incoming row wins, which is what makes a replayed batch a
+  * no-op), and rewrite. Applying the same batch twice is bit-identical to
+  * applying it once — the property the reference gets from MERGE.
+  *
+  * Scale shape: one shuffle on the key; the keep-one window filters
+  * `row_number = 1`, which Spark 4 plans as WindowGroupLimit (per-map-task
+  * top-1, no per-key sort materialization) — and keys are high-cardinality
+  * by construction (they identify dimension rows), so there is no
+  * low-cardinality stratum hazard. The rewrite cost is the dimension
+  * table, not the fact corpus; at very large dimensions store the table
+  * bucketed by key ([[Bucketing]]) so the merge window rides the bucket
+  * layout without an exchange, and rewrite only the buckets an incoming
+  * key touches.
+  */
+object Upsert {
+
+  /** Pure merge: one row per `keys`, ordered by `versionCol` descending
+    * with incoming beating existing on ties. Columns are aligned by name;
+    * both sides must share the schema.
+    */
+  def upsertByKey(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(incoming.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: ${cols.sorted} vs ${incoming.columns.toSeq.sorted}")
+    val tagged = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
+  /** Apply a batch to a stored parquet dimension at `path`: read-if-there
+    * (first batch auto-creates the table — the :740 MERGE-on-first-sight
+    * behavior), merge, and atomically swap the directory so readers never
+    * observe a half-written table. Idempotent under replay.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      path: String,
+      incoming: DataFrame,
+      keys: Seq[String],
+      versionCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val merged =
+      if (fs.exists(target)) upsertByKey(spark.read.parquet(path), incoming, keys, versionCol)
+      else incoming.transform(df =>
+        // First sight: still dedupe the batch itself so a key appearing
+        // twice in one batch resolves exactly like it would across batches.
+        upsertByKey(df.limit(0), df, keys, versionCol))
+    val tmp = new Path(path + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target), s"atomic swap failed for $path")
+  }
+}
