@@ -15,19 +15,43 @@ import org.apache.spark.sql.functions._
   * fetch (`check_html_exists`, utils/db_utils.py:91) with the skip logic of
   * `filter_existing` (processor/data_processor.py:91-143).
   *
-  * Layout: plain parquet at `path` keyed by doc_id. LSH bands are DERIVED
-  * from the stored signature at read time — a cheap 32-hash projection of
-  * 128 stored ints per row; materializing them would multiply the index by
-  * the band count for no scan savings (the band join always reads the whole
-  * index's bands once per batch). On a cluster the natural refinement is
-  * bucketing the index by band_hash at write; the classify join then rides
-  * the layout exchange-free on the index side.
+  * Layout: two stores under `path`.
+  *   - `path/rows`: one parquet row per document (digest, signature, gram
+  *     codes), append-only — the verify/exact side.
+  *   - `path/bands`: the MATERIALIZED LSH band view (doc_id, band_id,
+  *     band_hash), written as a table BUCKETED AND SORTED BY band_hash.
+  *     The classify band join probes this layout in place: the index side
+  *     of the join has NO exchange and no sort — only the (small) incoming
+  *     batch shuffles, so per-batch classify cost is O(batch), not
+  *     O(index). Band rows are 3 narrow columns, so the 32× row blow-up
+  *     costs far less than re-deriving and re-shuffling bands per batch.
+  *     Bucket registration survives sessions the same way
+  *     [[graft.sources.Bucketing.ensureBucketed]] does: bucket files keep
+  *     their bucket-id naming, so a fresh session re-creates the table
+  *     with CREATE TABLE ... CLUSTERED BY ... LOCATION and stays
+  *     bucket-aware.
   */
 object SignatureIndex {
 
   private val NumHashes = 128
   private val Bands = 32
   private val RowsPerBand = NumHashes / Bands
+
+  /** Bucket count of the persisted band layout — sized for local[32]
+    * tests; on a cluster set it so one bucket of bands fits an executor
+    * core's scan budget (the usual bucketed-fact sizing rule).
+    */
+  private val BandBuckets = 32
+
+  private def rowsPath(path: String): String = s"$path/rows"
+  private def bandsPath(path: String): String = s"$path/bands"
+
+  /** Session-catalog name for the band table at `path` — content-derived
+    * so two indexes never collide and re-registration is idempotent.
+    */
+  private def bandTableName(path: String): String =
+    "graft_sigidx_bands_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   /** One index row per document: digest always; signature + gram codes
     * only where the text clears the shingle width (shorter docs can only
@@ -44,16 +68,6 @@ object SignatureIndex {
       when(longEnough, Dedup.gramCodes(col("text"))).as("grams"))
   }
 
-  /** Create/replace the index from an initial corpus. */
-  def write(docs: DataFrame, path: String): Unit =
-    buildRows(docs).write.mode("overwrite").parquet(path)
-
-  /** Append newly-accepted documents (call with the batch's `new` docs
-    * after classification; parquet append keeps this an O(batch) write).
-    */
-  def append(docs: DataFrame, path: String): Unit =
-    buildRows(docs).write.mode("append").parquet(path)
-
   private def bandsOf(withSig: DataFrame, idAs: String): DataFrame = withSig
     .filter(col("sig").isNotNull)
     .select(col("doc_id").as(idAs), explode(sequence(lit(0), lit(Bands - 1))).as("band_id"), col("sig"))
@@ -61,13 +75,74 @@ object SignatureIndex {
       hash(col("band_id"), slice(col("sig"), col("band_id") * RowsPerBand + 1, lit(RowsPerBand)))
         .as("band_hash"))
 
+  private def writeBands(spark: SparkSession, rows: DataFrame, path: String, mode: String): Unit =
+    bandsOf(rows, "doc_id")
+      .write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(BandBuckets, "band_hash")
+      .sortBy("band_hash")
+      .option("path", bandsPath(path))
+      .saveAsTable(bandTableName(path))
+
+  /** The bucketed band view, re-registered in this session's catalog if a
+    * previous session wrote it (bucket-id file naming makes the recreated
+    * table fully bucket-aware).
+    */
+  def bandTable(spark: SparkSession, path: String): DataFrame = {
+    val name = bandTableName(path)
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(
+        s"""CREATE TABLE $name (doc_id BIGINT, band_id INT, band_hash INT)
+           |USING PARQUET
+           |CLUSTERED BY (band_hash) SORTED BY (band_hash) INTO $BandBuckets BUCKETS
+           |LOCATION '${new java.io.File(bandsPath(path)).toURI}'""".stripMargin)
+    }
+    spark.table(name)
+  }
+
+  /** Create/replace the index from an initial corpus. */
+  def write(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${bandTableName(path)}")
+    // A location left by an earlier index would fail the band CTAS
+    // (non-empty-location guard), so clear it first.
+    val fs = new org.apache.hadoop.fs.Path(bandsPath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(bandsPath(path)), true)
+    buildRows(docs).write.mode("overwrite").parquet(rowsPath(path))
+    // Re-read the stored rows so the band layout is derived from exactly
+    // what the verify path will read (and the minhash isn't computed twice
+    // from raw text).
+    writeBands(spark, spark.read.parquet(rowsPath(path)), path, "overwrite")
+  }
+
+  /** Append newly-accepted documents (call with the batch's `new` docs
+    * after classification; parquet append on both stores keeps this an
+    * O(batch) write — bucketed append adds per-bucket files, it never
+    * rewrites the layout).
+    */
+  def append(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val rows = buildRows(docs).localCheckpoint(true)
+    rows.write.mode("append").parquet(rowsPath(path))
+    bandTable(spark, path) // ensure registered before bucketed append
+    writeBands(spark, rows, path, "append")
+  }
+
   /** Classify a new batch against the stored corpus — same output schema
     * and semantics as [[Dedup.d7IncrementalDedup]] (doc_id, status ∈
     * exact|near|new, dup_of = min matching corpus id), but every
-    * existing-side artifact comes from the index scan: digest equijoin for
-    * exact, signature-derived band equijoin for candidates, stored gram
-    * codes for the threshold-exact Jaccard verify. The historical TEXT
-    * column is never read.
+    * existing-side artifact comes from the index: digest equijoin for
+    * exact, the persisted bucketed band layout for candidates (no
+    * exchange, no sort on the index side), stored gram codes for the
+    * threshold-exact Jaccard verify. The historical TEXT column is never
+    * read.
+    *
+    * The band join keys on band_hash alone (band_id is already folded
+    * into the hash); a cross-band hash collision can only add a candidate
+    * pair, and every candidate passes the exact Jaccard verify, so the
+    * result set is unchanged — the bit-equality spec against d7 holds.
     */
   def classify(
       spark: SparkSession,
@@ -75,7 +150,7 @@ object SignatureIndex {
       path: String,
       threshold: Double = 0.8): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val index = spark.read.parquet(path)
+    val index = spark.read.parquet(rowsPath(path))
     val inRows = buildRows(incoming.select(col("doc_id"), col("text")))
       .repartition(nPart)
       .localCheckpoint(true) // probed three times: exact, bands, verify
@@ -84,7 +159,8 @@ object SignatureIndex {
       .groupBy("doc_id")
       .agg(min(col("ex_id")).as("exact_dup_of"))
     val candidates = bandsOf(inRows, "in_id")
-      .join(bandsOf(index, "ex_id"), Seq("band_id", "band_hash"))
+      .join(bandTable(spark, path).select(col("doc_id").as("ex_id"), col("band_hash")),
+        Seq("band_hash"))
       .select("in_id", "ex_id")
       .distinct()
       .repartition(nPart, col("in_id"), col("ex_id"))

@@ -143,6 +143,48 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) === "exact" && r.getLong(2) === probeId)
   }
 
+  test("signature index: classify's band join rides the bucketed layout exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-plan").toString
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    dedup.SignatureIndex.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0), s"$tmp/idx")
+    // Force the shuffle-join path (at spec scale the incoming bands would
+    // broadcast, which also leaves the index unshuffled but proves
+    // nothing about the layout; at batch scale this IS the join shape).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = dedup.SignatureIndex.classify(
+        spark, docs.filter(pmod(col("doc_id"), lit(2)) === 1), s"$tmp/idx")
+      val plan = physical(df)
+      val joins = plan.collectWithSubqueries {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      // Only the INNERMOST join above the bucketed scan is the band join;
+      // ancestor joins re-shuffle by other keys (in_id/ex_id) above it,
+      // which is legitimate. A side that itself contains a join is an
+      // ancestor's — skip it.
+      val indexSides = joins.flatMap(_.children.filter { c =>
+        val hasBucketScan =
+          c.collectFirst { case s: FileSourceScanExec if s.bucketedScan => s }.isDefined
+        val hasNestedJoin = c.collectFirst {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.isDefined
+        hasBucketScan && !hasNestedJoin
+      })
+      assert(indexSides.nonEmpty,
+        s"no join side reads the bucketed band layout:\n$plan")
+      indexSides.foreach(side =>
+        assert(side.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"index side of the band join shuffles:\n$side"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approximate two-hop (HLL escalation) tracks the exact bitmap counts") {
     val exact = operators.GraphOps.g4TwoHop(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
