@@ -257,22 +257,32 @@ object GraphIter {
     * edge list, one (node, label) count aggregate, one per-node argmax —
     * all shuffles on 8-byte packed keys. The label table checkpoints
     * every `cadence` supersteps (the final one stays lazy for the
-    * consumer's action); measured head-to-head at sf0.1, cadence 1 and 2
-    * are equivalent (4–5 s warm) and both beat the fully lazy 12-stage
-    * recurrence (6.6 s) — the deep un-materialized plan costs more in
-    * planning/AQE than the checkpoints save. Blocks are released between
-    * queries by releaseCaches.
+    * consumer's action). With superstep 1 fused into the init the default
+    * 4-iteration run is only a 3-join recurrence, and measured at sf0.1
+    * the fully lazy plan (cadence ≥ iters) now wins: 5.5 s vs 6.2 s with
+    * a mid-loop checkpoint vs 8.1 s pre-fusion — the materialization's
+    * fixed cost outweighs plan-depth savings at this depth. Deeper runs
+    * (higher `iters`) should pass a low cadence to bound lineage exactly
+    * as before. Blocks are released between queries by releaseCaches.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 4, cadence: Int = 2): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      // Repartition BEFORE deduping: HashPartitioning(src) satisfies the
+      // (src, dst) clustering, so the dedup aggregate reuses the join
+      // layout instead of adding its own exchange.
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Superstep 1 fused into the init: with identity labels every
+    // neighbor vote counts exactly once (sym is deduped), so the
+    // (count desc, label asc) argmax degenerates to min(neighbor) — one
+    // aggregate replaces the init-distinct + join + two aggregates of a
+    // materialized step-0 label table. Every node appears as a dst
+    // (sym is symmetric), so coverage is identical.
+    var labels = sym.groupBy(col("dst").as("node")).agg(min(col("src")).as("label"))
     var lastCp: DataFrame = null
-    (1 to iters).foreach { i =>
+    (2 to iters).foreach { i =>
       val next = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
@@ -315,7 +325,7 @@ object GraphIter {
     def decode(c: org.apache.spark.sql.Column) =
       when(pmod(c, lit(2)) === 0, concat(lit("c_"), shiftright(c, 1).cast("string")))
         .otherwise(concat(lit("s_"), shiftright(c, 1).cast("string")))
-    labelPropagation(edges)
+    labelPropagation(edges, cadence = 4)
       .select(decode(col("node")).as("node"), decode(col("label")).as("label"))
       .orderBy("node")
   }
