@@ -25,13 +25,20 @@ object GraphIter {
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      // Pinned on the message-join key so each superstep re-uses the edge
-      // layout (localCheckpoint preserves outputPartitioning).
+      // Repartition BEFORE deduping: HashPartitioning(dst) satisfies the
+      // (src, dst) clustering, so the dedup aggregate reuses the pinned
+      // message-join layout (localCheckpoint preserves outputPartitioning)
+      // instead of adding its own exchange.
       .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Superstep 1 fused into the init: with identity labels the first
+    // min-propagation is exactly least(node, min neighbor), one aggregate
+    // over the edges — no materialized step-0 label table, no first
+    // message join. Every node appears as a src (sym is symmetric), so
+    // coverage is identical.
+    var labels = sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
       .localCheckpoint(true)
     var converged = false
     while (!converged) {
