@@ -146,12 +146,21 @@ object GraphIter {
     val withDeg = sym
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
-    // Initial ranks: distinct over the src-partitioned edges — partial
-    // dedup runs exchange-free on the checkpointed layout.
-    var ranks = withDeg.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(1000000L))
-      .localCheckpoint(true)
-    var lastCheckpoint = ranks
+    // Superstep 1 fused into the init: with uniform ranks (1e6 micro)
+    // every edge's contribution is 1e6 DIV deg(src), already present on
+    // the degree-annotated edge row — so the first iteration is one
+    // aggregate straight off the checkpointed edges, with no rank table
+    // to materialize and no first join. Every node appears as a dst (sym
+    // is symmetric), so coverage is identical.
+    var ranks = withDeg
+      .select(col("dst").as("node"), expr("1000000 DIV deg").as("contrib"))
+      .groupBy("node")
+      .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
+    var lastCheckpoint: DataFrame = null
+    if (iterations <= 1) {
+      ranks = ranks.localCheckpoint(true)
+      lastCheckpoint = ranks
+    }
     // Cadence trades plan depth against per-superstep materialization:
     // between checkpoints the supersteps stay lazy and fuse into one
     // multi-shuffle job; each eager checkpoint is a full materialization
@@ -159,7 +168,7 @@ object GraphIter {
     // 10-iteration ranking materializes exactly once, at the end; long or
     // convergence-driven runs should pass a lower cadence to bound
     // lineage.
-    for (it <- 1 to iterations) {
+    for (it <- 2 to iterations) {
       var next = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("rank DIV deg").as("contrib"))
@@ -167,7 +176,7 @@ object GraphIter {
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
       if (it % checkpointCadence == 0 || it == iterations) {
         next = next.localCheckpoint(true)
-        lastCheckpoint.unpersist()
+        if (lastCheckpoint != null) lastCheckpoint.unpersist()
         lastCheckpoint = next
       }
       ranks = next
