@@ -447,12 +447,13 @@ object TextFuncs {
     * aggregate over the call log; the running-total window runs over the
     * (model, day) rollup — #models × #days rows — never over calls.
     */
-  def t18CostAccounting(
-      spark: SparkSession,
-      dir: String,
-      costLimitMicro: Long = 2000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perCall = Tables(spark, dir).events
+  /** Per-call ledger columns of t18, factored out because they are also
+    * the map side of the STREAMING budget meter
+    * ([[graft.streaming.EventsStream.costMeterStream]]) — one projection,
+    * batch and stream price calls identically.
+    */
+  def costPerCall(events: DataFrame): DataFrame =
+    events
       .select(
         concat(lit("gpt-"), col("event_type")).as("model"),
         expr("ts DIV 86400000000000").as("day_idx"),
@@ -464,7 +465,13 @@ object TextFuncs {
         expr("(input_tokens * 2500000) DIV 1000000" +
           " + (cached_tokens * 1250000) DIV 1000000" +
           " + (output_tokens * 10000000) DIV 1000000"))
-    val daily = perCall
+
+  def t18CostAccounting(
+      spark: SparkSession,
+      dir: String,
+      costLimitMicro: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = costPerCall(Tables(spark, dir).events)
       .groupBy("model", "day_idx")
       .agg(
         count(lit(1)).as("n_calls"),

@@ -304,6 +304,22 @@ object EventsStream {
       .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, path))
       .start()
 
+  /** Streaming t18: the tracker's live role — running per-model spend
+    * with the cost-limit latch, refreshed every micro-batch (the
+    * reference stops its pipeline the moment `total_cost >= cost_limit`,
+    * bio_processor.py:67-83; this is that check as a continuous query).
+    * Calls are priced by the SAME projection as the batch ledger
+    * ([[graft.functions.TextFuncs.costPerCall]]). State is one running
+    * sum per model — bounded by #models, and deliberately unwatermarked:
+    * a budget never expires. The latch is monotone because per-call
+    * costs are non-negative.
+    */
+  def costMeterStream(events: DataFrame, costLimitMicro: Long = 2000000L): DataFrame =
+    graft.functions.TextFuncs.costPerCall(events)
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_calls"), sum(col("cost_micro")).as("cum_cost_micro"))
+      .withColumn("limit_reached", (col("cum_cost_micro") >= costLimitMicro).cast("int"))
+
   def sessionizeCustomState(
       events: Dataset[RawEvent],
       gapUs: Long = 30L * 60 * 1000000L): Dataset[SessionRow] = {

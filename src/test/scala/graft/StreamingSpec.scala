@@ -12,6 +12,8 @@ final case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Long,
 
 final case class Doc(doc_id: Long, text: String, ingest_ts_ns: Long)
 
+final case class CallEv(event_id: Long, user_id: Long, event_type: String, ts: Long, value: Double, props: String)
+
 /** Structured Streaming forms of the F-group, driven through MemoryStream:
   * the streaming plans must (a) run incrementally with watermarked state and
   * (b) agree with the batch forms on the same finite input.
@@ -229,6 +231,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val landed = spark.read.parquet(s"$out/stream")
     assert(landed.count() === sample.size.toLong + 1)
     assert(landed.select("ingest_batch").distinct().count() === 2)
+  }
+
+
+  test("streaming cost meter accumulates across batches, latches, and matches the batch ledger") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val dayNs = 86400L * 1000000000L
+    val b1 = Seq(
+      CallEv(1, 1, "chat", 1 * dayNs, 100.0, "{\"k\": 40}"),
+      CallEv(2, 1, "chat", 1 * dayNs + 1, 200.0, "{\"k\": 0}"),
+      CallEv(3, 2, "embed", 1 * dayNs + 2, 50.0, "{\"k\": 10}"))
+    val b2 = Seq(
+      CallEv(4, 1, "chat", 2 * dayNs, 400.0, "{\"k\": 99}"),
+      CallEv(5, 2, "embed", 2 * dayNs + 1, 60.0, "{\"k\": 5}"))
+    // Limit chosen so gpt-chat crosses it only once batch 2 lands.
+    def expected(calls: Seq[CallEv]): Map[String, (Long, Long)] =
+      graft.functions.TextFuncs.costPerCall(calls.toDF())
+        .groupBy("model").agg(count(lit(1)).as("n"), sum("cost_micro").as("c"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val limit = expected(b1)("gpt-chat")._2 + 1
+
+    val mem = MemoryStream[CallEv]
+    val q = EventsStream.costMeterStream(mem.toDF(), limit)
+      .writeStream.format("memory").queryName("t18s").outputMode("complete").start()
+    try {
+      def snapshot(): Map[String, (Long, Long, Int)] =
+        spark.table("t18s").collect()
+          .map(r => r.getAs[String]("model") ->
+            ((r.getAs[Long]("n_calls"), r.getAs[Long]("cum_cost_micro"),
+              r.getAs[Int]("limit_reached")))).toMap
+
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val s1 = snapshot()
+      val e1 = expected(b1)
+      assert(s1.keySet === e1.keySet)
+      e1.foreach { case (m, (n, c)) => assert(s1(m) === ((n, c, 0))) }
+
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val s2 = snapshot()
+      val e2 = expected(b1 ++ b2)
+      assert(s2.keySet === e2.keySet)
+      e2.foreach { case (m, (n, c)) =>
+        assert(s2(m) === ((n, c, if (c >= limit) 1 else 0)))
+      }
+      // The latch actually fired for the model that crossed the budget.
+      assert(s2("gpt-chat")._3 === 1)
+      assert(s2("gpt-embed")._3 === 0)
+    } finally q.stop()
   }
 
   test("streaming e3 dedup keeps one row per (user, type)") {
