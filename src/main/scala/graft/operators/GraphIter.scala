@@ -228,13 +228,22 @@ object GraphIter {
   def shortestPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 6): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      // Repartition BEFORE deduping: HashPartitioning(src) satisfies the
+      // (src, dst) clustering, so the dedup reuses the probe layout.
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
-    var settled = seeds.select(col("node")).distinct()
+    // The settled set is kept as a LAZY union of the eager per-depth
+    // frontier checkpoints: each anti-join still reads exactly the
+    // settled rows (from cached blocks), but the growing O(V) set is
+    // never re-materialized per superstep — only each (much smaller)
+    // frontier is. Pinned-block volume is identical (the frontiers ARE
+    // the result's partition of settled); the consumer's releaseCaches
+    // drops them after the action, as with every iterative operator.
+    var frontier = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
-    var frontier = settled
+    var settled = frontier
     var depth = 0L
     var done = false
     while (depth < maxDepth && !done) {
@@ -247,16 +256,15 @@ object GraphIter {
         .withColumn("dist", lit(depth))
         .localCheckpoint(true)
       done = next.isEmpty
-      val grown = settled.unionByName(next).localCheckpoint(true)
-      settled.unpersist()
-      if (frontier ne next) frontier.unpersist()
-      settled = grown
-      frontier = next
+      if (done) {
+        // Empty frontier: nothing to add; release its (empty) blocks now.
+        next.unpersist()
+      } else {
+        settled = settled.unionByName(next)
+        frontier = next
+      }
     }
     sym.unpersist()
-    // The depth-bound exit leaves the last frontier's checkpoint blocks
-    // pinned (it is distinct from the returned settled union); release it.
-    if (frontier ne settled) frontier.unpersist()
     settled
   }
 
