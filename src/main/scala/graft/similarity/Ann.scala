@@ -311,9 +311,19 @@ object Ann {
       spark: SparkSession,
       dir: String,
       nCells: Int = 8,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    trainedCentroidsOf(Tables(spark, dir).embeddings, nCells, iters)
+
+  /** [[trainedCentroids]] over an arbitrary (vec_id, embedding) frame —
+    * shared with [[VectorIndex.build]], which trains on the corpus it is
+    * about to index.
+    */
+  def trainedCentroidsOf(
+      emb: DataFrame,
+      nCells: Int,
+      iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables(spark, dir).embeddings
+    val spark = emb.sparkSession
     var cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id") < nCells)
       .orderBy("vec_id")
       .collect()

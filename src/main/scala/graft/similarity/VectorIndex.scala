@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the pay-at-ingest half of similarity search,
+  * [[graft.dedup.SignatureIndex]]'s shape applied to ANN. [[Ann
+  * .s3CentroidIvfTrained]] proves the trained-centroid/multi-probe
+  * semantics but re-trains and re-assigns the whole corpus on every run;
+  * at 100 TB the assignment scan IS the cost, and it only changes when
+  * the corpus does. This store trains once at build time and persists
+  *
+  *   - `path/centroids`: the nCells × dim centroid matrix (tiny parquet),
+  *   - `path/cells`: every corpus vector with its argmax cell, written
+  *     BUCKETED AND SORTED BY cell.
+  *
+  * A query batch then only pays: broadcast the centroid matrix, rank its
+  * own nProbe cells, and probe the bucketed layout in place — the index
+  * side of the probe join has NO exchange (typically the small query side
+  * broadcasts, and the cell scan is not even shuffled then). Bucket
+  * registration survives sessions the same CREATE TABLE ... CLUSTERED BY
+  * ... LOCATION way as the dedup index.
+  *
+  * Reference analog: the precomputed embedding store a retrieval pipeline
+  * maintains next to its corpus, re-expressed in Spark's storage layer.
+  */
+object VectorIndex {
+
+  private def centroidsPath(path: String): String = s"$path/centroids"
+  private def cellsPath(path: String): String = s"$path/cells"
+
+  private def cellTableName(path: String): String =
+    "graft_vecidx_cells_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Train deterministic spherical k-means centroids on `embeddings`
+    * ((vec_id, embedding) rows) and persist centroids + the bucketed
+    * cell assignment. `buckets` sizes the probe parallelism — on a
+    * cluster set it so one bucket's vectors fit a core's scan budget.
+    */
+  def build(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      nCells: Int = 8,
+      iters: Int = 3,
+      buckets: Int = 8): Unit = {
+    Ann.trainedCentroidsOf(embeddings, nCells, iters)
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    spark.sql(s"DROP TABLE IF EXISTS ${cellTableName(path)}")
+    val fs = new org.apache.hadoop.fs.Path(cellsPath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cellsPath(path)), true)
+    // Assign from the STORED centroids so the index is internally
+    // consistent with what query() will read back.
+    val cdf = spark.read.parquet(centroidsPath(path))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    embeddings
+      .crossJoin(broadcast(cdf))
+      .withColumn("c_sim", Ann.cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .option("path", cellsPath(path))
+      .saveAsTable(cellTableName(path))
+    // Bucket count recorded next to the data: re-registration must use
+    // the exact layout count (inferring it from file names breaks when a
+    // bucket is empty and writes no file).
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/meta.json"), true)
+    out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The stored centroid matrix. */
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
+  /** The bucketed cell assignment, re-registered in this session's
+    * catalog if a previous session built it.
+    */
+  def cellTable(spark: SparkSession, path: String): DataFrame = {
+    val name = cellTableName(path)
+    if (!spark.catalog.tableExists(name)) {
+      val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(metaPath)
+      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"no bucket count in $metaPath: $meta"))
+      spark.sql(
+        s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<FLOAT>, cell BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (cell) SORTED BY (cell) INTO $buckets BUCKETS
+           |LOCATION '${new java.io.File(cellsPath(path)).toURI}'""".stripMargin)
+    }
+    spark.table(name)
+  }
+
+  /** Top-k cosine neighbors for a (query_id, q_emb) batch: rank the
+    * batch's nProbe cells against the broadcast centroids, probe the
+    * bucketed layout, exact cosine + per-query top-k (plans as
+    * WindowGroupLimit — no full candidate sort). Same output schema and
+    * ranking semantics as [[Ann.s3CentroidIvfTrained]].
+    */
+  def query(
+      spark: SparkSession,
+      queries: DataFrame,
+      path: String,
+      k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val cdf = centroids(spark, path)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    val probes = queries
+      .crossJoin(broadcast(cdf))
+      .withColumn("c_sim", Ann.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cellTable(spark, path)
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell"))
+      .join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Ann.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+}

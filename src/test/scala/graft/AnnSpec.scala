@@ -56,4 +56,73 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq
     assert(snap() === snap())
   }
+
+  test("persisted vector index: query matches an unbucketed replay, recall holds, probe is exchange-free") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+    val emb = Tables(spark, dir).embeddings
+    similarity.VectorIndex.build(spark, emb, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+    val got = similarity.VectorIndex.query(spark, queries, s"$tmp/idx")
+
+    // 1. Layout independence: the same ranking recomputed from the stored
+    // artifacts read as PLAIN parquet (no bucketed table, no layout) must
+    // be row-identical — the bucketing changes the plan, never the answer.
+    val cdf = spark.read.parquet(s"$tmp/idx/centroids")
+    val cells = spark.read.parquet(s"$tmp/idx/cells")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("cent_id").asc)
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("c_sim", Ann.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 2)
+      .select(col("query_id"), col("q_emb"), col("cent_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    val replay = cells.select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell"))
+      .join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Ann.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+    assert(got.collect().map(_.toString).toSeq === replay.collect().map(_.toString).toSeq)
+
+    // 2. Quality: the persisted index must search as well as the
+    // train-per-run variant it replaces.
+    val r = recallAt10(topkSets(got), truth)
+    assert(r >= 0.7, f"vector-index recall@10 = $r%.3f")
+
+    // 3. Scale shape: the innermost join above the bucketed cell scan has
+    // no exchange on that side (with broadcast off, so the shuffle-join
+    // path is what's audited — at batch scale that IS the plan).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = similarity.VectorIndex.query(spark, queries, s"$tmp/idx")
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      val joins = plan.collectWithSubqueries {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val indexSides = joins.flatMap(_.children.filter { c =>
+        val scan = c.collectFirst { case f: FileSourceScanExec if f.bucketedScan => f }.isDefined
+        val nested = c.collectFirst {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.isDefined
+        scan && !nested
+      })
+      assert(indexSides.nonEmpty, s"no join side reads the bucketed cell layout:\n$plan")
+      indexSides.foreach(side =>
+        assert(side.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"index side of the probe join shuffles:\n$side"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
