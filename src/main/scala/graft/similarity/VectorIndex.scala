@@ -34,6 +34,16 @@ object VectorIndex {
     "graft_vecidx_cells_" + java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
+  private def readBuckets(spark: SparkSession, path: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"no bucket count in $metaPath: $meta"))
+  }
+
   /** Train deterministic spherical k-means centroids on `embeddings`
     * ((vec_id, embedding) rows) and persist centroids + the bucketed
     * cell assignment. `buckets` sizes the probe parallelism — on a
@@ -82,19 +92,39 @@ object VectorIndex {
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(centroidsPath(path))
 
+  /** Append a new vector batch: assign against the STORED centroids (the
+    * quantizer is fixed at build time — the standard IVF ingest contract;
+    * re-train with [[build]] when drift warrants it) and bucketed-append
+    * into the cell layout, O(batch) like every graft ingest path.
+    */
+  def append(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+    val cdf = centroids(spark, path)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    cellTable(spark, path) // ensure registered before bucketed append
+    val buckets = readBuckets(spark, path)
+    embeddings
+      .crossJoin(broadcast(cdf))
+      .withColumn("c_sim", Ann.cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+      .write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .option("path", cellsPath(path))
+      .saveAsTable(cellTableName(path))
+  }
+
   /** The bucketed cell assignment, re-registered in this session's
     * catalog if a previous session built it.
     */
   def cellTable(spark: SparkSession, path: String): DataFrame = {
     val name = cellTableName(path)
     if (!spark.catalog.tableExists(name)) {
-      val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(metaPath)
-      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(s"no bucket count in $metaPath: $meta"))
+      val buckets = readBuckets(spark, path)
       spark.sql(
         s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<FLOAT>, cell BIGINT)
            |USING PARQUET

@@ -93,6 +93,20 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = recallAt10(topkSets(got), truth)
     assert(r >= 0.7, f"vector-index recall@10 = $r%.3f")
 
+    // 2b. Append: new vectors land in their argmax cell of the STORED
+    // quantizer and become findable; a copy of an indexed vector must
+    // probe to rank 1 against its original (cos = 1 is maximal).
+    val probeVec = emb.filter(col("vec_id") === 11).head().getSeq[Float](1)
+    val ss = spark
+    import ss.implicits._
+    val extra = Seq((1000000L, probeVec)).toDF("vec_id", "embedding")
+    similarity.VectorIndex.append(spark, extra, s"$tmp/idx")
+    val found = similarity.VectorIndex.query(
+      spark, extra.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      s"$tmp/idx", k = 1)
+      .head()
+    assert(found.getAs[Long]("neighbor_id") === 11L)
+
     // 3. Scale shape: the innermost join above the bucketed cell scan has
     // no exchange on that side (with broadcast off, so the shuffle-join
     // path is what's audited — at batch scale that IS the plan).
