@@ -32,7 +32,12 @@ object Upsert {
 
   /** Pure merge: one row per `keys`, ordered by `versionCol` descending
     * with incoming beating existing on ties. Columns are aligned by name;
-    * both sides must share the schema.
+    * both sides must share the schema. Two same-side rows tied on
+    * (key, version) fall back to a content-hash order so the pick is
+    * deterministic across runs and cluster sizes (for byte-identical
+    * duplicates the pick is immaterial; for conflicting same-version
+    * writes it is at least stable — a real pipeline should version
+    * writes uniquely).
     */
   def upsertByKey(
       existing: DataFrame,
@@ -45,7 +50,8 @@ object Upsert {
     val tagged = existing.withColumn("_src", lit(0))
       .unionByName(incoming.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
+      .orderBy(col(versionCol).desc, col("_src").desc,
+        hash(struct(cols.map(col): _*)).asc)
     tagged
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -146,4 +146,38 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toString.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("upsert-by-key: randomized batch replay matches a sequential MERGE fold") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(42)
+    val path = s"$tmp/dim_rand"
+    // Reference MERGE: id -> (version, name); newest version wins, the
+    // incoming batch wins at equal version — folded batch by batch.
+    var ref = Map.empty[Long, (Long, String)]
+    (1 to 5).foreach { b =>
+      // Distinct (id, version) per batch so the fold is well-defined
+      // (conflicting same-key-same-version writes are only
+      // hash-deterministic, not model-predictable).
+      val gen = scala.collection.mutable.Map.empty[(Long, Long), String]
+      (1 to 30).foreach { i =>
+        val id = rng.nextInt(10).toLong
+        val v = rng.nextInt(20).toLong
+        gen((id, v)) = s"b$b-$id-$v-$i"
+      }
+      val batch = gen.toSeq.map { case ((id, v), n) => (id, n, v) }
+      sources.Upsert.applyBatch(spark, path, batch.toDF("id", "name", "version"),
+        Seq("id"), "version")
+      batch.groupBy(_._1).foreach { case (id, rows) =>
+        val (bid, bname, bv) = rows.maxBy(r => r._3)
+        ref.get(id) match {
+          case Some((rv, _)) if rv > bv => // stored row is strictly newer
+          case _ => ref += id -> ((bv, bname))
+        }
+      }
+      val got = spark.read.parquet(path).as[(Long, String, Long)].collect()
+        .map { case (id, n, v) => id -> ((v, n)) }.toMap
+      assert(got === ref, s"divergence after batch $b")
+    }
+  }
 }
