@@ -447,24 +447,54 @@ object Dedup {
     * pre-pass that thins a 100 TB corpus before the finer Jaccard tier
     * runs. Same scale shape as d3: banded equijoin, never all-pairs.
     */
-  def d9SimhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 15): DataFrame = {
+  def d9SimhashPairs(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 15,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fp = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
       .repartition(nPart)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions.simhash60(col("text")).as("simhash"))
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*)))
-      .toDF("doc_id", "simhash", "band_id", "band")
-    banded.as("x")
-      .join(banded.as("y"), Seq("band_id", "band"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    bandedHammingPairs(fp, "simhash", maxHamming, blockThreshold, nBlocks)
+  }
+
+  /** Banded hamming near-dup pairs over a 60-bit fingerprint column —
+    * the shared pairing stage of d9 (SimHash) and m6 (perceptual hash):
+    * 4×15-bit band equijoin, exact `bit_count(xor)` verify, never
+    * all-pairs. Bands whose population reaches `blockThreshold` route
+    * through the salted blocked formulation
+    * ([[graft.operators.GraphOps.sameGroupPairsSkewSafe]]), so one
+    * pathological band (near-identical corpus slices, or perceptual
+    * bands of correlated media) spreads over nBlocks·(nBlocks+1)/2 tasks
+    * instead of one reducer — the documented production skew knob, armed
+    * by default. The fingerprint rides inside the pair id (a struct), so
+    * verification needs no join back to the corpus.
+    */
+  private[graft] def bandedHammingPairs(
+      fp: DataFrame,
+      fpCol: String,
+      maxHamming: Int,
+      blockThreshold: Int,
+      nBlocks: Int): DataFrame = {
+    val banded = fp.select(col("doc_id"), col(fpCol).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("fp"), i * 15).bitwiseAND(lit(32767L))): _*)))
+      .toDF("doc_id", "fp", "band_id", "band")
+    val keyed = banded.select(
+      (col("band_id").cast("long") * 32768L + col("band")).as("grp"),
+      struct(col("doc_id"), col("fp")).as("id"))
+    graft.operators.GraphOps.sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
+      .select(col("id1"), col("id2"))
       .distinct()
+      .select(
+        col("id1.doc_id").as("doc_id1"), col("id2.doc_id").as("doc_id2"),
+        bit_count(col("id1.fp").bitwiseXOR(col("id2.fp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_id1", "doc_id2")
   }
 

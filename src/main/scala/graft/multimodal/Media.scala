@@ -164,29 +164,27 @@ object Media {
     * `bit_count(xor)` verification, the same never-all-pairs scale shape
     * as the text-side d9. Candidate volume is governed by band
     * cardinality; perceptual bands are less uniform than SimHash's (block
-    * means of similar media correlate), so a production deploy watches
-    * band skew and routes oversized bands through the salted path g1
-    * uses.
+    * means of similar media correlate), so bands at or above
+    * `blockThreshold` automatically route through the salted blocked
+    * formulation (same knob as g1/d9 — see
+    * [[graft.dedup.Dedup.bandedHammingPairs]]).
     */
-  def m6PhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 15): DataFrame = {
+  def m6PhashPairs(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 15,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fp = Tables(spark, dir).documents
       .repartition(nPart)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions
           .blockAvgHash60(payload(col("doc_id"), col("text"))).as("phash"))
-    val banded = fp.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("phash"), i * 15).bitwiseAND(lit(32767L))): _*)))
-      .toDF("doc_id", "phash", "band_id", "band")
-    banded.as("x")
-      .join(banded.as("y"), Seq("band_id", "band"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-      .orderBy("doc_id1", "doc_id2")
+    // Shared pairing stage with d9 — incl. the size-triggered salted
+    // routing for oversized perceptual bands (the skew knob the previous
+    // revision only documented).
+    graft.dedup.Dedup.bandedHammingPairs(fp, "phash", maxHamming, blockThreshold, nBlocks)
   }
 
   /** The decode seam as a typed `mapPartitions`: where a cluster with

@@ -143,6 +143,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) === "exact" && r.getLong(2) === probeId)
   }
 
+  test("banded hamming pairs: forced salted routing emits exactly the direct pair set") {
+    // Threshold 1 routes EVERY band through the blocked formulation; the
+    // pair set (and the verified hamming values) must be unchanged — the
+    // skew knob is a plan change, never a result change.
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val direct = dedup.Dedup.d9SimhashPairs(spark, dir).collect().map(key).toSet
+    val blocked = dedup.Dedup.d9SimhashPairs(spark, dir, blockThreshold = 1)
+      .collect().map(key).toSet
+    assert(blocked === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("signature index: classify's band join rides the bucketed layout exchange-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
