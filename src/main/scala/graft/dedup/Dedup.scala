@@ -106,8 +106,10 @@ object Dedup {
       dir: String,
       threshold: Double = 0.8,
       numHashes: Int = 128,
-      bands: Int = 32): DataFrame =
-    verifiedPairs(spark, dir, threshold, numHashes, bands)
+      bands: Int = 32,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame =
+    verifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks)
       .orderBy("doc_id1", "doc_id2")
 
   /** Memoized verified near-dup pairs — the shared detection product of
@@ -120,22 +122,24 @@ object Dedup {
     * d3-run-twice, not clustering.
     */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Double, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Double, Int, Int, Int, Int), DataFrame]()
 
   private def verifiedPairs(
       spark: SparkSession,
       dir: String,
       threshold: Double,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // Entries of stopped applications are unusable; purge them so the
     // cache holds at most the live session's handful of DataFrames.
     pairsCache.keySet.removeIf(_._1 != appId)
     pairsCache.computeIfAbsent(
-      (appId, dir, threshold, numHashes, bands),
+      (appId, dir, threshold, numHashes, bands, blockThreshold, nBlocks),
       _ => graft.GraftSession.retainCheckpoint(
-        computeVerifiedPairs(spark, dir, threshold, numHashes, bands)))
+        computeVerifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks)))
   }
 
   private def computeVerifiedPairs(
@@ -143,7 +147,9 @@ object Dedup {
       dir: String,
       threshold: Double,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      blockThreshold: Int,
+      nBlocks: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // One small shuffle spreads the corpus across the cores BEFORE the
@@ -185,10 +191,25 @@ object Dedup {
     // can't see. The explicit key repartition restores compute parallelism
     // for the verification stage (profiled: the whole verify ran in ONE
     // task without it).
-    val candidates = banded.as("x")
-      .join(banded.as("y"), Seq("band_id", "band_hash"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
+    // Size-triggered skew routing, same armed knob as d9/m6/g1: a band
+    // bucket at or above blockThreshold (a near-duplicated corpus slice
+    // all hashing to one band value) spreads over the salted blocked
+    // formulation instead of one reducer. grp is the EXACT
+    // (band_id, band_hash) struct, so candidate semantics are unchanged.
+    // The banded table is materialized ONCE first: the routing consumes
+    // it in several plan branches (probe, small, big), and without the
+    // checkpoint each branch would re-run the minhash kernel over the
+    // corpus. 16 bytes/row of block storage vs k re-scans of the text.
+    // grp packs the exact (band_id, band_hash) pair into one long —
+    // single-word join keys, identical candidate semantics.
+    val keyed = banded.select(
+      (col("band_id").cast("long").multiply(lit(4294967296L))
+        .plus(col("band_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))).as("grp"),
+      col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val candidates = graft.operators.GraphOps
+      .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"))
       .distinct()
       .repartition(nPart, col("doc_id1"), col("doc_id2"))
     val g1 = docs.select(col("doc_id").as("doc_id1"), col("grams").as("g1"))
@@ -480,7 +501,11 @@ object Dedup {
       maxHamming: Int,
       blockThreshold: Int,
       nBlocks: Int): DataFrame = {
-    val banded = fp.select(col("doc_id"), col(fpCol).as("fp"))
+    // Materialize the fingerprints once (16 bytes/row): the skew routing
+    // consumes its input in several plan branches, and each would
+    // otherwise re-run the fingerprint kernel over the corpus.
+    val fpCp = fp.select(col("doc_id"), col(fpCol).as("fp")).localCheckpoint(true)
+    val banded = fpCp
       .select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("fp"), i * 15).bitwiseAND(lit(32767L))): _*)))

@@ -46,25 +46,41 @@ object GraphOps {
   }
 
   /** Group-size-triggered skew routing for within-group pair generation:
-    * groups below `blockThreshold` take the direct self-equijoin; groups at
-    * or above it take [[blockedSameGroupPairs]], so one mega-group spreads
-    * over nBlocks·(nBlocks+1)/2 tasks instead of one reducer. The size
-    * join shuffles on `grp` — the same key the pair join needs, so the
-    * routing adds no extra shuffle of the data rows. Output is exactly the
-    * (grp, id1 < id2) pair set of the direct formulation (spec-checked
-    * with the threshold forced to 1).
+    * an exact max-group-size probe picks the plan — below `blockThreshold`
+    * everywhere, the plain direct self-equijoin (zero overhead); any group
+    * at or above it, the split formulation where big groups take
+    * [[blockedSameGroupPairs]] and spread over nBlocks·(nBlocks+1)/2
+    * tasks instead of one reducer. Output is exactly the (grp, id1 < id2)
+    * pair set of the direct formulation (spec-checked with the threshold
+    * forced to 1).
     *
-    * `df` must have columns (grp, id).
+    * `df` must have columns (grp, id); expensive `df` pipelines should be
+    * checkpointed by the caller so the probe action and the join branches
+    * share one materialization.
     */
   def sameGroupPairsSkewSafe(df: DataFrame, blockThreshold: Int, nBlocks: Int): DataFrame = {
-    val sizes = df.groupBy("grp").agg(count(lit(1)).as("gsz"))
-    val tagged = df.join(sizes, Seq("grp"))
-    val small = tagged.filter(col("gsz") < blockThreshold).select("grp", "id")
-    val big   = tagged.filter(col("gsz") >= blockThreshold).select("grp", "id")
-    val smallPairs = small.select(col("grp"), col("id").as("id1"))
-      .join(small.select(col("grp"), col("id").as("id2")), Seq("grp"))
-      .filter(col("id1") < col("id2"))
-    smallPairs.unionByName(blockedSameGroupPairs(big, nBlocks))
+    // Exact size probe first (one tiny aggregate action — the g4
+    // measure-then-route pattern): when NO group reaches the threshold,
+    // which is the overwhelmingly common case, emit the plain direct
+    // self-equijoin with ZERO routing overhead. The probe is why callers
+    // with expensive inputs should checkpoint `df` first — the action
+    // and the join branches then all read the same blocks.
+    val maxSz = df.groupBy("grp").agg(count(lit(1)).as("gsz"))
+      .agg(max(col("gsz"))).head.getLong(0)
+    if (maxSz < blockThreshold) {
+      df.select(col("grp"), col("id").as("id1"))
+        .join(df.select(col("grp"), col("id").as("id2")), Seq("grp"))
+        .filter(col("id1") < col("id2"))
+    } else {
+      val sizes = df.groupBy("grp").agg(count(lit(1)).as("gsz"))
+      val tagged = df.join(sizes, Seq("grp"))
+      val small = tagged.filter(col("gsz") < blockThreshold).select("grp", "id")
+      val big   = tagged.filter(col("gsz") >= blockThreshold).select("grp", "id")
+      val smallPairs = small.select(col("grp"), col("id").as("id1"))
+        .join(small.select(col("grp"), col("id").as("id2")), Seq("grp"))
+        .filter(col("id1") < col("id2"))
+      smallPairs.unionByName(blockedSameGroupPairs(big, nBlocks))
+    }
   }
 
   /** g1b: current-relationship pairs — the COLLEAGUES no-interval

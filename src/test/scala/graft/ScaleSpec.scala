@@ -153,6 +153,13 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(key).toSet
     assert(blocked === direct)
     assert(direct.nonEmpty)
+    // Same guarantee for the MinHash tier's candidate stage (exact
+    // (band_id, band_hash) groups, so verified pairs must be identical).
+    val d3Direct = dedup.Dedup.d3MinHashLsh(spark, dir).collect().map(key).toSet
+    val d3Blocked = dedup.Dedup.d3MinHashLsh(spark, dir, blockThreshold = 1)
+      .collect().map(key).toSet
+    assert(d3Blocked === d3Direct)
+    assert(d3Direct.nonEmpty)
   }
 
   test("signature index: classify's band join rides the bucketed layout exchange-free") {
