@@ -275,10 +275,9 @@ object GraphOps {
     */
   def g4TwoHop(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Materialized once: the bitmap build, the size-estimate stats pass
-    // and the probe side all read the same checkpointed edge set instead
-    // of re-running the fact join three times.
+    // Materialized once: the two bitmap builds and the size-estimate
+    // probe all read the same checkpointed edge set instead of
+    // re-running the fact join three times.
     val edges = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
@@ -290,49 +289,60 @@ object GraphOps {
     // is a word-wise OR over that customer's supplier bitmaps — Θ(E ·
     // |words|) OR instructions. The packed-array + hash-set formulation
     // this replaces re-touched every element of every attached list
-    // (Θ(Σ deg²) hash probes: 5-30 s at sf0.1 depending on JIT warmth);
-    // the bitmap plan holds ~1.5 s warm. The supplier→bitmap side is
-    // |middle vertices| × |keyspace/8| bytes — broadcastable here (2 MB);
-    // shuffle-join it on suppkey when the middle-vertex side outgrows the
-    // driver, and swap the bitmap for roaring/HLL when the id space is
-    // sparse or approximate counts suffice
+    // (Θ(Σ deg²) hash probes); swap the bitmap for roaring/HLL when the
+    // id space is sparse or approximate counts suffice
     // ([[org.apache.spark.sql.graft.DistinctLongUnionCount]] remains the
-    // range-unbounded exact fallback). Pre-partitioning the skinny edges
-    // by custkey makes the final aggregate exchange-free: the only
-    // shuffles are the 8 MB edge repartitions, never the bitmaps. Every
-    // customer appears in its own suppliers' bitmaps, so the union always
-    // contains self: two-hop neighbors = count − 1.
-    // The bitmap aggregate is materialized once (it is tiny — one
-    // serialized bitmap per middle vertex) and reused for both the join
-    // and the size-based routing decision below.
+    // range-unbounded exact fallback). Every customer appears in its own
+    // suppliers' bitmaps, so the union always contains self: two-hop
+    // neighbors = count − 1.
     val supp2bm = edges.groupBy("suppkey")
       .agg(org.apache.spark.sql.graft.BitmapAggregates
         .bitmapOfLongs(col("custkey")).as("bm"))
       .localCheckpoint(true)
-    // Size-based join routing (the broadcast hint used to be
-    // unconditional): the bitmap side is |middle vertices| ×
-    // |keyspace|/8 bytes, which outgrows the driver long before 100 TB.
-    // The checkpointed aggregate makes the decision EXACT — sum the
-    // actual serialized bitmap bytes (a scalar agg over one row per
-    // middle vertex) — and broadcast only under the session's
-    // autoBroadcastJoinThreshold; above it, degrade gracefully to a
-    // shuffle join on suppkey followed by the custkey aggregate.
+    // Size-based routing with an EXACT probe: the supplier→customers
+    // side is |middle vertices| × |keyspace|/8 bytes, which outgrows the
+    // driver long before 100 TB. Sum the actual serialized bitmap bytes
+    // (a scalar agg over one row per middle vertex) and pick the plan
+    // under the session's autoBroadcastJoinThreshold.
     val bmBytes = supp2bm
       .agg(coalesce(sum(length(col("bm"))), lit(0L))).head().getLong(0)
     val broadcastThreshold =
       spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         .map(_.stripSuffix("b").stripSuffix("B")).flatMap(s => scala.util.Try(s.toLong).toOption)
         .getOrElse(10L * 1024 * 1024)
-    val joined =
-      if (bmBytes <= broadcastThreshold)
-        edges.repartition(nPart, col("custkey")).join(broadcast(supp2bm), Seq("suppkey"))
-      else
-        edges.join(supp2bm, Seq("suppkey"))
-    joined
-      .groupBy("custkey")
-      .agg((org.apache.spark.sql.graft.BitmapAggregates
-        .bitmapOrCount(col("bm")) - 1L).as("n_two_hop"))
-      .orderBy("custkey")
+    if (bmBytes <= broadcastThreshold) {
+      // Small-middle path: collect the supplier bitmaps (bounded by the
+      // probe, same budget a broadcast would use) into ONE packed blob
+      // riding inside a scalar expression, and aggregate the EDGES down
+      // to per-customer supplier-set bitmaps first. The union then runs
+      // as a projection over one row per customer. The previous
+      // formulation broadcast-joined the bitmap table onto every edge
+      // row before aggregating — semantically identical, but it
+      // materialized a ~2 KB bitmap copy per edge (gigabytes of
+      // allocation per sweep at sf0.1) and its GC pressure, not compute,
+      // dominated and destabilized the whole bench session. Same
+      // Θ(E · |words|) OR work, zero per-edge allocation, and the only
+      // shuffle is the skinny per-customer aggregate.
+      val blob = org.apache.spark.sql.graft.BitmapBlob.build(
+        supp2bm.collect().toSeq
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)))
+      edges.groupBy("custkey")
+        .agg(org.apache.spark.sql.graft.BitmapAggregates
+          .bitmapOfLongs(col("suppkey")).as("sbm"))
+        .select(col("custkey"),
+          (org.apache.spark.sql.graft.BitmapAggregates
+            .blobUnionCount(col("sbm"), blob) - 1L).as("n_two_hop"))
+        .orderBy("custkey")
+    } else {
+      // Large-middle fallback: shuffle join on suppkey, then the
+      // customer-side OR-union aggregate (in-place byte OR, no per-row
+      // decode allocation).
+      edges.join(supp2bm, Seq("suppkey"))
+        .groupBy("custkey")
+        .agg((org.apache.spark.sql.graft.BitmapAggregates
+          .bitmapOrCount(col("bm")) - 1L).as("n_two_hop"))
+        .orderBy("custkey")
+    }
   }
 
   /** g4 escalation path: APPROXIMATE two-hop counts via Spark's native

@@ -204,6 +204,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("two-hop blob-projection path matches the shuffle-join fallback bit for bit") {
+    // g4 routes on the exact bitmap-bytes probe: under the broadcast
+    // threshold it collects the supplier bitmaps into a packed blob and
+    // unions via a scalar projection; above it, a shuffle join + OR
+    // aggregate. Forcing the threshold to -1 takes the fallback; both
+    // plans must agree on every (custkey, n_two_hop).
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> r.getLong(1)
+    val blobPath = operators.GraphOps.g4TwoHop(spark, dir).collect().map(key).toSet
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shufflePath =
+      try operators.GraphOps.g4TwoHop(spark, dir).collect().map(key).toSet
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(blobPath === shufflePath)
+    assert(blobPath.nonEmpty)
+  }
+
   test("approximate two-hop (HLL escalation) tracks the exact bitmap counts") {
     val exact = operators.GraphOps.g4TwoHop(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
