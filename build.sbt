@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pause cost — 8g spilled under the fat-array load, 48g lengthened GC
   // cycles measurably. On a real cluster this is per-executor sizing.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector for the batch workload: G1's concurrent-mark
+  // Remark pauses (driven by codegen classloaders + cleaner weak refs,
+  // which grow with every query a session runs) landed mid-query and
+  // added ~10s of nondeterministic in-query pause time per 71-query
+  // sweep. With ParallelGC there is no concurrent cycle to interrupt a
+  // query; old-gen garbage is collected by the explicit System.gc() at
+  // the untimed between-query boundary (GraftSession.releaseCaches).
+  // Measured: 97.5s -> 77.5s full-sweep total at sf0.1, in-query GC
+  // pause time 12.8s -> 4.0s.
+  "-XX:+UseParallelGC",
 )
