@@ -95,7 +95,9 @@ object SparkEntry {
     "e5_asof_join"       -> Events.e5AsofJoin _,
     "e6_interval_join"   -> Events.e6IntervalJoin _,
     "e7_threshold_anomaly" -> Events.e7ThresholdAnomaly _,
-    "e8_retention_cohorts" -> Events.e8RetentionCohorts _
+    "e8_retention_cohorts" -> Events.e8RetentionCohorts _,
+    // H. sources / maintenance
+    "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d))
   )
 
   private val decPrice =
@@ -1055,6 +1057,25 @@ object SparkEntry {
         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
         |  CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup
         |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+    "h1_upsert_dim" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |existing AS (
+        |  SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |    CAST(0 AS BIGINT) AS version
+        |  FROM customer),
+        |incoming AS (
+        |  SELECT c_custkey AS custkey, c_name AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + spend AS DOUBLE) AS acctbal,
+        |    CAST(1 AS BIGINT) AS version
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |unioned AS (
+        |  SELECT * FROM existing UNION ALL SELECT * FROM incoming)
+        |SELECT custkey, name, acctbal, version
+        |FROM unioned
+        |QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY version DESC) = 1
+        |ORDER BY custkey""".stripMargin
   )
 }

@@ -82,4 +82,32 @@ object Upsert {
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(tmp, target), s"atomic swap failed for $path")
   }
+
+  /** h1: the MERGE itself as a driver-keyed query — refresh the customer
+    * dimension from order activity. Existing = the stored customer rows
+    * (version 0); incoming = one updated row per customer WITH orders,
+    * account balance bumped by their total spend (version 1). The merge
+    * keeps the updated row where one exists and the original otherwise —
+    * exactly the loader's "MERGE ... ON MATCH SET" shape
+    * (mysql2neo4j.py:573,631) expressed as [[upsertByKey]], with an ANSI
+    * union + QUALIFY oracle cross-checking the resolution.
+    */
+  def h1UpsertDim(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val existing = t.customer.select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), lit(0L).as("version"))
+    // Money math through DECIMAL(18,2) so the refreshed balance is
+    // bit-identical across engines (double sums are order-dependent).
+    val spend = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val incoming = t.customer
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        (col("c_acctbal").cast("decimal(18,2)") + col("spend"))
+          .cast("double").as("acctbal"),
+        lit(1L).as("version"))
+    upsertByKey(existing, incoming, Seq("custkey"), "version")
+      .orderBy("custkey")
+  }
 }
