@@ -151,11 +151,26 @@ object Ann {
       spark: SparkSession,
       dir: String,
       k: Int = 10,
-      nPlanes: Int = 4): DataFrame = {
+      nPlanes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val planes = t.embeddings.filter(col("vec_id") < nPlanes)
+    // nPlanes = 0 → derive from a corpus-count probe (parquet metadata,
+    // no scan): Σ bucket² is the join bound, so bucket count must GROW
+    // with the corpus — a fixed 16 buckets would quietly go quadratic at
+    // 1000× the data. Target ~64 vectors per bucket, floor 4 planes
+    // (which reproduces the fixed setting at the oracle scale factors —
+    // the s4≡s2 spec and the SQL oracle's `vec_id < 4` hyperplane set
+    // depend on that floor), cap 24 (16M buckets; beyond that bucket
+    // occupancy, not count, is the binding constraint).
+    val planesN =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = t.embeddings.count()
+        math.min(24, math.max(4,
+          math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
+      }
+    val planes = t.embeddings.filter(col("vec_id") < planesN)
       .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"))
     val bucketed = t.embeddings.repartition(nPart)
       .crossJoin(broadcast(planes))
