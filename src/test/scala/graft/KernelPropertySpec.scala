@@ -226,4 +226,66 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(reunion.cardinality === union.cardinality)
     }
   }
+
+  test("orBytes: OR from serialized form is bit-identical to decode-then-or") {
+    val rng = new scala.util.Random(37)
+    def ser(bm: org.apache.spark.sql.graft.Bitmap): Array[Byte] = {
+      val n = bm.usedWords
+      val bb = java.nio.ByteBuffer.allocate(8 * n)
+      (0 until n).foreach(i => bb.putLong(bm.words(i)))
+      bb.array()
+    }
+    (1 to 200).foreach { _ =>
+      val base = Seq.fill(rng.nextInt(300))(rng.nextInt(8000).toLong)
+      val inc = Seq.fill(rng.nextInt(300))(rng.nextInt(8000).toLong)
+      val incBm = new org.apache.spark.sql.graft.Bitmap(1)
+      inc.foreach(incBm.set)
+      val viaBytes = new org.apache.spark.sql.graft.Bitmap(1)
+      base.foreach(viaBytes.set)
+      viaBytes.orBytes(ser(incBm))
+      assert(viaBytes.cardinality === (base.toSet ++ inc.toSet).size)
+    }
+  }
+
+  test("BitmapBlob: unionCount over packed entries matches the scala Set union") {
+    import org.apache.spark.sql.graft.{Bitmap, BitmapBlob, BitmapBlobUnionCount}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val rng = new scala.util.Random(41)
+    def ser(bm: Bitmap): Array[Byte] = {
+      val n = bm.usedWords
+      val bb = java.nio.ByteBuffer.allocate(8 * n)
+      (0 until n).foreach(i => bb.putLong(bm.words(i)))
+      bb.array()
+    }
+    (1 to 100).foreach { _ =>
+      // entry id → key set (some ids absent, some sets empty — the blob
+      // must treat both as empty slices); key-set rows pick random ids,
+      // including ids PAST the blob's range (ignored, not a crash)
+      val nEntries = 1 + rng.nextInt(40)
+      val entrySets: Map[Long, Set[Long]] =
+        (0 until nEntries).flatMap { id =>
+          if (rng.nextBoolean())
+            Some(id.toLong -> Seq.fill(rng.nextInt(200))(rng.nextInt(5000).toLong).toSet)
+          else None
+        }.toMap
+      val blob = BitmapBlob.build(entrySets.toSeq.map { case (id, ks) =>
+        val bm = new Bitmap(1)
+        ks.foreach(bm.set)
+        id -> ser(bm)
+      })
+      val expr = BitmapBlobUnionCount(
+        Literal.create(null, BinaryType), Literal.create(blob, BinaryType))
+      (1 to 20).foreach { _ =>
+        val picked = Seq.fill(rng.nextInt(10))(rng.nextInt(nEntries + 8).toLong).toSet
+        val keyBm = new Bitmap(1)
+        picked.foreach(keyBm.set)
+        val expected =
+          picked.flatMap(id => entrySets.getOrElse(id, Set.empty[Long])).size
+        // successive calls reuse the scratch buffer — the loop also
+        // checks the high-watermark clear leaves no stale bits behind
+        assert(expr.unionCount(ser(keyBm)) === expected.toLong)
+      }
+    }
+  }
 }
