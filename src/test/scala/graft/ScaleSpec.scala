@@ -204,6 +204,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("two-hop small-middle plan is joinless: two aggregates and a projection") {
+    // The blob path's point is that no join ever fans the bitmap payload
+    // onto per-edge rows: the supplier dictionary rides inside the scalar
+    // expression. A join reappearing in the final plan (beyond the edge
+    // build's fact equijoin) means the fan-out regressed.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = physical(operators.GraphOps.g4TwoHop(spark, dir))
+    val joins = plan.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }
+    // The checkpointed edge set truncates lineage, so the lineitem⋈orders
+    // build is not even in this plan: the union step must be join-free.
+    assert(joins.isEmpty, s"expected a joinless union plan, got:\n$plan")
+    // The blob-union projection fuses into the aggregate's result
+    // expressions (no separate Project node), so assert on the
+    // expression tree, not the plan string.
+    val hasBlobUnion = plan.collectWithSubqueries {
+      case n => n.expressions
+    }.flatten.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.graft.BitmapBlobUnionCount]))
+    assert(hasBlobUnion, s"blob-union projection missing from:\n$plan")
+  }
+
   test("two-hop blob-projection path matches the shuffle-join fallback bit for bit") {
     // g4 routes on the exact bitmap-bytes probe: under the broadcast
     // threshold it collects the supplier bitmaps into a packed blob and
