@@ -87,6 +87,7 @@ object SparkEntry {
     "t17_weighted_sample" -> TextFuncs.t17WeightedSample _,
     "t16_seq_pack"       -> ((s: SparkSession, d: String) => TextFuncs.t16SeqPack(s, d)),
     "t18_cost_accounting" -> ((s: SparkSession, d: String) => TextFuncs.t18CostAccounting(s, d)),
+    "t19_gram_lm_score"  -> TextFuncs.t19GramLmScore _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -1076,6 +1077,29 @@ object SparkEntry {
         |SELECT custkey, name, acctbal, version
         |FROM unioned
         |QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY version DESC) = 1
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "t19_gram_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |bg AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+        |    unnest(toks[2:len(toks)]) AS w2
+        |  FROM docs),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT bg.doc_id, ((bc.c2 + 1) * 1000000) // (u.c1 + v.vocab) AS p_micro
+        |  FROM bg JOIN bc USING (w1, w2) JOIN uni u ON bg.w1 = u.w CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(p_micro) AS sum_p
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(a.sum_p // a.n_bigrams AS BIGINT) AS lm_micro
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -486,4 +486,59 @@ object TextFuncs {
       .withColumn("limit_reached", (col("cum_cost_micro") >= costLimitMicro).cast("int"))
       .orderBy("model", "day_idx")
   }
+
+  /** t19: n-gram language-model quality score — the CCNet/Gopher-style
+    * perplexity-proxy filter, trained on the corpus itself: word unigram
+    * and bigram counts over all documents, then each document scored by
+    * its mean add-one-smoothed bigram probability
+    * `mean((c(w1,w2)+1)/(c(w1)+V))`, in fixed-point micro-units so the
+    * score is a BIGINT and bit-identical across engines (the t18
+    * micro-dollar discipline; a float log-perplexity would differ in the
+    * last ulp between libm and the JVM and flip a floor). Low scores =
+    * improbable word sequences = boilerplate/garble candidates, the same
+    * decision the log-domain filter makes (mean-prob and perplexity rank
+    * monotonically for the filter's tails).
+    *
+    * Scale shape: two map-side-combined gram counts and one gram-keyed
+    * equijoin of the exploded corpus against them — every stage shuffles
+    * on the gram key, never all-pairs, and the per-doc aggregate is the
+    * only row-bounded stage. At 100 TB the LM side is capped in
+    * production by a frequency cutoff (top-K grams broadcast + an unk
+    * bucket for the tail), which changes this join to a broadcast and is
+    * a pure extension of this plan; the exact form here is what the
+    * cutoff variant is validated against. Documents with fewer than two
+    * tokens carry n_bigrams = 0 and a null score.
+    */
+  def t19GramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .localCheckpoint(true)
+    // Corpus LM: unigram counts (+ vocabulary size for the smoothing
+    // denominator) and bigram counts.
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count()
+    val docBigrams = docs.select(col("doc_id"), explode(expr(
+      "transform(slice(toks, 1, size(toks) - 1)," +
+        " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramCounts = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // Score each document's bigrams against the LM. Both joins always
+    // match (the LM was trained on this corpus); at production scale the
+    // top-K-grams broadcast replaces these equijoins.
+    val perDoc = docBigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(uni, col("w1") === col("w"))
+      .select(col("doc_id"),
+        expr(s"((c2 + 1) * 1000000) DIV (c1 + $vocab)").as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr("sum_p DIV n_bigrams").as("lm_micro"))
+      .orderBy("doc_id")
+  }
 }
