@@ -87,7 +87,7 @@ object SparkEntry {
     "t17_weighted_sample" -> TextFuncs.t17WeightedSample _,
     "t16_seq_pack"       -> ((s: SparkSession, d: String) => TextFuncs.t16SeqPack(s, d)),
     "t18_cost_accounting" -> ((s: SparkSession, d: String) => TextFuncs.t18CostAccounting(s, d)),
-    "t19_gram_lm_score"  -> TextFuncs.t19GramLmScore _,
+    "t19_gram_lm_score"  -> ((s: SparkSession, d: String) => TextFuncs.t19GramLmScore(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,

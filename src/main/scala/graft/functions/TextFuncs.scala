@@ -508,32 +508,68 @@ object TextFuncs {
     * a pure extension of this plan; the exact form here is what the
     * cutoff variant is validated against. Documents with fewer than two
     * tokens carry n_bigrams = 0 and a null score.
+    *
+    * `topKGrams > 0` selects the production 100 TB shape: the LM is
+    * still TRAINED on everything (the gram-count shuffles carry only the
+    * distinct-gram tables, map-side combined), but only the `topKGrams`
+    * most frequent bigrams/unigrams are kept for SCORING — ranked by
+    * (count desc, gram asc) so the cap is deterministic — broadcast to
+    * the exploded corpus, so the score join never shuffles corpus-
+    * proportional rows. Grams past the cutoff score as unseen: bigram
+    * c2 → 0, unigram c1 → 0 (p = 1e6/V), exactly the smoothing the full
+    * LM applies to a zero count. With `topKGrams` ≥ the distinct-gram
+    * count the capped path is bit-identical to the exact one
+    * (spec-asserted).
     */
-  def t19GramLmScore(spark: SparkSession, dir: String): DataFrame = {
+  def t19GramLmScore(
+      spark: SparkSession,
+      dir: String,
+      topKGrams: Int = 0): DataFrame = {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("toks"))
       .localCheckpoint(true)
     // Corpus LM: unigram counts (+ vocabulary size for the smoothing
     // denominator) and bigram counts.
-    val uni = docs.select(explode(col("toks")).as("w"))
+    val uniFull = docs.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.count()
+    val vocab = uniFull.count()
     val docBigrams = docs.select(col("doc_id"), explode(expr(
       "transform(slice(toks, 1, size(toks) - 1)," +
         " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bigramCounts = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    // Score each document's bigrams against the LM. Both joins always
-    // match (the LM was trained on this corpus); at production scale the
-    // top-K-grams broadcast replaces these equijoins.
-    val perDoc = docBigrams
-      .join(bigramCounts, Seq("w1", "w2"))
-      .join(uni, col("w1") === col("w"))
-      .select(col("doc_id"),
-        expr(s"((c2 + 1) * 1000000) DIV (c1 + $vocab)").as("p_micro"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p"))
+    val bigFull = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val perDoc =
+      if (topKGrams <= 0) {
+        // Exact form: gram-keyed equijoins; every gram matches its count.
+        docBigrams
+          .join(bigFull, Seq("w1", "w2"))
+          .join(uniFull, col("w1") === col("w"))
+          .select(col("doc_id"),
+            expr(s"((c2 + 1) * 1000000) DIV (c1 + $vocab)").as("p_micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p"))
+      } else {
+        // Capped form: keep the K most frequent grams (deterministic
+        // tie-break on the gram itself), BROADCAST them, and treat
+        // everything past the cutoff as count 0 — the same add-one
+        // smoothing path a genuinely unseen gram takes, so capping only
+        // coarsens tail scores, never changes the formula. The exploded
+        // corpus is never shuffled here; the per-doc aggregate is the
+        // only corpus-proportional shuffle.
+        val uniTop = uniFull
+          .orderBy(col("c1").desc, col("w").asc).limit(topKGrams)
+        val bigTop = bigFull
+          .orderBy(col("c2").desc, col("w1").asc, col("w2").asc).limit(topKGrams)
+        docBigrams
+          .join(broadcast(bigTop), Seq("w1", "w2"), "left")
+          .join(broadcast(uniTop), col("w1") === col("w"), "left")
+          .select(col("doc_id"),
+            expr(s"((coalesce(c2, 0) + 1) * 1000000)" +
+              s" DIV (coalesce(c1, 0) + $vocab)").as("p_micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p"))
+      }
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -246,6 +246,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blobPath.nonEmpty)
   }
 
+  test("t19 capped LM with K >= distinct grams is bit-identical to the exact LM") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSeq
+    val exact = rows(functions.TextFuncs.t19GramLmScore(spark, dir))
+    val capped = rows(functions.TextFuncs.t19GramLmScore(spark, dir, topKGrams = 1000000))
+    assert(capped === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("t19 capped LM scores the exploded corpus through broadcasts only") {
+    // The capped path's contract: the corpus-proportional bigram stream
+    // (the Generate/explode side) must only ever meet BROADCAST gram
+    // tables — a sort-merge or shuffled-hash join against it means the
+    // cutoff stopped protecting the score stage.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = physical(functions.TextFuncs.t19GramLmScore(spark, dir, topKGrams = 64))
+    val broadcasts = plan.collectWithSubqueries { case j: BroadcastHashJoinExec => j }
+    assert(broadcasts.size >= 2, s"expected 2+ broadcast score joins in:\n$plan")
+    val shuffledAgainstCorpus = plan.collectWithSubqueries {
+      case j: SortMergeJoinExec
+        if j.children.exists(_.collectFirst { case g: GenerateExec => g }.isDefined) => j
+      case j: ShuffledHashJoinExec
+        if j.children.exists(_.collectFirst { case g: GenerateExec => g }.isDefined) => j
+    }
+    assert(shuffledAgainstCorpus.isEmpty,
+      s"exploded corpus reached a shuffled join:\n$plan")
+  }
+
   test("approximate two-hop (HLL escalation) tracks the exact bitmap counts") {
     val exact = operators.GraphOps.g4TwoHop(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
