@@ -30,6 +30,7 @@ object SparkEntry {
     "q9_multi_join"      -> Relational.q9MultiJoin _,
     "q10_running_window" -> Relational.q10RunningWindow _,
     "q11_cube"           -> Relational.q11Cube _,
+    "q12_multi_distinct" -> Relational.q12MultiDistinct _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -339,6 +340,14 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderstatus)
         |ORDER BY mktsegment, orderstatus""".stripMargin,
+    "q12_multi_distinct" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "t17_weighted_sample" ->
       """SELECT doc_id, source,
         |  list_reduce(list_transform(range(1, 13),

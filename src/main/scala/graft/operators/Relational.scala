@@ -240,4 +240,32 @@ object Relational {
         col("n_orders"), col("sum_totalprice"))
       .orderBy("mktsegment", "orderstatus")
   }
+
+  /** q12: several EXACT distinct counts per group in ONE pass over the
+    * fact table (the import-tally stat block of the reference —
+    * mysql2neo4j.py:248-253,358-363 logs per-type entity/relation counts
+    * after each stage — generalized to distinct-entity counts per
+    * segment). Written with `graft_roaring_distinct` instead of
+    * `count(distinct ...)` deliberately: Spark rewrites N distinct
+    * aggregates through an `Expand` that replicates every fact row N
+    * times before the first shuffle — at 100 TB the 3 distinct columns
+    * here would triple the shuffle write. The roaring set-buffer
+    * aggregate takes the plain two-phase hash-aggregate plan (no Expand,
+    * plan-asserted in RoaringSpec): map-side partials dedupe each column
+    * into a compressed per-group set, the shuffle carries sets sized by
+    * the data (~2 bytes/sparse key, ~1 bit/clustered key), and the merge
+    * is container-wise union.
+    */
+  def q12MultiDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RoaringAggregates.roaringDistinctCount
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        roaringDistinctCount(col("l_partkey")).as("n_parts"),
+        roaringDistinctCount(col("l_suppkey")).as("n_supps"),
+        roaringDistinctCount(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }
