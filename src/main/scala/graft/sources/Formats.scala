@@ -103,4 +103,33 @@ object Formats {
   /** Read ORC (schema from file metadata). */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Read raw media files via Spark's `binaryFile` source: one row per
+    * file — `(path, modificationTime, length, content: binary)`. This is
+    * how a media crawl on disk/object storage enters the engine: no
+    * decode on read, `content` flows straight into the Media operators
+    * (sniff → phash → byte-stats) exactly like a parquet blob column
+    * (FormatsSpec asserts bit-identical m5 fingerprints either way).
+    *
+    * Scale posture: `glob` filters at LISTING time — non-matching files
+    * are never opened — and the `length <= maxLength` predicate pushes
+    * to the file index (metadata, no content read), EXCLUDING oversized
+    * files from this reader: a stray multi-GB file would otherwise
+    * materialize whole in one task, so such payloads belong to a chunked
+    * reader; list them with the inverted predicate. Files split only at
+    * file granularity, so millions of small files want the same
+    * compaction step parquet gets ([[compactParquet]]) after first
+    * ingest: read binary → write (path, content) parquet, and all
+    * downstream passes scan columnar instead of re-listing the crawl.
+    */
+  def readBinaryFiles(
+      spark: SparkSession,
+      path: String,
+      glob: String = "*",
+      maxLength: Long = 256L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxLength)
 }

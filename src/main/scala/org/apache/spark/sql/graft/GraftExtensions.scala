@@ -135,6 +135,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_roaring_distinct"),
+        new ExpressionInfo(classOf[RoaringDistinctCount].getName, "graft_roaring_distinct"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_roaring_distinct expects exactly 1 argument")
+          RoaringDistinctCount(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_sorted_intersect"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
         (children: Seq[Expression]) => {

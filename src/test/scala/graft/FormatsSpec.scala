@@ -180,4 +180,42 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === ref, s"divergence after batch $b")
     }
   }
+
+  test("binaryFile ingest: crawl files == blob column, glob + length pushed to listing") {
+    import graft.multimodal.Media
+    // Materialize 40 media payloads as FILES (the crawl-on-disk form)...
+    val blobs = Tables(spark, dir).documents
+      .limit(40)
+      .select(col("doc_id"), Media.payload(col("doc_id"), col("text")).as("payload"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val crawl = java.nio.file.Paths.get(tmp, "crawl")
+    java.nio.file.Files.createDirectories(crawl.resolve("sub"))
+    blobs.foreach { case (id, bytes) =>
+      val at = if (id % 2 == 0) crawl else crawl.resolve("sub") // exercise recursion
+      java.nio.file.Files.write(at.resolve(s"doc_$id.bin"), bytes)
+    }
+    java.nio.file.Files.write(crawl.resolve("MANIFEST.txt"),
+      "not media".getBytes("UTF-8")) // must be excluded by the glob, never opened
+    // ...read them back through the binaryFile source.
+    val files = Formats.readBinaryFiles(spark, crawl.toString, glob = "*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    // The metadata predicates reach the file index: both the glob and the
+    // length guard are listing-time, so excluded files are never read.
+    val scan = files.queryExecution.executedPlan.toString
+    assert(scan.contains("LessThanOrEqual(length"),
+      s"length guard should push to the binaryFile index:\n$scan")
+    // Same bytes whether the payload arrives as a file or a blob column:
+    // the media operators are source-agnostic downstream of this row.
+    val viaFiles = files.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(viaFiles.keySet === blobs.map(_._1).toSet)
+    blobs.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(viaFiles(id), bytes), s"doc $id bytes differ")
+    }
+    // And the oversized-exclusion guard actually excludes.
+    val none = Formats.readBinaryFiles(spark, crawl.toString, glob = "*.bin", maxLength = 1L)
+    assert(none.count() === 0L)
+  }
 }

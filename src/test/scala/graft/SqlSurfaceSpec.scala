@@ -54,4 +54,21 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlPairs === dfPairs)
     assert(sqlPairs.nonEmpty)
   }
+
+  test("graft_roaring_distinct is reachable from SQL and matches count(distinct)") {
+    val got = spark.sql(
+      """SELECT l_returnflag,
+        |  graft_roaring_distinct(l_suppkey) AS n_supps,
+        |  graft_roaring_distinct(l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = spark.sql(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
