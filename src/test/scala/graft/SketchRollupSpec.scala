@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchRollup
+
+/** Sketch-rollup contracts: the daily HLL rollup must answer range
+  * queries IDENTICALLY to sketching the raw rows (union is lossless at
+  * equal lgK), stay within HLL's error envelope of the exact count, and
+  * extend one appended day at a time without rebuilding.
+  */
+class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.create("graft-sketch-test", master = "local[4]")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rawWithDay = Tables(spark, dir).events
+    .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+
+  private def dayBounds: (Long, Long) = {
+    val r = rawWithDay.agg(min("day"), max("day")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("range query over the rollup == sketching the raw rows directly") {
+    val (lo, hi) = dayBounds
+    val from = lo + (hi - lo) / 4
+    val to = hi - (hi - lo) / 4
+    val viaRollup =
+      SketchRollup.distinctUsersOverRange(SketchRollup.buildDaily(spark, dir), from, to)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val direct = rawWithDay
+      .filter(col("day").between(from, to))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("n_users_est"))
+      .orderBy("event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(viaRollup === direct) // lossless union: estimates identical, not just close
+    assert(viaRollup.nonEmpty)
+  }
+
+  test("estimates sit inside the HLL error envelope of the exact counts") {
+    val (lo, hi) = dayBounds
+    val est =
+      SketchRollup.distinctUsersOverRange(SketchRollup.buildDaily(spark, dir), lo, hi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rawWithDay
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (tpe, n) =>
+      val e = est(tpe)
+      // lgK=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%; 5σ guard keeps the test
+      // deterministic-in-practice without masking a broken rollup
+      assert(math.abs(e - n) <= math.max(5.0, 0.08 * n),
+        s"$tpe: estimate $e too far from exact $n")
+    }
+  }
+
+  test("appending one day's sketches == full rebuild for the extended range") {
+    val (lo, hi) = dayBounds
+    assert(hi > lo, "need at least two days of events")
+    val history = SketchRollup.buildDaily(spark, dir).filter(col("day") < hi)
+    val lastDay = Tables(spark, dir).events
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .filter(col("day") === hi)
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+    val appended = history.unionByName(lastDay)
+    val viaAppend = SketchRollup.distinctUsersOverRange(appended, lo, hi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val rebuilt = SketchRollup.distinctUsersOverRange(
+      SketchRollup.buildDaily(spark, dir), lo, hi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(viaAppend === rebuilt)
+  }
+}
