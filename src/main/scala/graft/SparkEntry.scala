@@ -45,6 +45,7 @@ object SparkEntry {
     "g9_shortest_paths"  -> ((s: SparkSession, d: String) => GraphIter.g9ShortestPaths(s, d)),
     "g10_label_propagation" -> GraphIter.g10LabelPropagation _,
     "g11_news_copairs"   -> GraphOps.g11NewsCopairs _,
+    "g12_kcore"          -> ((s: SparkSession, d: String) => GraphIter.g12KCore(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "t16_seq_pack"       -> ((s: SparkSession, d: String) => TextFuncs.t16SeqPack(s, d)),
     "t18_cost_accounting" -> ((s: SparkSession, d: String) => TextFuncs.t18CostAccounting(s, d)),
     "t19_gram_lm_score"  -> ((s: SparkSession, d: String) => TextFuncs.t19GramLmScore(s, d)),
+    "t20_tfidf_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t20TfidfTerms(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -254,6 +256,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "g6_pagerank" -> g6OracleSql,
     "g10_label_propagation" -> g10OracleSql,
+    "g12_kcore" ->
+      """WITH eu AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e0 AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu),
+        |k1 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 20),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |k2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 20),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |k3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 20),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
+        |k4 AS (SELECT src FROM e3 GROUP BY 1 HAVING count(*) >= 20),
+        |e4 AS (SELECT e.src, e.dst FROM e3 e
+        |       JOIN k4 a ON e.src = a.src JOIN k4 b ON e.dst = b.src)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'c_' || CAST(src // 2 AS VARCHAR)
+        |            ELSE 's_' || CAST(src // 2 AS VARCHAR) END AS node,
+        |  CAST(count(*) AS BIGINT) AS deg
+        |FROM e4 GROUP BY 1 ORDER BY node""".stripMargin,
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  count(*) AS cnt,
@@ -1109,6 +1132,26 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  CAST(a.sum_p // a.n_bigrams AS BIGINT) AS lm_micro
         |FROM docs d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "t20_tfidf_terms" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tfa AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+        |dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tfa.doc_id, tfa.term, tfa.tf, dfa.df,
+        |    tfa.tf * ((n.n_docs * 1000000) // dfa.df) AS score_micro
+        |  FROM tfa JOIN dfa USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score_micro AS BIGINT) AS score_micro,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+        |FROM sc
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -487,6 +487,42 @@ object TextFuncs {
       .orderBy("model", "day_idx")
   }
 
+  /** t20: TF-IDF top terms per document — the classic keyword/topic
+    * signal a curation pipeline hangs filters and clustering on. Scores
+    * in fixed-point micro-units (`tf * ((N * 1e6) DIV df)` — the t18/t19
+    * integer discipline; a float log-idf would flip last-ulp ranks
+    * between engines), top `k` terms per doc with deterministic
+    * (score desc, term asc) tie-break.
+    *
+    * Scale shape: explode → one map-side-combined hash agg on
+    * (doc_id, term) for TF; DF is a second tiny agg OVER THE TF TABLE
+    * (one row per distinct (doc, term), never the raw corpus again); the
+    * score join shuffles on the term key — never all-pairs; and the
+    * per-doc top-k window is a `row_number <= k` filter Spark 4 prunes
+    * to per-task top-k via WindowGroupLimit (plan-asserted in
+    * ScaleSpec), so no doc's full term list is ever sorted in one task
+    * beyond its own rows.
+    */
+  def t20TfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score_micro", expr(s"tf * (($nDocs * 1000000) DIV df)"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** t19: n-gram language-model quality score — the CCNet/Gopher-style
     * perplexity-proxy filter, trained on the corpus itself: word unigram
     * and bigram counts over all documents, then each document scored by

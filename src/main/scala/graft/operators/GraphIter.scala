@@ -381,6 +381,72 @@ object GraphIter {
       .orderBy("node")
   }
 
+  /** Bounded-round k-core peeling over an undirected edge list: each
+    * round recomputes degrees and drops every node below `k` together
+    * with its incident edges; survivors after `rounds` rounds are
+    * emitted with their residual degree. A FIXED round count makes the
+    * output deterministic and oracle-exact regardless of whether the
+    * peel has converged (the g10 fixed-superstep discipline) — callers
+    * wanting the true k-core raise `rounds` until a fixed point; each
+    * extra round is the same bounded work, never a semantic change.
+    *
+    * Per round: one degree aggregate over the src-pinned symmetric edge
+    * list (reuses the probe layout — no extra exchange) and two
+    * semi-joins (src side rides the same layout; dst side is the one
+    * new shuffle). Work is O(E) per round with no pair explosion; the
+    * live edge set only shrinks. Eager checkpoint per round, previous
+    * round's blocks released immediately — lineage and pinned volume
+    * stay O(1) in depth.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var live = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    var prev = live
+    (1 to rounds).foreach { _ =>
+      val keep = live.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      val next = live
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      prev.unpersist()
+      prev = next
+      live = next
+    }
+    // Residual degree of the survivors; sym edges mean one row per
+    // (node, neighbor), so the count IS the degree.
+    live.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** g12: the dense core of the customer–supplier purchase graph — the
+    * "inner circle" analytics the reference reads off its relationship
+    * graph (heavily-connected leader/org clusters) as a data-parallel
+    * bounded peel. Same packed-long bipartite ids as g6/g9/g10; display
+    * form decoded on the final result only.
+    */
+  def g12KCore(spark: SparkSession, dir: String, k: Int = 20, rounds: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    kCorePeel(edges, k, rounds)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("deg"))
+      .orderBy("node")
+  }
+
   /** g7: per-node triangle counts on the same-nation supplier co-purchase
     * graph — suppliers from the same nation appearing in the same order
     * (clique detection among COLLEAGUES: the reference's colleague edges

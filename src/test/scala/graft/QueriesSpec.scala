@@ -454,6 +454,26 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rev === Map(5L -> 0L, 4L -> 1L, 3L -> 2L, 2L -> 3L, 1L -> 4L, 6L -> 4L))
   }
 
+  test("g12 k-core peel: clique survives, tails peel off round by round") {
+    val ss = spark
+    import ss.implicits._
+    def toMapND(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    // 4-clique {1,2,3,4} with a tail 4-5-6: at k=3 the tail peels in
+    // round 1, the clique is the fixed point.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    assert(toMapND(operators.GraphIter.kCorePeel(edges, k = 3, rounds = 2)) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // Bounded-round semantics: a chain at k=2 loses its endpoints in
+    // round 1 (middle survives with residual degree 1, below k — the
+    // documented not-yet-converged output) and everything in round 2.
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("src", "dst")
+    assert(toMapND(operators.GraphIter.kCorePeel(chain, k = 2, rounds = 1)) ===
+      Map(11L -> 1L, 12L -> 1L))
+    assert(operators.GraphIter.kCorePeel(chain, k = 2, rounds = 2).collect().isEmpty)
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)
@@ -468,6 +488,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val flag = r.getAs[Int]("repetition_flag")
       val expect = top * 1000000L / n >= 100000L || (n - nd) * 1000000L / n >= 600000L
       assert(flag === (if (expect) 1 else 0))
+    }
+  }
+
+  test("t20 tfidf top-terms: scoring formula, ranking, and per-doc cap hold") {
+    val nDocs = Tables(spark, dir).documents.count()
+    val rows = functions.TextFuncs.t20TfidfTerms(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { docRows =>
+      val sorted = docRows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      sorted.foreach { r =>
+        val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df")
+        assert(tf >= 1 && df >= 1 && df <= nDocs)
+        assert(r.getAs[Long]("score_micro") === tf * (nDocs * 1000000L / df))
+      }
+      // Rank order: score desc, term asc on ties.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score_micro"), b.getAs[Long]("score_micro"))
+          assert(sa > sb ||
+            (sa == sb && a.getAs[String]("term") < b.getAs[String]("term")))
+        case _ =>
+      }
     }
   }
 

@@ -370,7 +370,8 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         "t13_stratified_sample" -> functions.TextFuncs.t13StratifiedSample(spark, dir),
         "s2_lsh_ann"            -> similarity.Ann.s2LshAnn(spark, dir),
         "s3_centroid_ivf"       -> similarity.Ann.s3CentroidIvf(spark, dir),
-        "s4_knn_join"           -> similarity.Ann.s4KnnJoin(spark, dir))) {
+        "s4_knn_join"           -> similarity.Ann.s4KnnJoin(spark, dir),
+        "t20_tfidf_terms"       -> functions.TextFuncs.t20TfidfTerms(spark, dir))) {
       val plan = physical(df)
       val hasLimit = plan.collectWithSubqueries {
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
