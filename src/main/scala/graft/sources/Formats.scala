@@ -104,6 +104,33 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Read XML with a trusted schema via Spark 4's BUILT-IN xml source
+    * (the former spark-xml package, folded into the engine): one row per
+    * `rowTag` element, attributes surfaced as `_attr` columns by the
+    * source's convention. Same schema-first posture as JSONL/CSV — no
+    * inference pass over the data, PERMISSIVE nulls for malformed
+    * elements unless `failFast`. This is the feed shape the reference
+    * scrapes (Baike HTML/XML exports, sitemap feeds) entering the engine
+    * as a declarative scan instead of a parser loop.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType, failFast: Boolean = false): DataFrame =
+    spark.read
+      .format("xml")
+      .schema(schema)
+      .option("rowTag", rowTag)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .load(path)
+
+  /** Write XML, one `rowTag` element per row under `rootTag`. */
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite")
+      .format("xml")
+      .option("rowTag", rowTag)
+      .option("rootTag", rootTag)
+      .save(path)
+
   /** Read raw media files via Spark's `binaryFile` source: one row per
     * file — `(path, modificationTime, length, content: binary)`. This is
     * how a media crawl on disk/object storage enters the engine: no

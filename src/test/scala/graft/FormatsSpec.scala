@@ -41,6 +41,16 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nation.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("xml round-trips the nation table under an explicit schema") {
+    val nation = Tables(spark, dir).nation
+    Formats.writeXml(nation, s"$tmp/nation_xml", rowTag = "nation")
+    val back = Formats.readXml(spark, s"$tmp/nation_xml", rowTag = "nation",
+      schema = nation.schema)
+    assert(back.schema === nation.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      nation.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("compaction collapses a small-files dataset without changing its content") {
     val docs = Tables(spark, dir).documents
     docs.repartition(32).write.mode("overwrite").parquet(s"$tmp/docs_shattered")
