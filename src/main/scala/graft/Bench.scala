@@ -64,20 +64,30 @@ object Bench {
         GraftSession.releaseCaches(spark)
       }
 
-    val times = selected.map { name =>
+    // Fault isolation: one throwing query must not take down the whole
+    // sweep's artifact (a bench with 77 greens and 1 red should still
+    // report the 77). Failures surface as a separate "errors" map — a
+    // missing key can't be mistaken for a fast one.
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
-      run(SparkEntry.queries(name)(spark, sfDir))
+      val err = try { run(SparkEntry.queries(name)(spark, sfDir)); None }
+        catch { case e: Exception => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
       val dt = (System.nanoTime() - t0) / 1e9
       // Per-query storage isolation: iterative queries checkpoint their
       // final result; release it once consumed so query N+1 never pays
       // query N's storage/GC pressure (the round-2 t3/e1/g8 regressions).
       GraftSession.releaseCaches(spark)
-      name -> dt
+      (name, dt, err)
     }
+    val times = results.collect { case (n, dt, None) => n -> dt }
+    val errors = results.collect { case (n, _, Some(e)) => n -> e }
+    errors.foreach { case (n, e) => System.err.println(s"BENCH FAIL $n: $e") }
     val total = times.map(_._2).sum
     val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    val eJson = errors.map { case (n, e) =>
+      s""""$n":"${e.take(160).replaceAll("[\"\\\\\n\r\t]", " ")}"""" }.mkString(",")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"errors":{$eJson},"sf":"$sf"}"""
     // Print the JSON line FIRST (before any shutdown noise can clip a
     // captured stdout tail) and also persist it to a file so the scored
     // artifact survives truncation of the capture (the r7 lost-d-group

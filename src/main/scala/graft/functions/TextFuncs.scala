@@ -506,7 +506,9 @@ object TextFuncs {
   def t20TfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    val nDocs = docs.count()
+    // Pre-scaled LONG literal: an `N * 1000000` SQL literal pair would be
+    // typed INT×INT and overflow constant folding past ~2147 docs.
+    val idfNumMicro = docs.count() * 1000000L
     val tf = docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
@@ -515,7 +517,7 @@ object TextFuncs {
     val wTop = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term").asc)
     tf.join(df, Seq("term"))
-      .withColumn("score_micro", expr(s"tf * (($nDocs * 1000000) DIV df)"))
+      .withColumn("score_micro", expr(s"tf * (${idfNumMicro}L DIV df)"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
