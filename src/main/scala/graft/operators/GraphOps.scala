@@ -433,6 +433,65 @@ object GraphOps {
       .orderBy("node", "depth", "ancestor")
   }
 
+  /** g13: node similarity on the supplier side of the bipartite purchase
+    * graph — the Neo4j GDS `nodeSimilarity` analog the reference's
+    * graph store offers over its Person–Org edges: Jaccard of the two
+    * nodes' neighbor sets, in fixed-point micro-units
+    * (`common·1e6 DIV (d1+d2−common)` — integer-exact cross-engine),
+    * top-`k` most similar neighbors per node with deterministic
+    * (similarity desc, id asc) tie-break.
+    *
+    * Scale shape: candidate pairs come from a shared-neighbor EQUIJOIN
+    * (never all-pairs) — cost is Σ over customers of supplier-degree²,
+    * so hub customers are the blowup axis; `hubCutoff` drops customers
+    * whose supplier fan-out exceeds it from PAIR GENERATION only (the
+    * reference's own hub exclusion, mysql2neo4j.py:265, and GDS's
+    * degreeCutoff lever), while Jaccard denominators keep the full
+    * degrees. The per-node top-k is a `row_number ≤ k` window pruned to
+    * per-task top-k by WindowGroupLimit. Degrees join by key — no
+    * broadcast assumption on the vertex table.
+    */
+  def g13NodeSimilarity(
+      spark: SparkSession, dir: String, k: Int = 5, hubCutoff: Int = 50): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct()
+      .localCheckpoint(true)
+    nodeSimilarity(edges, k, hubCutoff)
+  }
+
+  /** Core of [[g13NodeSimilarity]] over an arbitrary deduplicated
+    * bipartite edge list `(s, c)`: Jaccard of `c`-neighbor sets between
+    * `s` nodes. Factored out for crafted-graph specs.
+    */
+  def nodeSimilarity(edges: DataFrame, k: Int, hubCutoff: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("d"))
+    val hubs = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+      .filter(col("cd") > hubCutoff).select("c")
+    val pruned = edges.join(hubs, Seq("c"), "left_anti")
+    val pairs = pruned.select(col("s").as("s1"), col("c"))
+      .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+    val sym = pairs.unionByName(
+      pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("common")))
+    val w = Window.partitionBy(col("s1"))
+      .orderBy(col("jaccard_micro").desc, col("s2").asc)
+    sym
+      .join(deg.select(col("s").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("s").as("s2"), col("d").as("d2")), Seq("s2"))
+      .withColumn("jaccard_micro",
+        expr("(common * 1000000) DIV (d1 + d2 - common)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("s1").as("node"), col("s2").as("neighbor"),
+        col("common"), col("jaccard_micro"), col("rank"))
+      .orderBy("node", "rank")
+  }
+
   /** g11: news co-occurrence EDGES from the typed extraction — the step
     * between t10's per-item parse and the reference's graph load. The
     * reference extracts one `NewsExtraction` per item (news_schema.py:
