@@ -46,6 +46,7 @@ object SparkEntry {
     "g10_label_propagation" -> GraphIter.g10LabelPropagation _,
     "g11_news_copairs"   -> GraphOps.g11NewsCopairs _,
     "g12_kcore"          -> ((s: SparkSession, d: String) => GraphIter.g12KCore(s, d)),
+    "g13_node_similarity" -> ((s: SparkSession, d: String) => GraphOps.g13NodeSimilarity(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "e6_interval_join"   -> Events.e6IntervalJoin _,
     "e7_threshold_anomaly" -> Events.e7ThresholdAnomaly _,
     "e8_retention_cohorts" -> Events.e8RetentionCohorts _,
+    "e9_window_topk"     -> ((s: SparkSession, d: String) => Events.e9WindowTopk(s, d)),
     // H. sources / maintenance
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d))
   )
@@ -256,6 +258,40 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "g6_pagerank" -> g6OracleSql,
     "g10_label_propagation" -> g10OracleSql,
+    "e9_window_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |    user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_ts, user_id, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(row_number() OVER (PARTITION BY hour_ts
+        |    ORDER BY cnt DESC, user_id) AS BIGINT) AS rank
+        |FROM c
+        |QUALIFY rank <= 3
+        |ORDER BY hour_ts, rank""".stripMargin,
+    "g13_node_similarity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
+        |hubs AS (SELECT c FROM e GROUP BY c HAVING count(*) > 50),
+        |pe AS (SELECT s, c FROM e WHERE c NOT IN (SELECT c FROM hubs)),
+        |com AS (
+        |  SELECT a.s AS s1, b.s AS s2, count(*) AS common
+        |  FROM pe a JOIN pe b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+        |sym AS (SELECT s1, s2, common FROM com
+        |        UNION ALL SELECT s2, s1, common FROM com),
+        |sc AS (
+        |  SELECT sym.s1, sym.s2, sym.common,
+        |    (sym.common * 1000000) // (d1.d + d2.d - sym.common) AS jaccard_micro
+        |  FROM sym JOIN deg d1 ON sym.s1 = d1.s JOIN deg d2 ON sym.s2 = d2.s)
+        |SELECT s1 AS node, s2 AS neighbor, CAST(common AS BIGINT) AS common,
+        |  CAST(jaccard_micro AS BIGINT) AS jaccard_micro,
+        |  CAST(row_number() OVER (PARTITION BY s1
+        |    ORDER BY jaccard_micro DESC, s2) AS BIGINT) AS rank
+        |FROM sc
+        |QUALIFY rank <= 5
+        |ORDER BY node, rank""".stripMargin,
     "g12_kcore" ->
       """WITH eu AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

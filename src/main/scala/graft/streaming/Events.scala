@@ -260,6 +260,29 @@ object Events {
     * table rather than being computed on the stream (an exact percentile
     * over an unbounded stream would need unbounded state).
     */
+  /** e9: trending per window — the top-`k` most active users inside each
+    * tumbling 1-hour window (the live "heavy hitters this hour" board
+    * every event pipeline ends up serving). Two-level shape: one
+    * map-side-combined count keyed by (window, user) — the only
+    * fact-proportional shuffle — then a per-window `row_number ≤ k`
+    * that Spark 4 prunes to per-task top-k via WindowGroupLimit
+    * (plan-asserted in ScaleSpec), so no window's full user list is
+    * ever sorted in one task. Deterministic (count desc, user asc)
+    * tie-break; window start emitted as epoch seconds like e1.
+    */
+  def e9WindowTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy(col("hour_ts"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    Tables(spark, dir).events
+      .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
+      .groupBy(col("hour_ts"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("hour_ts", "rank")
+  }
+
   def anomalyScan(events: DataFrame, thresholds: DataFrame): DataFrame =
     events
       .select(col("event_id"), col("event_type"),

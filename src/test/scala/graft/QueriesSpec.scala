@@ -474,6 +474,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.GraphIter.kCorePeel(chain, k = 2, rounds = 2).collect().isEmpty)
   }
 
+  test("g13 node similarity: Jaccard values, symmetry, and the hub cutoff") {
+    val ss = spark
+    import ss.implicits._
+    // s1~{c1,c2,c3}, s2~{c2,c3,c4}, s3~{c1}: J(s1,s2)=2/4, J(s1,s3)=1/3,
+    // s2/s3 share nothing.
+    val edges = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (3L, 1L)).toDF("s", "c")
+    val got = operators.GraphOps.nodeSimilarity(edges, k = 5, hubCutoff = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("neighbor")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jaccard_micro"))).toMap
+    assert(got === Map(
+      (1L, 2L) -> (2L, 500000L), (2L, 1L) -> (2L, 500000L),
+      (1L, 3L) -> (1L, 333333L), (3L, 1L) -> (1L, 333333L)))
+    // Hub cutoff: a customer shared by all three suppliers is dropped
+    // from pair generation at cutoff 2 (its fan-out is 3), but still
+    // counts in every degree denominator.
+    val withHub = edges.union(Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("s", "c"))
+    val cut = operators.GraphOps.nodeSimilarity(withHub, k = 5, hubCutoff = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("neighbor")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jaccard_micro"))).toMap
+    // Degrees grow by one (the hub edge) but common counts exclude c9:
+    // J(s1,s2)=2/(4+4-2), J(s1,s3)=1/(4+2-1).
+    assert(cut === Map(
+      (1L, 2L) -> (2L, 333333L), (2L, 1L) -> (2L, 333333L),
+      (1L, 3L) -> (1L, 200000L), (3L, 1L) -> (1L, 200000L)))
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)

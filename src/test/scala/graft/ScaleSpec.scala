@@ -371,7 +371,9 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         "s2_lsh_ann"            -> similarity.Ann.s2LshAnn(spark, dir),
         "s3_centroid_ivf"       -> similarity.Ann.s3CentroidIvf(spark, dir),
         "s4_knn_join"           -> similarity.Ann.s4KnnJoin(spark, dir),
-        "t20_tfidf_terms"       -> functions.TextFuncs.t20TfidfTerms(spark, dir))) {
+        "t20_tfidf_terms"       -> functions.TextFuncs.t20TfidfTerms(spark, dir),
+        "g13_node_similarity"   -> operators.GraphOps.g13NodeSimilarity(spark, dir),
+        "e9_window_topk"        -> streaming.Events.e9WindowTopk(spark, dir))) {
       val plan = physical(df)
       val hasLimit = plan.collectWithSubqueries {
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
