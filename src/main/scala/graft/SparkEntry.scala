@@ -54,6 +54,7 @@ object SparkEntry {
     "d4_simhash"         -> Dedup.d4SimHash _,
     "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
     "d11_dedup_report"   -> ((s: SparkSession, d: String) => Dedup.d11DedupReport(s, d)),
+    "d12_containment"    -> ((s: SparkSession, d: String) => Dedup.d12Containment(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -608,6 +609,25 @@ object SparkEntry {
         |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         |ORDER BY d.doc_id""".stripMargin,
+    "d12_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, length(text) - 3),
+        |      i -> substr(text, CAST(i AS INTEGER), 5)))) AS g
+        |  FROM documents WHERE length(text) >= 5),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+        |pg AS (SELECT doc_id, g.g FROM g JOIN df USING (g) WHERE df.df <= 64),
+        |na AS (SELECT doc_id, count(*) AS n_grams_a FROM pg GROUP BY 1),
+        |sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, CAST(sh.shared AS BIGINT) AS shared,
+        |  CAST(na.n_grams_a AS BIGINT) AS n_grams_a,
+        |  CAST(sh.shared * 1000000 // na.n_grams_a AS BIGINT) AS containment_micro
+        |FROM sh JOIN na ON sh.id_a = na.doc_id
+        |WHERE sh.shared * 1000000 // na.n_grams_a >= 800000
+        |ORDER BY id_a, id_b""".stripMargin,
     "d11_dedup_report" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

@@ -527,6 +527,56 @@ object Dedup {
     * executable spec oracle for [[d4SimHash]]'s native expression: one md5
     * per distinct gram, 60 codegen'd ±1 sum aggregates.
     */
+  /** d12: gram-containment near-dup pairs — the ASYMMETRIC relation the
+    * Jaccard family misses: `containment(A→B) = |g(A)∩g(B)| / |g(A)|`
+    * flags a short document quoted or templated inside a longer one even
+    * when their symmetric Jaccard is tiny (|g(B)| dominates the union).
+    * Standard curation tier next to d2/d3: quote-expansion, boilerplate
+    * wrappers, article-plus-commentary mirrors.
+    *
+    * Scale shape: an INVERTED-INDEX equijoin on the packed gram code
+    * (each doc's sorted-distinct codes exploded once), counting shared
+    * grams per ORDERED pair — never an all-pairs scan. The pair fan-out
+    * axis is per-gram document frequency, so grams appearing in more
+    * than `dfCutoff` docs (boilerplate shingles) are dropped from the
+    * gram SPACE entirely — numerator and denominator both, keeping the
+    * ratio a true containment over the filtered space — which bounds
+    * per-gram join work to dfCutoff². Both effects mirrored exactly in
+    * the oracle. Fixed-point micro-units as everywhere.
+    */
+  def d12Containment(
+      spark: SparkSession,
+      dir: String,
+      thresholdMicro: Long = 800000L,
+      dfCutoff: Long = 64L): DataFrame =
+    containmentPairs(Tables(spark, dir).documents, thresholdMicro, dfCutoff)
+
+  /** Core of [[d12Containment]] over any (doc_id, text) frame. */
+  def containmentPairs(
+      documents: DataFrame,
+      thresholdMicro: Long,
+      dfCutoff: Long): DataFrame = {
+    val inv = documents
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), explode(gramCodes(col("text"))).as("g"))
+    val stop = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCutoff).select("g")
+    // One checkpointed pass of the filtered index feeds both join sides
+    // and the denominator count.
+    val pruned = inv.join(stop, Seq("g"), "left_anti").localCheckpoint(true)
+    val na = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_grams_a"))
+    pruned.select(col("doc_id").as("id_a"), col("g"))
+      .join(pruned.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(na.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .withColumn("containment_micro", expr("(shared * 1000000) DIV n_grams_a"))
+      .filter(col("containment_micro") >= thresholdMicro)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_grams_a"),
+        col("containment_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
   def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
     val exploded = Tables(spark, dir).documents

@@ -270,17 +270,23 @@ object Events {
     * ever sorted in one task. Deterministic (count desc, user asc)
     * tie-break; window start emitted as epoch seconds like e1.
     */
-  def e9WindowTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def e9WindowTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    windowTopk(Tables(spark, dir).events, k).orderBy("hour_ts", "rank")
+
+  /** Core of [[e9WindowTopk]] over an arbitrary events frame; also the
+    * ranking semantics the streaming twin
+    * ([[EventsStream.windowTopkStream]]) must agree with (spec-checked).
+    */
+  def windowTopk(events: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wTop = Window.partitionBy(col("hour_ts"))
       .orderBy(col("cnt").desc, col("user_id").asc)
-    Tables(spark, dir).events
+    events
       .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
       .groupBy(col("hour_ts"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= k)
-      .orderBy("hour_ts", "rank")
   }
 
   def anomalyScan(events: DataFrame, thresholds: DataFrame): DataFrame =

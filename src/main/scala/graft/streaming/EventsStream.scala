@@ -304,6 +304,46 @@ object EventsStream {
       .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, path))
       .start()
 
+  /** Streaming e9: per-window heavy hitters. The watermarked windowed
+    * (window, user) count runs in APPEND mode, so a count row is emitted
+    * exactly once — when the watermark closes its window — and every
+    * closed window therefore arrives COMPLETE inside one micro-batch.
+    * That completeness is what makes the per-window `row_number ≤ k`
+    * inside `foreachBatch` final rather than provisional: ranking never
+    * spans batches, needs no cross-batch state, and lands through the
+    * same idempotent per-batch partition sink as the egress path
+    * (replay-safe). State on the cluster is the windowed-count
+    * aggregation only — bounded by the watermark, exactly e1's posture.
+    * Batch/stream agreement with [[Events.e9WindowTopk]] is
+    * spec-checked in StreamingSpec.
+    */
+  def windowTopkStream(
+      events: DataFrame,
+      path: String,
+      checkpointDir: String,
+      k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = withEventTime(events)
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_ts"),
+        col("user_id"), col("cnt"))
+    val wTop = Window.partitionBy(col("hour_ts"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val ranked = b
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= k)
+        writeBatchIdempotent(ranked, id, path)
+      }
+      .start()
+  }
+
   /** Streaming t18: the tracker's live role — running per-model spend
     * with the cost-limit latch, refreshed every micro-batch (the
     * reference stops its pipeline the moment `total_cost >= cost_limit`,

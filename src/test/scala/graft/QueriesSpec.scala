@@ -474,6 +474,26 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.GraphIter.kCorePeel(chain, k = 2, rounds = 2).collect().isEmpty)
   }
 
+  test("d12 containment is asymmetric: the quoted doc flags, its host does not") {
+    val ss = spark
+    import ss.implicits._
+    // Doc 1 is verbatim inside doc 2; doc 2 has plenty of its own text;
+    // doc 3 is unrelated. Every 5-gram of doc 1 appears in doc 2, so
+    // containment(1→2) = 1.0; containment(2→1) is far below 0.8.
+    val quoted = "the quick brown fox jumps over the lazy dog"
+    val host = s"opening words before the quote $quoted and a long commentary tail follows here"
+    val docs = Seq((1L, quoted), (2L, host), (3L, "completely different content zone"))
+      .toDF("doc_id", "text")
+    val got = dedup.Dedup.containmentPairs(docs, 800000L, 64L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("containment_micro")).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === 1000000L)
+    // Stop-gram cutoff: with dfCutoff = 1 every shared gram (df = 2) is
+    // dropped, so no pair survives — the fan-out bound is real.
+    assert(dedup.Dedup.containmentPairs(docs, 800000L, 1L).collect().isEmpty)
+  }
+
   test("g13 node similarity: Jaccard values, symmetry, and the hub cutoff") {
     val ss = spark
     import ss.implicits._

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventsStream
+import graft.streaming.{Events, EventsStream}
 
 final case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Long, value: Double)
 
@@ -233,6 +233,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(landed.select("ingest_batch").distinct().count() === 2)
   }
 
+
+  test("streaming e9 window top-k ranks closed windows and matches the batch form") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    // Hour 1: user 1 has 3 events, user 2 has 2, user 3 has 1 (tie on
+    // cnt with nobody — rank by (cnt desc, user asc)). Hour 2: users 4/5
+    // tie at 1 each — the id tie-break decides.
+    val evs = Seq(
+      Ev(1, 1, "click", 1 * hourNs + 1e9.toLong, 0.0),
+      Ev(2, 1, "click", 1 * hourNs + 2e9.toLong, 0.0),
+      Ev(3, 1, "view",  1 * hourNs + 3e9.toLong, 0.0),
+      Ev(4, 2, "click", 1 * hourNs + 4e9.toLong, 0.0),
+      Ev(5, 2, "view",  1 * hourNs + 5e9.toLong, 0.0),
+      Ev(6, 3, "view",  1 * hourNs + 6e9.toLong, 0.0),
+      Ev(7, 5, "click", 2 * hourNs + 1e9.toLong, 0.0),
+      Ev(8, 4, "click", 2 * hourNs + 2e9.toLong, 0.0))
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.windowTopkStream(mem.toDF(), s"$out/topk", s"$out/ckpt", k = 2)
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // Watermark pusher: an event 10 hours on closes hours 1 and 2.
+    mem.addData(Ev(99, 9, "view", 12 * hourNs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/topk")
+      .select("hour_ts", "user_id", "cnt", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      (3600L, 1L) -> (3L, 1L), (3600L, 2L) -> (2L, 2L),
+      (7200L, 4L) -> (1L, 1L), (7200L, 5L) -> (1L, 2L)))
+    // Batch/stream agreement: the batch core over the same rows (k = 2),
+    // restricted to the closed hours 1-2, is identical.
+    val ranked = Events.windowTopk(evs.toDF(), k = 2)
+      .filter(col("hour_ts") < 3 * 3600L)
+      .collect()
+      .map(r => (r.getAs[Long]("hour_ts"), r.getAs[Long]("user_id")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("rank"))).toMap
+    assert(got === ranked)
+  }
 
   test("streaming cost meter accumulates across batches, latches, and matches the batch ledger") {
     val ss = spark
