@@ -104,7 +104,8 @@ object SparkEntry {
     "e8_retention_cohorts" -> Events.e8RetentionCohorts _,
     "e9_window_topk"     -> ((s: SparkSession, d: String) => Events.e9WindowTopk(s, d)),
     // H. sources / maintenance
-    "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d))
+    "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
+    "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d))
   )
 
   private val decPrice =
@@ -1166,6 +1167,26 @@ object SparkEntry {
         |FROM unioned
         |QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY version DESC) = 1
         |ORDER BY custkey""".stripMargin,
+    "h2_scd2_dim" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |existing AS (
+        |  SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |    CAST(0 AS BIGINT) AS version
+        |  FROM customer),
+        |incoming AS (
+        |  SELECT c_custkey AS custkey, c_name AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + spend AS DOUBLE) AS acctbal,
+        |    CAST(1 AS BIGINT) AS version
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |hist AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming)
+        |SELECT custkey, name, acctbal, version,
+        |  lead(version) OVER (PARTITION BY custkey ORDER BY version) AS valid_to,
+        |  CAST(lead(version) OVER (PARTITION BY custkey ORDER BY version) IS NULL
+        |    AS INTEGER) AS is_current
+        |FROM hist
+        |ORDER BY custkey, version""".stripMargin,
     "t19_gram_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

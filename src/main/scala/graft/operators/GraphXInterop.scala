@@ -63,6 +63,26 @@ object GraphXInterop {
       .filter(col("dist") <= maxDepth)
   }
 
+  /** Connected components via GraphX's Pregel implementation over the
+    * same symmetrized long-keyed edges [[GraphIter.connectedComponents]]
+    * hash-min-iterates — a third independent engine (after the DuckDB
+    * recursive-CTE oracle) agreeing on component structure. GraphX labels
+    * each component by its min vertex id, the same canonical label the
+    * DataFrame loop converges to, so agreement is exact equality.
+    */
+  def connectedComponentsGraphX(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    val edgeRdd = sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    val comps = graph.connectedComponents().vertices
+      .map { case (v, c) => (v, c.toLong) }
+    spark.createDataFrame(comps).toDF("node", "component")
+  }
+
   /** g6's graph through the GraphX path (same packed-long node ids,
     * decoded to the display form).
     */

@@ -83,6 +83,28 @@ object Upsert {
     require(fs.rename(tmp, target), s"atomic swap failed for $path")
   }
 
+  /** SCD Type-2 view of a version history: every version of a key is
+    * kept as its own row, annotated with the interval it was current for
+    * — `valid_to` = the NEXT version's start (null while current) via one
+    * `lead` window, `is_current` on the open row. This is the
+    * history-keeping sibling of [[upsertByKey]] (which keeps only the
+    * winner): the reference's loader overwrites node properties on
+    * re-import (MERGE ... SET), losing the old value; a warehouse
+    * dimension usually needs the old value queryable as of any version —
+    * "which org level did this person's workplace have when the career
+    * event was recorded" is an as-of join against exactly this view.
+    *
+    * The window partitions by the dimension key — high-cardinality by
+    * construction, a handful of versions per key — so the per-key sort
+    * is bounded and there is no low-cardinality stratum hazard.
+    */
+  def scd2(history: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).asc)
+    history
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** h1: the MERGE itself as a driver-keyed query — refresh the customer
     * dimension from order activity. Existing = the stored customer rows
     * (version 0); incoming = one updated row per customer WITH orders,
@@ -109,5 +131,27 @@ object Upsert {
         lit(1L).as("version"))
     upsertByKey(existing, incoming, Seq("custkey"), "version")
       .orderBy("custkey")
+  }
+
+  /** h2: the same refresh as [[h1UpsertDim]] kept as SCD2 HISTORY —
+    * customers with orders carry both the superseded v0 row (closed
+    * interval) and the current v1 row; customers without orders stay on
+    * their open v0 row. The as-of query surface of the dimension.
+    */
+  def h2Scd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val existing = t.customer.select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), lit(0L).as("version"))
+    val spend = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val incoming = t.customer
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        (col("c_acctbal").cast("decimal(18,2)") + col("spend"))
+          .cast("double").as("acctbal"),
+        lit(1L).as("version"))
+    scd2(existing.unionByName(incoming), Seq("custkey"), "version")
+      .orderBy("custkey", "version")
   }
 }

@@ -157,6 +157,23 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("scd2 history view: intervals chain, exactly one open row per key") {
+    val ss = spark
+    import ss.implicits._
+    val hist = Seq(
+      (1L, "alice-v0", 0L), (1L, "alice-v2", 2L), (1L, "alice-v5", 5L),
+      (2L, "bob-v1", 1L)).toDF("id", "name", "version")
+    val rows = sources.Upsert.scd2(hist, Seq("id"), "version")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("version")) ->
+        (Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[Int]("is_current")))
+      .toMap
+    assert(rows === Map(
+      (1L, 0L) -> (Some(2L), 0), (1L, 2L) -> (Some(5L), 0),
+      (1L, 5L) -> (None, 1), (2L, 1L) -> (None, 1)))
+  }
+
   test("upsert-by-key: randomized batch replay matches a sequential MERGE fold") {
     val ss = spark
     import ss.implicits._

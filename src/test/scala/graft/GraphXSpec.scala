@@ -55,4 +55,21 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df === gx)
     assert(df.nonEmpty)
   }
+
+  test("GraphX Pregel connectedComponents and the DataFrame hash-min loop agree exactly") {
+    // Component labels are both canonical min-vertex-ids, so the two
+    // engines must match bit-for-bit — on a crafted multi-component
+    // graph (two chains and an isolated edge).
+    val ss = spark
+    import ss.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val df = operators.GraphIter.connectedComponents(edges)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val gx = operators.GraphXInterop.connectedComponentsGraphX(edges)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(df === gx)
+    assert(df === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }

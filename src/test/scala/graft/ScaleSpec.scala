@@ -31,6 +31,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       case p => p
     }
 
+  test("d12 containment pair generation is an equijoin — no all-pairs operator in the plan") {
+    // The inverted-index join must stay a hash/sort-merge equijoin on the
+    // gram code: a CartesianProduct or BroadcastNestedLoopJoin anywhere
+    // means the never-all-pairs contract silently broke.
+    val plan = physical(dedup.Dedup.d12Containment(spark, dir))
+    val allPairs = plan.collectWithSubqueries {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(allPairs.isEmpty, s"all-pairs join in d12 plan:\n$plan")
+  }
+
   test("blocked pair generation emits exactly the plain self-join pair set") {
     val t = Tables(spark, dir)
     val grouped = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey").as("id"))
