@@ -55,3 +55,44 @@ object SketchRollup {
         .as("n_users_est"))
       .orderBy("event_type")
 }
+
+/** The EXACT sibling of [[SketchRollup]]: the same (day, event_type)
+  * rollup with each cell's user set stored as a `graft_roaring_set`
+  * blob instead of an HLL sketch. Union of exact sets is lossless by
+  * definition, so `graft_roaring_union` over any cell selection answers
+  * IDENTICALLY to counting distinct users over the raw rows
+  * (spec-asserted against both the roaring aggregate and
+  * `count(distinct)`) — at the cost of blob sizes tracking true
+  * cardinality (~1 bit per clustered id, ~2 bytes per sparse one)
+  * rather than the sketch's fixed 2^lgK registers. Pick per cell
+  * economics: HLL when ±1.6% is acceptable and cells are huge, this
+  * when the number must be exact — the q12/g4 escalation boundary
+  * applied to persisted rollup state. Canonical blob serialization
+  * makes append-vs-rebuild comparisons bit-exact.
+  */
+object ExactRollup {
+  import org.apache.spark.sql.graft.RoaringAggregates
+
+  /** One exact user set (canonical roaring blob) per (day, event_type)
+    * cell, plus the row count.
+    */
+  def buildDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        RoaringAggregates.roaringSetAgg(col("user_id")).as("user_set"),
+        count(lit(1)).as("n_events"))
+
+  /** EXACT distinct users per event_type over `[fromDay, toDay]`,
+    * answered from the blob table alone.
+    */
+  def distinctUsersOverRange(
+      cells: DataFrame, fromDay: Long, toDay: Long): DataFrame =
+    cells
+      .filter(col("day").between(fromDay, toDay))
+      .groupBy(col("event_type"))
+      .agg(RoaringAggregates.roaringBlobUnionCount(col("user_set"))
+        .as("n_users"))
+      .orderBy("event_type")
+}

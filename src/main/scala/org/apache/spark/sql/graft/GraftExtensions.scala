@@ -145,6 +145,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_roaring_set"),
+        new ExpressionInfo(classOf[RoaringSetAgg].getName, "graft_roaring_set"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_roaring_set expects exactly 1 argument")
+          RoaringSetAgg(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_roaring_union"),
+        new ExpressionInfo(classOf[RoaringBlobUnionCount].getName, "graft_roaring_union"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_roaring_union expects exactly 1 argument")
+          RoaringBlobUnionCount(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_sorted_intersect"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
         (children: Seq[Expression]) => {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType}
 
 /** One 2^16-key slice of a [[RoaringSet]]: `bits == null` → sorted-array
   * mode over the first `n` entries of `arr`; else bitmap mode with `n`
@@ -270,10 +270,120 @@ case class RoaringDistinctCount(
     copy(child = newChildren.head)
 }
 
+/** `graft_roaring_set(key)` — the SET ITSELF as a canonical binary blob
+  * (the [[RoaringSet.serialize]] byte form): what a PERSISTED exact
+  * rollup stores per cell, so later range queries union blobs instead of
+  * rescanning raw rows — [[RoaringDistinctCount]]'s buffer made into a
+  * first-class mergeable value, exactly as `hll_sketch_agg` is to
+  * `approx_count_distinct`. Serialization is canonical (containers in
+  * unsigned-key order, array/bitmap mode a pure function of container
+  * cardinality), so equal sets produce equal bytes — append-vs-rebuild
+  * comparisons are bit-exact.
+  */
+case class RoaringSetAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[RoaringSet] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_roaring_set"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): RoaringSet = new RoaringSet
+
+  override def update(buffer: RoaringSet, input: InternalRow): RoaringSet = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: RoaringSet, other: RoaringSet): RoaringSet = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: RoaringSet): Any = buffer.serialize()
+
+  override def serialize(buffer: RoaringSet): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): RoaringSet =
+    RoaringSet.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RoaringSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RoaringSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `graft_roaring_union(blob)` — EXACT distinct count of the union of
+  * [[RoaringSetAgg]] blobs: the query side of the exact rollup. Union of
+  * exact sets is lossless by definition, so a rollup queried through
+  * this aggregate answers IDENTICALLY to counting the raw rows — the
+  * blobs only change the COST (O(cells) small binaries vs O(rows)), the
+  * same contract `hll_union_agg` offers with an error bar and this
+  * offers without one.
+  */
+case class RoaringBlobUnionCount(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[RoaringSet] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_roaring_union"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): RoaringSet = new RoaringSet
+
+  override def update(buffer: RoaringSet, input: InternalRow): RoaringSet = {
+    val v = child.eval(input)
+    // Deserialize allocates fresh containers, so the aliasing merge is
+    // safe — nothing else holds them.
+    if (v != null) buffer.merge(RoaringSet.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: RoaringSet, other: RoaringSet): RoaringSet = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: RoaringSet): Any = buffer.cardinality
+
+  override def serialize(buffer: RoaringSet): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): RoaringSet =
+    RoaringSet.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RoaringBlobUnionCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RoaringBlobUnionCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Column wrappers for the roaring aggregates. */
 object RoaringAggregates {
   /** Exact distinct count of long keys; compressed-set buffer. */
   def roaringDistinctCount(key: Column): Column =
     ExpressionUtils.column(
       RoaringDistinctCount(ExpressionUtils.expression(key)).toAggregateExpression())
+
+  /** The set itself as a canonical mergeable blob (rollup storage form). */
+  def roaringSetAgg(key: Column): Column =
+    ExpressionUtils.column(
+      RoaringSetAgg(ExpressionUtils.expression(key)).toAggregateExpression())
+
+  /** Exact distinct count of a union of stored blobs (rollup query form). */
+  def roaringBlobUnionCount(blob: Column): Column =
+    ExpressionUtils.column(
+      RoaringBlobUnionCount(ExpressionUtils.expression(blob)).toAggregateExpression())
 }
