@@ -31,6 +31,7 @@ object SparkEntry {
     "q10_running_window" -> Relational.q10RunningWindow _,
     "q11_cube"           -> Relational.q11Cube _,
     "q12_multi_distinct" -> Relational.q12MultiDistinct _,
+    "q13_rollup_distinct" -> operators.ExactRollup.q13RollupDistinct _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -409,6 +410,18 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_rollup_distinct" ->
+      """WITH d AS (
+        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |    event_type, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d, b
+        |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "t17_weighted_sample" ->
       """SELECT doc_id, source,
         |  list_reduce(list_transform(range(1, 13),

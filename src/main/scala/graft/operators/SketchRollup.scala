@@ -95,4 +95,21 @@ object ExactRollup {
       .agg(RoaringAggregates.roaringBlobUnionCount(col("user_set"))
         .as("n_users"))
       .orderBy("event_type")
+
+  /** q13: the rollup ON the correctness gate — build the daily blob
+    * cells, then answer "distinct users per event type over the middle
+    * half of the observed day range" entirely from the blobs. The DuckDB
+    * oracle computes the same number the honest way (count DISTINCT over
+    * raw rows), so the driver hash-checks the whole
+    * store-blobs-then-union path end to end — the lossless-union
+    * contract as a verified query, not just a spec. The day-bound probe
+    * is two scalars off a tiny aggregate (bounded driver action, the
+    * k-means/vocab pattern).
+    */
+  def q13RollupDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val cells = buildDaily(spark, dir).localCheckpoint(true)
+    val r = cells.agg(min(col("day")), max(col("day"))).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    distinctUsersOverRange(cells, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+  }
 }
