@@ -66,6 +66,7 @@ object SparkEntry {
     "s2_lsh_ann"         -> ((s: SparkSession, d: String) => Ann.s2LshAnn(s, d)),
     "s3_centroid_ivf"    -> ((s: SparkSession, d: String) => Ann.s3CentroidIvf(s, d)),
     "s4_knn_join"        -> ((s: SparkSession, d: String) => Ann.s4KnnJoin(s, d)),
+    "s5_range_search"    -> ((s: SparkSession, d: String) => Ann.s5RangeSearch(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -861,6 +862,18 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_id1, vec_id2""".stripMargin,
+    "s5_range_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id
+        |FROM q CROSS JOIN c
+        |WHERE query_id <> neighbor_id
+        |  AND list_cosine_similarity(qe, ne) >= 0.5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     "s1_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),

@@ -58,6 +58,33 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** s5: RADIUS search — every corpus vector within cosine ≥ `threshold`
+    * of each query, the companion primitive to s1's top-k (top-k answers
+    * "the k closest no matter how far"; radius answers "everything
+    * actually similar" — the retrieval mode dedup thresholds and
+    * quality-gated RAG use). Brute-force form for a broadcastable query
+    * set: one corpus scan, queries broadcast, no shuffle at all before
+    * the result sort; at scale the same predicate runs inside LSH/IVF
+    * cells exactly as s2/s3 route their top-k (the threshold only makes
+    * the in-cell filter cheaper — no rank state). Emits ids only (the
+    * d5 discipline: a float similarity column would hash-flap at the
+    * last ulp; the threshold PREDICATE agrees across engines).
+    */
+  def s5RangeSearch(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val t = Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val corpus = t.embeddings.repartition(nPart)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(cosine(col("q_emb"), col("n_emb")) >= threshold)
+      .select("query_id", "neighbor_id")
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** d5: embedding-cosine near-duplicate pairs above a threshold. Pair
     * generation is the exact baseline; at scale the same predicate runs
     * inside LSH buckets.
