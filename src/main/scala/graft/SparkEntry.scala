@@ -74,6 +74,7 @@ object SparkEntry {
     "m4_byte_stats"      -> Media.m4ByteStats _,
     "m5_phash"           -> Media.m5Phash _,
     "m6_phash_pairs"     -> ((s: SparkSession, d: String) => Media.m6PhashPairs(s, d)),
+    "m7_media_resolve"   -> Media.m7MediaResolve _,
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -826,6 +827,27 @@ object SparkEntry {
          |WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
          |  AND bit_count(xor(a.phash, b.phash)) <= 15
          |ORDER BY doc_id1, doc_id2""".stripMargin,
+    "m7_media_resolve" ->
+      s"""${phashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pr AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM fb a JOIN fb b ON a.doc_id < b.doc_id
+         |  WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |         a.band2 = b.band2 OR a.band3 = b.band3)
+         |    AND bit_count(xor(a.phash, b.phash)) <= 15),
+         |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT a AS node, b AS reachable FROM edges
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+         |comp AS (
+         |  SELECT node, least(node, min(reachable)) AS canonical
+         |  FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  coalesce(c.canonical, d.doc_id) AS canonical_id,
+         |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |ORDER BY d.doc_id""".stripMargin,
     "e2_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
         |x AS (

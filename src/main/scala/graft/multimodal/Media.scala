@@ -187,6 +187,32 @@ object Media {
     graft.dedup.Dedup.bandedHammingPairs(fp, "phash", maxHamming, blockThreshold, nBlocks)
   }
 
+  /** m7: media dedup RESOLUTION — d6's detect→cluster→resolve applied to
+    * the perceptual tier: m6's verified near-dup pairs form the edge
+    * set, hash-min connected components cluster transitively-linked
+    * media (re-encoding chains A~B~C where A and C share no band), and
+    * each cluster keeps its minimum doc_id as canonical. The output is
+    * the same per-item verdict table d6 emits for text — the filter list
+    * a multimodal corpus build consumes. Composable DataFrame plan end
+    * to end; the CC loop is the shared
+    * [[graft.operators.GraphIter.connectedComponents]].
+    */
+  def m7MediaResolve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = m6PhashPairs(spark, dir)
+      .select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+    val comps = graft.operators.GraphIter.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("canonical"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") === coalesce(col("canonical"), col("doc_id")))
+          .cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * codecs would run the real image/audio decoder batch-wise per
     * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),
