@@ -96,6 +96,7 @@ object SparkEntry {
     "t18_cost_accounting" -> ((s: SparkSession, d: String) => TextFuncs.t18CostAccounting(s, d)),
     "t19_gram_lm_score"  -> ((s: SparkSession, d: String) => TextFuncs.t19GramLmScore(s, d)),
     "t20_tfidf_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t20TfidfTerms(s, d)),
+    "t21_hash_split"     -> TextFuncs.t21HashSplit _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -1258,6 +1259,19 @@ object SparkEntry {
         |  CAST(a.sum_p // a.n_bigrams AS BIGINT) AS lm_micro
         |FROM docs d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t21_hash_split" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 13),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 1000 AS u_milli,
+        |  CASE WHEN list_reduce(list_transform(range(1, 13),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 1000 < 800 THEN 'train'
+        |    WHEN list_reduce(list_transform(range(1, 13),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 1000 < 900 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t20_tfidf_terms" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -487,6 +487,28 @@ object TextFuncs {
       .orderBy("model", "day_idx")
   }
 
+  /** t21: deterministic train/val/test split — the corpus-partitioning
+    * step every training run starts with, made reproducible across
+    * engines, runs, and cluster sizes by deriving the uniform from
+    * md5(text) (the t13/t17 sampling discipline): u ∈ [0,1000) in
+    * per-mille, train < 800 ≤ val < 900 ≤ test. Content-keyed (not
+    * id-keyed) so byte-identical documents land in the same split even
+    * across re-crawls with different ids — the property that keeps
+    * dedup-then-split and split-then-dedup consistent. Shuffle-free
+    * codegen'd projection; the split is a column, so downstream readers
+    * partition-prune on it after a partitioned write.
+    */
+  def t21HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT) % 1000")
+          .as("u_milli"))
+      .withColumn("split",
+        when(col("u_milli") < 800, "train")
+          .when(col("u_milli") < 900, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
   /** t20: TF-IDF top terms per document — the classic keyword/topic
     * signal a curation pipeline hangs filters and clustering on. Scores
     * in fixed-point micro-units (`tf * ((N * 1e6) DIV df)` — the t18/t19
