@@ -104,6 +104,18 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Read a parquet dataset written under EVOLVING schemas: files from
+    * before a column existed merge with files from after it
+    * (`mergeSchema` reconciles footers by name; rows from older files
+    * read the new column as null). This is how a long-lived landing zone
+    * absorbs a schema change without rewriting history — the ingest
+    * keeps appending, readers see the superset schema. The footer merge
+    * costs one extra pass over file METADATA only; leave it off
+    * (plain `readPartitioned`) for schema-stable tables.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Read XML with a trusted schema via Spark 4's BUILT-IN xml source
     * (the former spark-xml package, folded into the engine): one row per
     * `rowTag` element, attributes surfaced as `_attr` columns by the

@@ -20,6 +20,17 @@ final case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long)
 /** Latest click per user carried between micro-batches (µs). */
 final case class LastClick(click_us: Long)
 
+/** Per-user retention state: the cohort (first-seen hour) plus the
+  * recently-emitted hours, pruned below the watermark each batch so the
+  * state stays a handful of longs however long the user lives.
+  */
+final case class RetentionState(cohort_hour: Long, seen_hours: Seq[Long])
+
+/** Emitted retention increment: one row per (user, active hour) first
+  * observation — the delta feed of the e8 retention matrix.
+  */
+final case class RetentionInc(user_id: Long, cohort_hour: Long, hours_since: Long)
+
 /** Emitted as-of attribution row (µs; None = no prior click). */
 final case class AsofRow(
   event_id: Long,
@@ -303,6 +314,60 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, path))
       .start()
+
+  /** Streaming e8: the retention matrix as a LIVE DELTA FEED — one
+    * `RetentionInc` per (user, active hour) first observation, with
+    * `cohort_hour` pinned to the hour the user was first seen. The
+    * consumer folds increments into the (cohort_hour, hours_since)
+    * matrix with a plain count — grouping the emitted rows reproduces
+    * [[Events.e8RetentionCohorts]] exactly (spec-checked, including a
+    * cross-batch return visit).
+    *
+    * State is one cohort long plus the recently-seen hours per user, and
+    * stays BOUNDED two ways: hours below the watermark are pruned every
+    * batch (an event that old can no longer arrive, so the dedup never
+    * needs them again — the in-state analog of
+    * `dropDuplicatesWithinWatermark`, used here instead of an upstream
+    * dedup operator so the query has ONE stateful stage, not a chained
+    * pair), and users idle past `idleTimeoutMs` in event time are
+    * dropped entirely (a returning user re-cohorts — the same
+    * bounded-state trade as the funnel/as-of forms; same caveat too: a
+    * straggler OLDER than the user's first-seen hour, within the
+    * watermark delay, keeps the already-pinned cohort, where a batch
+    * recomputation would back-date it).
+    */
+  def retentionStream(
+      events: Dataset[RawEvent],
+      idleTimeoutMs: Long = 48L * 3600 * 1000): Dataset[RetentionInc] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "2 hours")
+      .select(col("user_id"), expr("ts DIV 3600000000000").as("hour"),
+        col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionInc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val hours = rows.map(_._2).toArray.sorted.distinct
+            val wmHour = state.getCurrentWatermarkMs() / 3600000L
+            val prev = state.getOption.getOrElse(RetentionState(hours.head, Nil))
+            val seen = prev.seen_hours.toSet
+            val fresh = hours.filterNot(seen)
+            // Prune below the watermark (minus slack for the in-flight
+            // batch, whose events may still precede it): those hours can
+            // never arrive again.
+            val kept = (prev.seen_hours ++ fresh).filter(_ >= wmHour - 3).distinct
+            state.update(RetentionState(prev.cohort_hour, kept))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeoutMs)
+            fresh.iterator.map(h => RetentionInc(uid, prev.cohort_hour, h - prev.cohort_hour))
+          }
+      }
+  }
 
   /** Streaming e9: per-window heavy hitters. The watermarked windowed
     * (window, user) count runs in APPEND mode, so a count row is emitted

@@ -157,6 +157,21 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("schema evolution: appended files with a new column merge; old rows read null") {
+    val ss = spark
+    import ss.implicits._
+    val path = s"$tmp/evolving"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(path)
+    val merged = Formats.readEvolved(spark, path)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "text"))
+    val byId = merged.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("lang"))).toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some("en")))
+  }
+
   test("scd2 history view: intervals chain, exactly one open row per key") {
     val ss = spark
     import ss.implicits._

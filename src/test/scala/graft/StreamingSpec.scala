@@ -234,6 +234,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
 
+  test("streaming e8 retention increments fold to the batch matrix across batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.retentionStream(mem.toDF().as[graft.streaming.RawEvent])
+      .writeStream.format("memory").queryName("e8s").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // Batch 1: user 1 active hours 1 and 2 (two events in hour 1 — one
+    // increment), user 2 active hour 2.
+    mem.addData(
+      Ev(1, 1, "view", 1 * hourNs + 1e9.toLong, 0.0),
+      Ev(2, 1, "view", 1 * hourNs + 2e9.toLong, 0.0),
+      Ev(3, 1, "click", 2 * hourNs + 1e9.toLong, 0.0),
+      Ev(4, 2, "view", 2 * hourNs + 1e9.toLong, 0.0))
+    q.processAllAvailable()
+    // Batch 2: user 1 returns in hour 4 (hours_since vs the ORIGINAL
+    // cohort), user 2 repeats hour 2 (no new increment).
+    mem.addData(
+      Ev(5, 1, "view", 4 * hourNs + 1e9.toLong, 0.0),
+      Ev(6, 2, "view", 2 * hourNs + 5e9.toLong, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val incs = spark.table("e8s").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cohort_hour"),
+        r.getAs[Long]("hours_since")))
+    assert(incs.length === incs.distinct.length, "duplicate increments")
+    assert(incs.toSet === Set((1L, 1L, 0L), (1L, 1L, 1L), (1L, 1L, 3L), (2L, 2L, 0L)))
+    // Folding the increments reproduces the batch matrix on the same rows.
+    val matrix = incs.groupBy(i => (i._2, i._3)).view.mapValues(_.length.toLong).toMap
+    assert(matrix === Map((1L, 0L) -> 1L, (1L, 1L) -> 1L, (1L, 3L) -> 1L, (2L, 0L) -> 1L))
+  }
+
   test("streaming e9 window top-k ranks closed windows and matches the batch form") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
