@@ -32,6 +32,7 @@ object SparkEntry {
     "q11_cube"           -> Relational.q11Cube _,
     "q12_multi_distinct" -> Relational.q12MultiDistinct _,
     "q13_rollup_distinct" -> operators.ExactRollup.q13RollupDistinct _,
+    "q14_column_profile" -> Relational.q14ColumnProfile _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -48,6 +49,8 @@ object SparkEntry {
     "g11_news_copairs"   -> GraphOps.g11NewsCopairs _,
     "g12_kcore"          -> ((s: SparkSession, d: String) => GraphIter.g12KCore(s, d)),
     "g13_node_similarity" -> ((s: SparkSession, d: String) => GraphOps.g13NodeSimilarity(s, d)),
+    "g14_personalized_pagerank" -> ((s: SparkSession, d: String) => GraphIter.g14PersonalizedPagerank(s, d)),
+    "g15_incremental_cc" -> ((s: SparkSession, d: String) => GraphIter.g15IncrementalCC(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -56,6 +59,7 @@ object SparkEntry {
     "d6_dedup_resolve"   -> ((s: SparkSession, d: String) => Dedup.d6DedupResolve(s, d)),
     "d11_dedup_report"   -> ((s: SparkSession, d: String) => Dedup.d11DedupReport(s, d)),
     "d12_containment"    -> ((s: SparkSession, d: String) => Dedup.d12Containment(s, d)),
+    "d13_fuzzy_pairs"    -> ((s: SparkSession, d: String) => Dedup.d13FuzzyPairs(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -107,9 +111,11 @@ object SparkEntry {
     "e7_threshold_anomaly" -> Events.e7ThresholdAnomaly _,
     "e8_retention_cohorts" -> Events.e8RetentionCohorts _,
     "e9_window_topk"     -> ((s: SparkSession, d: String) => Events.e9WindowTopk(s, d)),
+    "e10_sliding_agg"    -> ((s: SparkSession, d: String) => Events.e10SlidingAgg(s, d)),
     // H. sources / maintenance
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
-    "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d))
+    "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d)),
+    "h3_snapshot_diff"   -> ((s: SparkSession, d: String) => sources.Upsert.h3SnapshotDiff(s, d))
   )
 
   private val decPrice =
@@ -233,6 +239,39 @@ object SparkEntry {
     * row_number pick — deterministic, hence portably exact; mirrors
     * [[graft.operators.GraphIter.labelPropagation]].
     */
+  /** Generated g14 oracle: 6 unrolled personalized-PageRank steps —
+    * per-step flow aggregate then a UNION ALL of the seed restart base,
+    * mirroring [[graft.operators.GraphIter.personalizedPageRankMicro]]'s
+    * exact integer arithmetic.
+    */
+  private def g14OracleSql: String = {
+    val steps = (1 to 6).map { i =>
+      s"""f$i AS (
+         |  SELECT e.dst AS node, (85 * sum(r${i - 1}.rank // deg.deg)) // 100 AS v
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT node, CAST(sum(v) AS BIGINT) AS rank FROM (
+         |    SELECT node, v FROM f$i
+         |    UNION ALL SELECT node, CAST(150000 AS BIGINT) AS v FROM seeds)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |seeds AS (
+       |  SELECT c_custkey * 2 AS node FROM customer WHERE c_custkey % 100 = 0),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM seeds),
+       |$steps
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+       |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+       |  rank AS rank_micro
+       |FROM r6 ORDER BY node""".stripMargin
+  }
+
   private def g10OracleSql: String = {
     val steps = (1 to 4).map { i =>
       s"""l$i AS (
@@ -263,6 +302,23 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "g6_pagerank" -> g6OracleSql,
+    "g14_personalized_pagerank" -> g14OracleSql,
+    "g15_incremental_cc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach AS (
+        |  SELECT src AS node, src AS r FROM e
+        |  UNION
+        |  SELECT reach.node, e.dst AS r FROM reach JOIN e ON reach.r = e.src),
+        |cc AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+        |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  CASE WHEN label % 2 = 0 THEN 'c_' || CAST(label // 2 AS VARCHAR)
+        |       ELSE 's_' || CAST(label // 2 AS VARCHAR) END AS component
+        |FROM cc ORDER BY node""".stripMargin,
     "g10_label_propagation" -> g10OracleSql,
     "e9_window_topk" ->
       """WITH c AS (
@@ -425,6 +481,15 @@ object SparkEntry {
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q14_column_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
+        .mkString("SELECT col_name, n_rows, n_nulls, n_distinct FROM (\n",
+          "\nUNION ALL\n", "\n) ORDER BY col_name"),
     "t17_weighted_sample" ->
       """SELECT doc_id, source,
         |  list_reduce(list_transform(range(1, 13),
@@ -626,6 +691,13 @@ object SparkEntry {
         |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         |ORDER BY d.doc_id""".stripMargin,
+    "d13_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name1, b.name AS name2,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY name1, name2""".stripMargin,
     "d12_containment" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -1029,6 +1101,18 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "e10_sliding_agg" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 900000000 AS q, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |x AS (
+        |  SELECT unnest(generate_series((q - 3) * 900, q * 900, 900)) AS win_start,
+        |    event_type, vm
+        |  FROM e)
+        |SELECT win_start, event_type, count(*) AS cnt,
+        |  CAST(sum(vm) AS BIGINT) AS sum_value_milli
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "e4_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
         |v AS (SELECT user_id, min(tsu) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
@@ -1236,6 +1320,31 @@ object SparkEntry {
         |    AS INTEGER) AS is_current
         |FROM hist
         |ORDER BY custkey, version""".stripMargin,
+    "h3_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1998-01-01'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+        |  GROUP BY 1)
+        |SELECT coalesce(a.custkey, b.custkey) AS custkey,
+        |  CASE WHEN a.custkey IS NULL THEN 'insert'
+        |       WHEN b.custkey IS NULL THEN 'delete'
+        |       WHEN a.n_orders IS DISTINCT FROM b.n_orders
+        |         OR a.spend IS DISTINCT FROM b.spend THEN 'update' END AS change,
+        |  a.n_orders AS old_n_orders, b.n_orders AS new_n_orders,
+        |  CAST(a.spend AS DOUBLE) AS old_spend, CAST(b.spend AS DOUBLE) AS new_spend
+        |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+        |WHERE a.custkey IS NULL OR b.custkey IS NULL
+        |   OR a.n_orders IS DISTINCT FROM b.n_orders
+        |   OR a.spend IS DISTINCT FROM b.spend
+        |ORDER BY custkey""".stripMargin,
     "t19_gram_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

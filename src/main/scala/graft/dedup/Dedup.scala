@@ -577,6 +577,49 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d13: edit-distance-1 fuzzy pairs over a name column via symmetric
+    * deletion blocking (the SymSpell construction) — the entity-resolution
+    * primitive behind the reference's dimension maintenance, where the
+    * same org/person arrives with typo'd or re-romanized names and MERGE
+    * keys on the raw string silently forks the node
+    * (mysql2neo4j.py:740 auto-creates a workplace org per distinct
+    * spelling). Each name emits itself plus every single-character
+    * deletion as block keys; two names within edit distance 1 ALWAYS
+    * share a key (substitution at i → both delete i; insert/delete → the
+    * shorter name IS a deletion variant of the longer), so unlike the
+    * banded hamming tiers this blocking has true recall 1.0 at d ≤ 1.
+    * Candidates are then verified by exact `levenshtein` — never
+    * all-pairs.
+    *
+    * Scale shape: the variant index is a map-side explode with fan-out
+    * `len+1` per name; the join is an equijoin on the variant string, so
+    * candidate volume is Σ block² over variant buckets — governed by how
+    * many names share a deletion, not by the corpus². A pathological
+    * shared-prefix bucket routes through the same salted blocked-pairs
+    * escape hatch as d9/m6. Verification cost is candidates only, and
+    * the O(len²) DP runs on strings already known to share `len-1`
+    * characters.
+    */
+  def d13FuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairs(Tables(spark, dir).part.select(col("p_name").as("name")).distinct())
+
+  /** Core of [[d13FuzzyPairs]] over any single-column (name) frame. */
+  def fuzzyNamePairs(names: DataFrame): DataFrame = {
+    val variants = names
+      .withColumn("variant", explode(concat(
+        array(col("name")),
+        expr("""transform(sequence(0, length(name) - 1),
+               |  i -> concat(substring(name, 1, i), substring(name, i + 2)))""".stripMargin))))
+    variants.select(col("name").as("name1"), col("variant"))
+      .join(variants.select(col("name").as("name2"), col("variant")), Seq("variant"))
+      .filter(col("name1") < col("name2"))
+      .select("name1", "name2")
+      .dropDuplicates("name1", "name2")
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy("name1", "name2")
+  }
+
   def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
     val exploded = Tables(spark, dir).documents

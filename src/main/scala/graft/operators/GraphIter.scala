@@ -60,6 +60,77 @@ object GraphIter {
     labels
   }
 
+  /** INCREMENTAL connected components: fold a batch of NEW edges into an
+    * existing node→label assignment without re-running CC over the full
+    * edge set — the [[graft.dedup.SignatureIndex]] philosophy applied to
+    * the graph side (the reference re-imports and lets Neo4j MERGE absorb
+    * new relationships; at 100 TB you cannot re-cluster the corpus per
+    * crawl batch). Each new edge's endpoints project to their CURRENT
+    * labels (one equijoin against the label table; unseen nodes label
+    * themselves), unequal label pairs become a MERGE GRAPH whose size is
+    * bounded by the number of components the batch actually touches —
+    * typically orders of magnitude below |E| — and the standard hash-min
+    * loop runs on THAT. Because every stored label is the min node id of
+    * its component, remapping through the merge-graph's CC yields exactly
+    * the labels a full recompute over old∪new edges would produce
+    * (bit-identity spec-checked).
+    */
+  def incrementalCC(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val sym = newEdges.select(col("src"), col("dst"))
+      .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+    val touched = sym.select(col("src").as("node")).distinct()
+    // Current label per touched node; a node the store has never seen is
+    // its own label (the hash-min identity init).
+    val nodeLab = touched.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      .localCheckpoint(true)
+    val mergeEdges = sym
+      .join(nodeLab.select(col("node").as("src"), col("label").as("l_src")), Seq("src"))
+      .join(nodeLab.select(col("node").as("dst"), col("label").as("l_dst")), Seq("dst"))
+      .filter(col("l_src") =!= col("l_dst"))
+      .select(col("l_src").as("src"), col("l_dst").as("dst"))
+    val mapping = connectedComponents(mergeEdges)
+      .select(col("node").as("label"), col("label").as("merged"))
+    // New nodes enter the store with their (possibly merged) self-label.
+    val withNew = labels.unionByName(
+      nodeLab.join(labels, Seq("node"), "left_anti"))
+    val out = withNew.join(mapping, Seq("label"), "left")
+      .select(col("node"), coalesce(col("merged"), col("label")).as("label"))
+    nodeLab.unpersist()
+    out
+  }
+
+  /** g15: [[incrementalCC]] driver-keyed — the customer–supplier graph
+    * split by order date into a base load (orders before 1999) and an
+    * incremental batch (1999 onward); the base CC runs once, the batch
+    * folds in incrementally, and the oracle computes components over the
+    * FULL edge set — so the driver hash-checks that the incremental path
+    * lands exactly where the batch recompute would.
+    */
+  def g15IncrementalCC(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val all = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        col("o_orderdate"))
+    val base = all.filter(col("o_orderdate") < lit("1999-01-01")).select("src", "dst").distinct()
+    val batch = all.filter(col("o_orderdate") >= lit("1999-01-01")).select("src", "dst").distinct()
+    incrementalCC(connectedComponents(base), batch)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        when(pmod(col("label"), lit(2)) === 0,
+          concat(lit("c_"), expr("label DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("label DIV 2").cast("string")))
+          .as("component"))
+      .orderBy("node")
+  }
+
   /** g5: components of the customer→nation→region tree — community
     * discovery analog on the reference's org hierarchy (each region tree is
     * one component; the generic hash-min loop discovers that, the oracle
@@ -203,6 +274,86 @@ object GraphIter {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     pageRankMicro(edges)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("rank").as("rank_micro"))
+      .orderBy("node")
+  }
+
+  /** Personalized PageRank in the same exact integer micro-units as
+    * [[pageRankMicro]], with the restart mass pinned to a SEED set:
+    * rank_i(n) = [n ∈ seeds]·150000 + (85·Σ_{m→n} rank_{i-1}(m) DIV deg(m))
+    * DIV 100. This is "influence FROM these nodes" rather than global
+    * influence — the reference's natural ranking question ("which
+    * orgs/people does this leader's neighborhood reach", the seeded
+    * variant of its influence queries) and the standard relevance score
+    * GDS ships as personalized PageRank.
+    *
+    * Scale shape: identical per-superstep cost profile to g6 — the edge
+    * table is degree-annotated and checkpointed ONCE pinned on src, each
+    * superstep moves only the rank table — plus a PPR-specific win: the
+    * rank frontier STARTS at |seeds| rows and grows with reach, so early
+    * supersteps join a tiny rank table against the pinned edges
+    * (broadcast-able when seeds are few). The restart add is a unionByName
+    * of the seed-base rows into a second, same-partitioned aggregate —
+    * no full-outer join, no broadcast constraint.
+    */
+  def personalizedPageRankMicro(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 6,
+      checkpointCadence: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val withDeg = sym
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val seedBase = seeds.select(col("node"), lit(150000L).as("v")).localCheckpoint(true)
+    var ranks = seeds.select(col("node"), lit(1000000L).as("rank"))
+    var lastCheckpoint: DataFrame = null
+    for (it <- 1 to iterations) {
+      val flow = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank DIV deg").as("contrib"))
+        .groupBy("node")
+        .agg(expr("(85 * sum(contrib)) DIV 100").as("v"))
+      var next = flow.unionByName(seedBase)
+        .groupBy("node")
+        .agg(sum(col("v")).as("rank"))
+      if (it % checkpointCadence == 0 || it == iterations) {
+        next = next.localCheckpoint(true)
+        if (lastCheckpoint != null) lastCheckpoint.unpersist()
+        lastCheckpoint = next
+      }
+      ranks = next
+    }
+    withDeg.unpersist()
+    seedBase.unpersist()
+    ranks
+  }
+
+  /** g14: [[personalizedPageRankMicro]] on the customer–supplier bipartite
+    * graph (packed-long nodes, as g6), seeded at every 100th customer —
+    * a small deterministic "leader" set. 6 supersteps; decoded node ids
+    * on the final projection only.
+    */
+  def g14PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = t.customer
+      .filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    personalizedPageRankMicro(edges, seeds)
       .select(
         when(pmod(col("node"), lit(2)) === 0,
           concat(lit("c_"), expr("node DIV 2").cast("string")))

@@ -133,6 +133,81 @@ object Upsert {
       .orderBy("custkey")
   }
 
+  /** Snapshot diff — CDC between two keyed snapshots of a dimension.
+    * The reference maintains its graph by re-importing whole MySQL tables
+    * and letting MERGE sort out what changed (mysql2neo4j.py:573,631);
+    * the relational way to see *what the re-import actually did* is a
+    * keyed diff of consecutive snapshots: `insert` (key only in B),
+    * `delete` (key only in A), `update` (key in both, any tracked column
+    * differs). Unchanged keys are dropped — the output is the change
+    * feed a downstream incremental consumer (or an audit log) wants,
+    * sized by the churn, not the dimension.
+    *
+    * Scale shape: ONE full outer join on the key — co-partitioned, a
+    * single shuffle of each snapshot; the change classification is a
+    * projection over the joined row (null-side tests + column compares),
+    * no second pass. Store both snapshots bucketed by key
+    * ([[Bucketing]]) and the join rides the layout exchange-free. The
+    * compare uses null-safe equality (`<=>`) so a null-vs-value change
+    * is an update, not a silently-equal row.
+    */
+  def snapshotDiff(
+      snapA: DataFrame,
+      snapB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cols = snapA.columns.toSeq
+    require(snapB.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: ${cols.sorted} vs ${snapB.columns.toSeq.sorted}")
+    val vals = cols.filterNot(keys.contains)
+    val a = snapA.select(cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = snapB.select(cols.map(c => col(c).as(s"b_$c")): _*)
+    val joinCond = keys.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _)
+    val inA = col(s"a_${keys.head}").isNotNull
+    val inB = col(s"b_${keys.head}").isNotNull
+    val changed = vals.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, joinCond, "full_outer")
+      .withColumn("change",
+        when(!inA, lit("insert"))
+          .when(!inB, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) ++
+          Seq(col("change")) ++
+          vals.flatMap(c => Seq(col(s"a_$c").as(s"old_$c"), col(s"b_$c").as(s"new_$c"))): _*)
+  }
+
+  /** h3: [[snapshotDiff]] driver-keyed — the "active customer" dimension
+    * (per-customer order count + DECIMAL spend over a sliding 3-year
+    * window) evaluated at two dates one year apart, diffed by custkey.
+    * Customers whose orders all predate the new window drop out
+    * (`delete`), first-time orderers appear (`insert`), the rest with
+    * any order churn re-aggregate differently (`update`); identical
+    * rows vanish from the feed. Spend stays DECIMAL(18,2) end to end so
+    * the update predicate is bit-exact across engines.
+    */
+  def h3SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    def activeDim(lo: String, hi: String): DataFrame = t.orders
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    // Diff and change-compare run on exact DECIMAL; doubles only at the
+    // output boundary (the q1/h1 convention).
+    snapshotDiff(
+      activeDim("1995-01-01", "1998-01-01"),
+      activeDim("1996-01-01", "1999-01-01"),
+      Seq("custkey"))
+      .select(col("custkey"), col("change"),
+        col("old_n_orders"), col("new_n_orders"),
+        col("old_spend").cast("double").as("old_spend"),
+        col("new_spend").cast("double").as("new_spend"))
+      .orderBy("custkey")
+  }
+
   /** h2: the same refresh as [[h1UpsertDim]] kept as SCD2 HISTORY —
     * customers with orders carry both the superseded v0 row (closed
     * interval) and the current v1 row; customers without orders stay on

@@ -289,6 +289,40 @@ object Events {
       .filter(col("rank") <= k)
   }
 
+  /** e10: SLIDING (hopping) window counts — 1-hour windows advancing
+    * every 15 minutes, per event type. The windowing mode the suite was
+    * missing: e1 is tumbling (hop = width) and e2 is session (gap-driven);
+    * a rate monitor wants overlap, because a burst straddling a tumbling
+    * boundary halves into two windows and dodges the threshold. Each
+    * event belongs to exactly width/hop = 4 windows; the batch form
+    * materializes that membership as an integer `sequence` explode over
+    * window starts — the same 4× expansion Spark's native
+    * `window(col, "1 hour", "15 minutes")` plans, kept in explicit
+    * epoch-second arithmetic (`ts DIV 900e9` 15-min buckets) so the
+    * bucket edges are exact integers on both engines.
+    *
+    * Scale shape: the explode is map-side (no shuffle of the raw rows
+    * beyond the one (win_start, event_type) aggregate, which is map-side
+    * combined after a 4× row expansion — the price of overlap, paid by
+    * every hopping-window engine); output cardinality is #windows ×
+    * #types, tiny. The streaming twin
+    * ([[EventsStream.slidingAggStream]]) uses the native sliding
+    * `window` with a watermark; agreement is spec-checked.
+    */
+  def e10SlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables(spark, dir).events).orderBy("win_start", "event_type")
+
+  /** Core of [[e10SlidingAgg]] over an arbitrary events frame. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("q", expr("ts DIV 900000000000"))
+      .withColumn("win_start",
+        explode(sequence((col("q") - 3) * 900L, col("q") * 900L, lit(900L))))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+
   def anomalyScan(events: DataFrame, thresholds: DataFrame): DataFrame =
     events
       .select(col("event_id"), col("event_type"),

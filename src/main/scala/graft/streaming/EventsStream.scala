@@ -75,6 +75,24 @@ object EventsStream {
         unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("cnt"), col("sum_value_milli"))
 
+  /** Streaming e10: SLIDING 1-hour windows hopping every 15 minutes, per
+    * event type — the native hopping `window` holds width/hop = 4 open
+    * windows per type at the watermark frontier and closes each one
+    * exactly once; the batch twin ([[Events.slidingAgg]]) materializes
+    * the same 4-window membership with an integer explode (agreement
+    * spec-checked).
+    */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value_milli"))
+
   /** Streaming e2: 30-min-gap session windows per user — the built-in
     * session_window keeps one merging state per open session and emits on
     * watermark close.

@@ -775,4 +775,117 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.filter(_.getAs[Long]("vec_id") < 8)
       .foreach(r => assert(r.getAs[Long]("cell") === r.getAs[Long]("vec_id")))
   }
+
+  test("g14 personalized pagerank: mass stays near the seed and decays with distance") {
+    val ss = spark; import ss.implicits._
+    // Path graph 1-2-3-4-5, seeded at node 1. Node 6 is disconnected.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = operators.GraphIter.personalizedPageRankMicro(edges, seeds, iterations = 6)
+      .collect().map(row => row.getAs[Long]("node") -> row.getAs[Long]("rank")).toMap
+    // The disconnected component never acquires mass.
+    assert(!r.contains(6L) && !r.contains(7L))
+    // The seed dominates, and rank decays with distance within each
+    // parity class (a path seeded at one end alternates injection
+    // parity, so adjacent-node comparisons are not monotone at finite
+    // iteration counts — same-parity ones are).
+    val path = Seq(1L, 2L, 3L, 4L, 5L).map(r.getOrElse(_, 0L))
+    assert(path.forall(path.head >= _))
+    assert(path(0) > path(2) && path(2) > path(4)) // distance 0 > 2 > 4
+    assert(path(1) > path(3))                      // distance 1 > 3
+    // Seed keeps its restart mass: at least the 150000 base.
+    assert(r(1L) >= 150000L)
+  }
+
+  test("g15 incremental CC is bit-identical to a full recompute") {
+    val ss = spark; import ss.implicits._
+    // Base: two components {1,2,3} and {10,11}; batch bridges 3-10 and
+    // introduces a brand-new component {20,21} plus new node 4 joining 1.
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val batch = Seq((3L, 10L), (20L, 21L), (4L, 1L)).toDF("src", "dst")
+    val inc = operators.GraphIter.incrementalCC(
+      operators.GraphIter.connectedComponents(base), batch)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val full = operators.GraphIter.connectedComponents(base.unionByName(batch))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(inc === full)
+    assert(inc(11L) === 1L) // bridged through the batch edge
+    assert(inc(21L) === 20L) // new component labels at its own min
+    // An all-internal batch (no cross-component edges) is a no-op merge.
+    val noop = operators.GraphIter.incrementalCC(
+      operators.GraphIter.connectedComponents(base), Seq((1L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(noop === operators.GraphIter.connectedComponents(base)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap)
+  }
+
+  test("h3 snapshot diff classifies insert/update/delete and drops unchanged") {
+    val ss = spark; import ss.implicits._
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val b = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
+    val d = sources.Upsert.snapshotDiff(a, b, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("change")).toMap
+    assert(d === Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+    // Self-diff is empty — the feed is sized by churn, not the dimension.
+    assert(sources.Upsert.snapshotDiff(a, a, Seq("k")).isEmpty)
+    // Null-safe compare: null-vs-value is an update, null-vs-null is not.
+    val an = Seq((1L, Option(9L)), (2L, Option.empty[Long])).toDF("k", "v")
+    val bn = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("k", "v")
+    val dn = sources.Upsert.snapshotDiff(an, bn, Seq("k")).collect()
+    assert(dn.map(_.getAs[Long]("k")).toSeq === Seq(1L))
+    assert(dn.head.getAs[String]("change") === "update")
+  }
+
+  test("d13 fuzzy pairs: deletion blocking finds exactly the levenshtein<=1 pairs") {
+    val ss = spark; import ss.implicits._
+    // One of each edit type plus a distance-2 decoy.
+    val names = Seq("gear", "gears", "fear", "ear", "bolt", "colt").toDF("name")
+    val blocked = dedup.Dedup.fuzzyNamePairs(names)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = names.as("a").crossJoin(names.as("b"))
+      .filter(col("a.name") < col("b.name") &&
+        levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.name"), col("b.name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked === brute, "blocking must be lossless at distance 1")
+    assert(blocked.contains(("fear", "gear")))  // substitution
+    assert(blocked.contains(("gear", "gears"))) // insertion
+    assert(blocked.contains(("ear", "gear")))   // deletion
+    assert(blocked.contains(("bolt", "colt")))
+    assert(!blocked.contains(("ear", "gears"))) // distance 2 stays out
+  }
+
+  test("e10 sliding agg agrees with Spark's native hopping window") {
+    val ev = Tables(spark, dir).events
+    val ours = streaming.Events.slidingAgg(ev)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val native = ev
+      .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value_milli"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ours === native)
+    // Each event lands in exactly width/hop = 4 windows.
+    val total = ours.toSeq.map(_._3).sum
+    assert(total === ev.count() * 4)
+  }
+
+  test("q14 column profile: counts, nulls, exact distincts; no Expand in the plan") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(
+      (Option(1L), Option("a")),
+      (Option(1L), Option.empty[String]),
+      (Option.empty[Long], Option("b"))).toDF("x", "y")
+    val prof = operators.Relational.columnProfile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(prof("x") === ((3L, 1L, 1L)))
+    assert(prof("y") === ((3L, 1L, 2L)))
+    val plan = operators.Relational.q14ColumnProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profile must not use the count(distinct) Expand rewrite:\n$plan")
+  }
 }

@@ -68,6 +68,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((7200L, "click")) === 2L) // ev4 + ev6 (both inside hour 2)
   }
 
+  test("streaming e10 sliding agg agrees with the batch explode form") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = EventsStream.slidingAggStream(mem.toDF())
+      .writeStream.format("memory").queryName("e10s").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("e10s").collect()
+      .map(r => (r.getAs[Long]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("sum_value_milli"))).toSet
+    val batch = Events.slidingAgg(sample.toDF()).collect()
+      .map(r => (r.getAs[Long]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("sum_value_milli"))).toSet
+    assert(streamed === batch)
+    // An event sits in exactly 4 hopping windows.
+    assert(streamed.toSeq.map(_._3).sum === sample.length * 4L)
+  }
+
   test("streaming e2 session windows split at the 30-min gap") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
