@@ -43,3 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pause time 12.8s -> 4.0s.
   "-XX:+UseParallelGC",
 )
+// Ad-hoc diagnostics without editing the build (e.g.
+// GRAFT_EXTRA_JVM_OPTS="-Xlog:gc" to watch pause time across a sweep).
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM_OPTS")
+  .map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -33,6 +33,7 @@ object SparkEntry {
     "q12_multi_distinct" -> Relational.q12MultiDistinct _,
     "q13_rollup_distinct" -> operators.ExactRollup.q13RollupDistinct _,
     "q14_column_profile" -> Relational.q14ColumnProfile _,
+    "q15_auto_distinct"  -> Relational.q15AutoDistinct _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -115,7 +116,8 @@ object SparkEntry {
     // H. sources / maintenance
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
     "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d)),
-    "h3_snapshot_diff"   -> ((s: SparkSession, d: String) => sources.Upsert.h3SnapshotDiff(s, d))
+    "h3_snapshot_diff"   -> ((s: SparkSession, d: String) => sources.Upsert.h3SnapshotDiff(s, d)),
+    "h4_scd_asof_join"   -> ((s: SparkSession, d: String) => sources.Upsert.h4ScdAsofJoin(s, d))
   )
 
   private val decPrice =
@@ -481,6 +483,13 @@ object SparkEntry {
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q15_auto_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q14_column_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
@@ -1320,6 +1329,25 @@ object SparkEntry {
         |    AS INTEGER) AS is_current
         |FROM hist
         |ORDER BY custkey, version""".stripMargin,
+    "h4_scd_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_totalprice
+        |  FROM orders),
+        |dim AS (
+        |  SELECT custkey, yr,
+        |    CASE WHEN s < 100000 THEN 1 WHEN s < 300000 THEN 2
+        |         WHEN s < 500000 THEN 3 ELSE 4 END AS tier
+        |  FROM (SELECT o_custkey AS custkey, yr,
+        |          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |        FROM o WHERE yr % 2 = 0 GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey, o.yr AS year,
+        |    d.tier,
+        |    row_number() OVER (PARTITION BY o.o_orderkey ORDER BY d.yr DESC) AS rn
+        |  FROM o LEFT JOIN dim d ON o.o_custkey = d.custkey AND d.yr <= o.yr)
+        |SELECT orderkey, custkey, year, CAST(tier AS BIGINT) AS tier
+        |FROM j WHERE rn = 1 ORDER BY orderkey""".stripMargin,
     "h3_snapshot_diff" ->
       """WITH a AS (
         |  SELECT o_custkey AS custkey, count(*) AS n_orders,

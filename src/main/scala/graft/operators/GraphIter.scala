@@ -40,6 +40,18 @@ object GraphIter {
     var labels = sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("label"))
       .localCheckpoint(true)
+    // Convergence: hash-min labels are monotone non-increasing per node
+    // and the node set is fixed, so for NUMERIC node ids the exact
+    // decimal sum of all labels strictly decreases iff any label changed
+    // — one shuffle-free aggregate over the just-checkpointed table
+    // replaces the per-iteration join+compare (which string-labeled
+    // graphs still use; decimal(38,0) keeps the sum exact far beyond
+    // any realistic node-id range, unlike a wrapping long sum).
+    val numericIds = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     while (!converged) {
       val msgs = sym
@@ -49,10 +61,18 @@ object GraphIter {
         .groupBy("node")
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
+      if (numericIds) {
+        val s = labelSum(next)
+        // Null sums = empty label table (empty edge input): converged.
+        converged = (s == null && prevSum == null) ||
+          (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+        prevSum = s
+      } else {
+        converged = next
+          .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+          .filter(col("label") =!= col("prev"))
+          .isEmpty
+      }
       labels.unpersist()
       labels = next
     }

@@ -269,6 +269,26 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q15: the SAME multi-distinct stat block as q12 written as PLAIN
+    * `count(DISTINCT …)` — no explicit graft function anywhere in the
+    * query. The [[org.apache.spark.sql.graft.RewriteMultiDistinctToRoaring]]
+    * optimizer rule (injected by GraftExtensions) rewrites it to the
+    * one-pass roaring plan automatically, so the no-`Expand` posture is
+    * an ENGINE property, not a calling convention: any user query with
+    * ≥2 integral distinct counts gets the q12 plan for free. The driver
+    * hash-checks the rewrite's answers against DuckDB's native
+    * count(DISTINCT); the spec asserts the plan shape.
+    */
+  def q15AutoDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** q14: one-pass COLUMN PROFILE of a table — per column: row count,
     * null count, exact distinct count. The data-quality gate every
     * ingest runs before trusting a new crawl/import batch (the

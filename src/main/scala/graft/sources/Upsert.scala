@@ -133,6 +133,72 @@ object Upsert {
       .orderBy("custkey")
   }
 
+  /** AS-OF dimension join — the query surface of [[scd2]]: every fact
+    * row picks the dimension version that was current AT ITS TIME (the
+    * latest version with `version ≤ fact time`), the lookup every
+    * warehouse query against a versioned dimension needs ("which tier
+    * was this customer in when the order was placed").
+    *
+    * Scale shape: the union-window trick (same construction as the e5
+    * event as-of join) — dimension versions and fact rows union into one
+    * stream tagged so a version sorts before the facts of its own time,
+    * ONE window partitioned by the dimension key carries the latest
+    * version's attribute forward (`last_value` ignoreNulls), and facts
+    * are filtered back out. One shuffle on the key, no time-range join
+    * and no per-fact version explosion; the per-key sort is bounded by
+    * (versions + facts) per key — dimension keys are high-cardinality by
+    * construction, so there is no low-cardinality stratum hazard.
+    * Facts older than their key's first version keep a NULL attribute
+    * (unattributed, not dropped).
+    */
+  def scdAsofJoin(
+      dims: DataFrame,     // (key, t, attr)
+      facts: DataFrame,    // (id, key, t)
+      keyCol: String,
+      timeCol: String,
+      attrCol: String): DataFrame = {
+    val tagged = dims.select(
+      col(keyCol), col(timeCol), lit(0L).as("_tag"), col(attrCol).as("_attr"),
+      lit(null).cast("long").as("id"))
+      .unionByName(facts.select(
+        col(keyCol), col(timeCol), lit(1L).as("_tag"),
+        lit(null).cast(dims.schema(attrCol).dataType).as("_attr"), col("id")))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("_tag").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(attrCol, last(col("_attr"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("id"), col(keyCol), col(timeCol), col(attrCol))
+  }
+
+  /** h4: [[scdAsofJoin]] driver-keyed — a spend-tier dimension versioned
+    * only in EVEN years (1996/1998/2000: annual DECIMAL spend bucketed to
+    * tiers 1–4), joined as-of onto every order: odd-year orders carry the
+    * previous even year's tier forward, orders before a customer's first
+    * version stay NULL-tier. The sparse version years are what make the
+    * as-of nontrivial (a version for every year would degenerate to an
+    * equijoin).
+    */
+  def h4ScdAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val withYear = t.orders.withColumn("yr", year(col("o_orderdate")).cast("long"))
+    val dims = withYear
+      .filter(col("yr") % 2 === 0)
+      .groupBy(col("o_custkey").as("custkey"), col("yr"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .withColumn("tier",
+        when(col("spend") < 100000, 1L)
+          .when(col("spend") < 300000, 2L)
+          .when(col("spend") < 500000, 3L)
+          .otherwise(4L))
+    val facts = withYear.select(
+      col("o_orderkey").as("id"), col("o_custkey").as("custkey"), col("yr"))
+    scdAsofJoin(dims, facts, "custkey", "yr", "tier")
+      .select(col("id").as("orderkey"), col("custkey"), col("yr").as("year"), col("tier"))
+      .orderBy("orderkey")
+  }
+
   /** Snapshot diff — CDC between two keyed snapshots of a dimension.
     * The reference maintains its graph by re-importing whole MySQL tables
     * and letting MERGE sort out what changed (mysql2neo4j.py:573,631);

@@ -173,5 +173,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    // Multi-count(DISTINCT) over integral keys → one-pass roaring
+    // aggregates (kills the Expand replication); see the rule's scaladoc
+    // for the exact guards.
+    ext.injectOptimizerRule(_ => RewriteMultiDistinctToRoaring)
   }
 }

@@ -76,4 +76,43 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("graft_distinct_union_count"))
   }
+
+  test("multi count(DISTINCT) auto-rewrites to roaring: no Expand, exact answers") {
+    import org.apache.spark.sql.functions._
+    val ss = spark; import ss.implicits._
+    val df = Seq(
+      (1L, 10L, 100, Some(7L)), (1L, 10L, 200, None), (1L, 20L, 100, Some(7L)),
+      (2L, 10L, 300, Some(8L)), (2L, 10L, 300, Some(9L)))
+      .toDF("g", "a", "b", "n")
+    val multi = df.groupBy("g").agg(
+      countDistinct(col("a")).as("da"),
+      countDistinct(col("b")).as("db"),
+      countDistinct(col("n")).as("dn"), // nullable: nulls excluded
+      count(lit(1)).as("cnt"))
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"rewrite should eliminate Expand:\n$plan")
+    assert(plan.contains("graft_roaring_distinct"), s"expected roaring aggs:\n$plan")
+    val rows = multi.collect().map(r =>
+      r.getAs[Long]("g") -> ((r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("dn"), r.getAs[Long]("cnt")))).toMap
+    // Baselines run as SINGLE distinct aggregates (below the >=2 guard,
+    // so they take Spark's native path) — cross-engine within one session.
+    for ((c, pick) <- Seq(
+        "a" -> ((t: (Long, Long, Long, Long)) => t._1),
+        "b" -> ((t: (Long, Long, Long, Long)) => t._2),
+        "n" -> ((t: (Long, Long, Long, Long)) => t._3))) {
+      val single = df.groupBy("g").agg(countDistinct(col(c)).as("d")).collect()
+        .map(r => r.getAs[Long]("g") -> r.getAs[Long]("d")).toMap
+      single.foreach { case (g, d) => assert(pick(rows(g)) === d, s"col $c group $g") }
+    }
+    // Guarded cases stay native: a sum(DISTINCT) in the mix, or string keys.
+    val mixed = df.groupBy("g").agg(
+      countDistinct(col("a")), countDistinct(col("b")), sum_distinct(col("b")))
+    assert(mixed.queryExecution.executedPlan.toString.contains("Expand"),
+      "mixed distinct operators must be left to the native rewrite")
+    val strings = df.withColumn("s", col("a").cast("string"))
+      .groupBy("g").agg(countDistinct(col("s")), countDistinct(col("a")))
+    assert(!strings.queryExecution.executedPlan.toString.contains("graft_roaring_distinct"),
+      "string distinct keys must not be rewritten")
+  }
 }

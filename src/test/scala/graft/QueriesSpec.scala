@@ -797,6 +797,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) >= 150000L)
   }
 
+  test("h4 as-of dim join: carry-forward, same-time version, pre-history NULL") {
+    val ss = spark; import ss.implicits._
+    val dims = Seq((1L, 1996L, 10L), (1L, 1998L, 20L), (2L, 1997L, 30L))
+      .toDF("k", "t", "attr")
+    val facts = Seq((100L, 1L, 1995L), (101L, 1L, 1996L), (102L, 1L, 1997L),
+      (103L, 1L, 1999L), (104L, 2L, 1996L), (105L, 2L, 1998L))
+      .toDF("id", "k", "t")
+    val r = sources.Upsert.scdAsofJoin(dims, facts, "k", "t", "attr").collect()
+      .map(row => row.getAs[Long]("id") ->
+        Option(row.getAs[java.lang.Long]("attr")).map(_.longValue())).toMap
+    assert(r(100L).isEmpty)          // before the first version
+    assert(r(101L).contains(10L))    // same-time version applies
+    assert(r(102L).contains(10L))    // carried forward over a gap year
+    assert(r(103L).contains(20L))    // superseded by the newer version
+    assert(r(104L).isEmpty)          // other key's versions don't leak
+    assert(r(105L).contains(30L))
+  }
+
   test("g15 incremental CC is bit-identical to a full recompute") {
     val ss = spark; import ss.implicits._
     // Base: two components {1,2,3} and {10,11}; batch bridges 3-10 and

@@ -136,18 +136,31 @@ class RoaringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(physical(q12).collectWithSubqueries { case p => p }.nonEmpty)
     assert(expandsRoaring.isEmpty,
       s"roaring multi-distinct must not Expand:\n${physical(q12)}")
+    // The plain count(DISTINCT) form ALSO plans without Expand now —
+    // because RewriteMultiDistinctToRoaring rewrites it to the same
+    // roaring aggregates (that is q15's contract). The Expand that
+    // motivated q12 is still what Spark's native path produces: show it
+    // on a guard case the rule leaves alone (string distinct keys).
     val naive = t.lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))
-    val expandsNaive = physical(naive).collectWithSubqueries {
+    assert(physical(naive).toString.contains("graft_roaring_distinct"),
+      s"the injected rule should rewrite the plain form:\n${physical(naive)}")
+    val native = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_shipdate")).as("n_dates"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+    val expandsNative = physical(native).collectWithSubqueries {
       case e: org.apache.spark.sql.execution.ExpandExec => e
     }
-    assert(expandsNaive.nonEmpty,
-      "expected the built-in multi-distinct rewrite to plan an Expand " +
-        "(if Spark stopped needing one, q12's motivation note should be revisited)")
+    assert(expandsNative.nonEmpty,
+      "expected Spark's native multi-distinct rewrite (string keys stay " +
+        "un-rewritten) to plan an Expand — if Spark stopped needing one, " +
+        "q12's motivation note should be revisited")
   }
 
   test("q12 partial-aggregates map-side: two ObjectHashAggregate phases") {

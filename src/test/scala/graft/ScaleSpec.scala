@@ -402,4 +402,40 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ReadSchema: struct<event_id:bigint,ts"),
       s"ts/user_id/props should be pruned from the events scan:\n$plan")
   }
+
+  test("q15: plain multi count(distinct) plans roaring, not Expand (injected rule)") {
+    val plan = physical(operators.Relational.q15AutoDistinct(spark, dir)).toString
+    assert(!plan.contains("Expand"), s"optimizer rule should have fired:\n$plan")
+    assert(plan.contains("graft_roaring_distinct"), s"expected roaring aggregates:\n$plan")
+  }
+
+  test("d13: the fuzzy join is a variant equijoin, never a cartesian/nested-loop") {
+    val plan = physical(dedup.Dedup.d13FuzzyPairs(spark, dir)).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion blocking must keep the pair stage an equijoin:\n$plan")
+  }
+
+  test("h3: snapshot diff is ONE join over the two snapshot aggregates") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val plan = physical(sources.Upsert.h3SnapshotDiff(spark, dir))
+    val joins = plan.collectWithSubqueries {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    // Exactly one co-partitioned join (the full outer); the change
+    // classification is a projection, not a second pass.
+    assert(joins.size === 1, s"expected exactly one shuffled join:\n$plan")
+  }
+
+  test("e10: the sliding-window explode stays below the one aggregate exchange") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = physical(streaming.Events.slidingAgg(Tables(spark, dir).events))
+    val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size === 1,
+      s"expected exactly one exchange (the (win,type) aggregate):\n$plan")
+    // The 4x window-membership Generate runs map-side, under the exchange.
+    val gensBelow = exchanges.head.collectWithSubqueries { case g: GenerateExec => g }
+    assert(gensBelow.nonEmpty, s"explode should sit below the exchange:\n$plan")
+  }
 }
