@@ -19,14 +19,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  /** `ts` arrives as parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its microsecond TimestampType; reading it as a raw nanosecond long
-    * keeps full precision and exact integer arithmetic downstream. The conf
-    * is runtime-settable, so this works under any caller's session.
+  /** `ts` is normalized to a bigint of NANOSECONDS since epoch (UTC)
+    * regardless of how the parquet writer encoded it — exact integer
+    * arithmetic downstream, no timestamp-precision drift between
+    * generator versions:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to its microsecond
+    *    TimestampType, so it is read as a raw nanosecond long via the
+    *    runtime-settable `nanosAsLong` conf — full precision, no cast.
+    *  - TIMESTAMP(MICROS/MILLIS): arrives as TimestampType and is widened
+    *    to nanos (`unix_micros * 1000`) — a metadata-only projection on
+    *    top of the scan, exact for any sub-nano-free source.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events") // ts: bigint (nanoseconds since epoch, UTC)
+    val df = load("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      // TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) needs a cast before
+      // unix_micros; the session timezone is pinned to UTC (GraftSession),
+      // so the cast is the identity on the underlying micros value.
+      case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")

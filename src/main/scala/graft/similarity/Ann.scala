@@ -70,7 +70,7 @@ object Ann {
     * d5 discipline: a float similarity column would hash-flap at the
     * last ulp; the threshold PREDICATE agrees across engines).
     */
-  def s5RangeSearch(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def s5RangeSearch(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val t = Tables(spark, dir)
     val queries = t.embeddings.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

@@ -55,7 +55,24 @@ object Bucketing {
     * This is what makes "pay the partitioning once at ingest" true across
     * sessions, which is the entire point of the layout.
     */
+  /** Tables already verified up-to-date in this JVM: the existence probe
+    * (two metadata counts + catalog lookups) is paid once per application,
+    * not once per query — a repeated fact-fact join should cost the join,
+    * not a re-check of the ingest it rides on. Append-only ingest model:
+    * a table mutated behind a live application needs an explicit re-ingest
+    * via [[writeBucketed]].
+    */
+  private val verified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val ck = spark.sparkContext.applicationId + ":" + table
+    if (verified.contains(ck)) return
+    ensureBucketedUncached(df, table, key, buckets)
+    verified.add(ck)
+  }
+
+  private def ensureBucketedUncached(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     def upToDate = scala.util.Try(spark.table(table).count() == df.count()).getOrElse(false)
     if (spark.catalog.tableExists(table) && upToDate) return

@@ -36,6 +36,40 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val truth = topkSets(Ann.s1CosineTopK(spark, dir))
 
+  test("s5 range search equals the brute-force radius set and its gate is non-empty") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // Independent formulation: HOF cosine (spec-proven bit-identical to
+    // the native expression) over the same cross product.
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Ann.cosineHof(col("q_emb"), col("n_emb")))
+      .select("query_id", "neighbor_id", "sim")
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    // Threshold = median similarity of the actual data: the expected set is
+    // guaranteed non-empty AND a strict subset, so a predicate that drops
+    // everything, keeps everything, or compares the wrong columns all fail.
+    val sims = scored.map(_._3).sorted
+    val threshold = sims(sims.length / 2)
+    val expected = scored.collect { case (q, n, s) if s >= threshold => (q, n) }.toSet
+    assert(expected.nonEmpty, "degenerate spec: empty radius set")
+    assert(expected.size < scored.length, "degenerate spec: radius set is all pairs")
+    val got = Ann.s5RangeSearch(spark, dir, threshold).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got === expected)
+    // s1 consistency: every top-k neighbor at or above the radius must be
+    // in the radius set (top-k answers "closest k"; radius answers "all
+    // within" — they agree on the intersection).
+    val s1InRadius = Ann.s1CosineTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (q, n) => scored.exists(t => t._1 == q && t._2 == n && t._3 >= threshold) }
+    s1InRadius.foreach(p => assert(got.contains(p), s"s1 neighbor $p missing from s5 radius set"))
+  }
+
   test("trained random-hyperplane LSH (multi-probe) reaches recall@10 >= 0.7 vs brute force") {
     val got = topkSets(Ann.s2LshAnnTrained(spark, dir))
     val r = recallAt10(got, truth)
