@@ -61,6 +61,7 @@ object SparkEntry {
     "d11_dedup_report"   -> ((s: SparkSession, d: String) => Dedup.d11DedupReport(s, d)),
     "d12_containment"    -> ((s: SparkSession, d: String) => Dedup.d12Containment(s, d)),
     "d13_fuzzy_pairs"    -> ((s: SparkSession, d: String) => Dedup.d13FuzzyPairs(s, d)),
+    "d14_substring_spans" -> ((s: SparkSession, d: String) => Dedup.d14SubstringSpans(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "m5_phash"           -> Media.m5Phash _,
     "m6_phash_pairs"     -> ((s: SparkSession, d: String) => Media.m6PhashPairs(s, d)),
     "m7_media_resolve"   -> Media.m7MediaResolve _,
+    "m8_crossmodal_resolve" -> ((s: SparkSession, d: String) => Media.m8CrossModalResolve(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -195,6 +197,52 @@ object SparkEntry {
        |  CAST((simhash >> 15) & 32767 AS BIGINT) AS band1,
        |  CAST((simhash >> 30) & 32767 AS BIGINT) AS band2,
        |  CAST((simhash >> 45) & 32767 AS BIGINT) AS band3 FROM f)""".stripMargin
+  }
+
+  /** Generated m8 oracle — mirrors
+    * [[graft.multimodal.Media.m8CrossModalResolve]]: candidates from the
+    * union of the perceptual-band tier (phash) and the SimHash-band tier
+    * (caption text), verified on BOTH hamming predicates, then recursive
+    * connected components with min-id canonical. The phash CTE chain is
+    * renamed (m-prefix) so it can share one WITH clause with the simhash
+    * chain (both natively yield a relation `fb`).
+    */
+  private def m8OracleSql: String = {
+    val mPhash = Seq("fb", "f", "p", "b", "u", "g")
+      .foldLeft(phashCte)((s, n) => s.replaceAll(s"\\b$n\\b", s"m_$n"))
+    s"""${mPhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${simhashCte.stripPrefix("WITH ")},
+       |cand AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM m_fb a JOIN m_fb b ON a.doc_id < b.doc_id
+       |  WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR
+       |         a.band2 = b.band2 OR a.band3 = b.band3)
+       |    AND bit_count(xor(a.phash, b.phash)) <= 15
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM fb a JOIN fb b ON a.doc_id < b.doc_id
+       |  WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR
+       |         a.band2 = b.band2 OR a.band3 = b.band3)
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 15),
+       |ver AS (
+       |  SELECT c.ida AS a, c.idb AS b FROM cand c
+       |  JOIN m_fb ma ON ma.doc_id = c.ida JOIN m_fb mb ON mb.doc_id = c.idb
+       |  JOIN fb ta ON ta.doc_id = c.ida JOIN fb tb ON tb.doc_id = c.idb
+       |  WHERE bit_count(xor(ma.phash, mb.phash)) <= 15
+       |    AND bit_count(xor(ta.simhash, tb.simhash)) <= 15),
+       |edges AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+       |reach AS (
+       |  SELECT a AS node, b AS reachable FROM edges
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+       |comp AS (
+       |  SELECT node, least(node, min(reachable)) AS canonical
+       |  FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  coalesce(c.canonical, d.doc_id) AS canonical_id,
+       |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def d4OracleSql: String =
@@ -707,6 +755,23 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY name1, name2""".stripMargin,
+    "d14_substring_spans" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wf AS (SELECT doc_id, w FROM words WHERE len(w) >= 8),
+        |grams AS (
+        |  SELECT doc_id, p, array_to_string(w[p:p+7], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p FROM wf)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) < max(doc_id)),
+        |cov AS (SELECT doc_id, p AS s, p + 7 AS e FROM grams WHERE g IN (SELECT g FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM cov),
+        |grp AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid FROM isl)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+        |FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""".stripMargin,
     "d12_containment" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -930,6 +995,7 @@ object SparkEntry {
          |  CAST(d.doc_id = coalesce(c.canonical, d.doc_id) AS INTEGER) AS is_kept
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |ORDER BY d.doc_id""".stripMargin,
+    "m8_crossmodal_resolve" -> m8OracleSql,
     "e2_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
         |x AS (
@@ -976,7 +1042,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id
         |FROM q CROSS JOIN c
         |WHERE query_id <> neighbor_id
-        |  AND list_cosine_similarity(qe, ne) >= 0.5
+        |  AND list_cosine_similarity(qe, ne) >= 0.35
         |ORDER BY query_id, neighbor_id""".stripMargin,
     "s1_cosine_topk" ->
       """WITH q AS (

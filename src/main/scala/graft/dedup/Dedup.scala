@@ -620,6 +620,72 @@ object Dedup {
       .orderBy("name1", "name2")
   }
 
+  /** d14: repeated-SPAN detection — the substring-granularity tier the
+    * whole-document family (d1–d13) misses. Production corpora strip
+    * repeated regions WITHIN otherwise-unique documents (boilerplate
+    * paragraphs, quoted headers, licence blocks — the RefinedWeb /
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring pass). Since the synthetic corpus has no paragraph
+    * breaks, the span unit is the word `k`-gram; a newline-delimited
+    * corpus would shingle at paragraph boundaries through the same plan.
+    *
+    * Emits one row per MAXIMAL repeated region: (doc_id, span_start,
+    * span_end, span_tokens), positions 1-based in token space. A position
+    * is covered when some k-gram window containing it also occurs in at
+    * least one OTHER document; contiguous covered runs merge into one
+    * span (gaps-and-islands over window starts).
+    *
+    * Scale shape — three bounded stages, no all-pairs anywhere:
+    *  1. gram generation is a shuffle-free projection (`transform` over
+    *     `sequence`, one xxhash64 per window — the array never leaves the
+    *     row); fan-out is exactly tokens-per-doc rows.
+    *  2. "appears in ≥2 docs" is `min(doc_id) < max(doc_id)` per gram
+    *     hash — a partial-aggregable groupBy, NOT a countDistinct (no
+    *     per-gram doc-id set is ever materialized).
+    *  3. span assembly is a per-document window (orderBy pos inside
+    *     partitionBy doc_id), bounded by document length.
+    * The corpus-wide state is one 8-byte hash per distinct gram — the
+    * same fingerprint-not-text discipline as d3/d4; at 100 TB the
+    * duplicated-gram side of the join is Bloom/semi-join prunable.
+    *
+    * Reference analog: the reference dedups at whole-item granularity
+    * (processor/data_processor.py:91-143); sub-document spans are the
+    * training-pipeline extension.
+    */
+  def d14SubstringSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(w) - ${k - 1}),
+             |  p -> xxhash64(array_join(slice(w, p, $k), ' ')))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("gh"))
+    val dupGrams = grams.groupBy("gh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") < col("mx"))
+      .select("gh")
+    val covered = grams.join(dupGrams, Seq("gh"))
+      .select(col("doc_id"), col("s"), (col("s") + (k - 1)).as("e"))
+    // Islands over covered windows: a new span starts when the window
+    // leaves a ≥1-token gap after everything covered so far. Window
+    // starts are distinct per doc, so orderBy(s) is deterministic.
+    val wPrev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("s")
+    covered
+      .withColumn("prev_max", max("e").over(wPrev))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s") > col("prev_max") + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum("brk").over(wRun))
+      .groupBy("doc_id", "gid")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
     val exploded = Tables(spark, dir).documents

@@ -213,6 +213,67 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** m8: CROSS-MODAL (media, caption) dedup resolution — the joint-key
+    * operator a multimodal corpus build needs: an (image, caption) record
+    * is a duplicate of another only when BOTH modalities agree — the
+    * media payloads are perceptually close (m5 phash, hamming ≤
+    * `maxMediaHamming`) AND the captions are textually close (d4 SimHash,
+    * hamming ≤ `maxTextHamming`). Either modality alone is insufficient:
+    * generic captions ("a photo") must not merge unrelated images, and
+    * re-captioned images must not merge distinct records.
+    *
+    * Scale shape: candidates come from the UNION of the two banded tiers
+    * — each already a band equijoin with the salted skew escape (m6's
+    * perceptual bands ∪ d9's SimHash bands), never all-pairs — then one
+    * equijoin back to the two fingerprint tables (8 bytes per doc per
+    * tier) verifies BOTH hamming predicates. Verified pairs feed the
+    * shared hash-min CC; each cluster keeps its minimum doc_id. Output is
+    * the same per-record verdict table as d6/m7 — the filter list the
+    * corpus build consumes.
+    *
+    * Band recall follows the tier bounds (exhaustive at hamming ≤ 3 per
+    * modality; 4–15 surfaces on band collision): a pair is GUARANTEED
+    * found when either modality is within hamming 3, and is then kept
+    * only if both verify.
+    */
+  def m8CrossModalResolve(
+      spark: SparkSession,
+      dir: String,
+      maxMediaHamming: Int = 15,
+      maxTextHamming: Int = 15): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mediaFp = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.VectorExpressions
+        .blockAvgHash60(payload(col("doc_id"), col("text"))).as("mfp"))
+    val textFp = docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions.simhash60(col("text")).as("tfp"))
+    val cand = m6PhashPairs(spark, dir, maxMediaHamming)
+      .select("doc_id1", "doc_id2")
+      .union(graft.dedup.Dedup.d9SimhashPairs(spark, dir, maxTextHamming)
+        .select("doc_id1", "doc_id2"))
+      .distinct()
+    val verified = cand
+      .join(mediaFp.select(col("doc_id").as("doc_id1"), col("mfp").as("mfp1")), Seq("doc_id1"))
+      .join(mediaFp.select(col("doc_id").as("doc_id2"), col("mfp").as("mfp2")), Seq("doc_id2"))
+      .join(textFp.select(col("doc_id").as("doc_id1"), col("tfp").as("tfp1")), Seq("doc_id1"))
+      .join(textFp.select(col("doc_id").as("doc_id2"), col("tfp").as("tfp2")), Seq("doc_id2"))
+      .filter(
+        bit_count(col("mfp1").bitwiseXOR(col("mfp2"))) <= maxMediaHamming &&
+        bit_count(col("tfp1").bitwiseXOR(col("tfp2"))) <= maxTextHamming)
+      .select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+    val comps = graft.operators.GraphIter.connectedComponents(verified)
+      .select(col("node").as("doc_id"), col("label").as("canonical"))
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
+        (col("doc_id") === coalesce(col("canonical"), col("doc_id")))
+          .cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * codecs would run the real image/audio decoder batch-wise per
     * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),

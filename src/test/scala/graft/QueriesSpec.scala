@@ -873,6 +873,74 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!blocked.contains(("ear", "gears"))) // distance 2 stays out
   }
 
+  test("d14 repeated spans equal a driver-side brute-force substring pass") {
+    val k = 8
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ")))
+    // Brute force: literal k-gram strings (no hashing), coverage bitmap
+    // per doc, maximal runs — an independent formulation of the operator.
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; p <- 0 to w.length - k)
+      gramDocs.getOrElseUpdate(w.slice(p, p + k).mkString(" "), scala.collection.mutable.Set()) += id
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((id, w) <- docs if w.length >= k) {
+      val cov = new Array[Boolean](w.length)
+      for (p <- 0 to w.length - k if gramDocs(w.slice(p, p + k).mkString(" ")).exists(_ != id))
+        (p until p + k).foreach(cov(_) = true)
+      var i = 0
+      while (i < w.length) {
+        if (cov(i)) {
+          var j = i
+          while (j + 1 < w.length && cov(j + 1)) j += 1
+          expected += ((id, (i + 1).toLong, (j + 1).toLong))
+          i = j + 1
+        } else i += 1
+      }
+    }
+    assert(expected.nonEmpty, "degenerate gate: corpus has no repeated spans")
+    val got = dedup.Dedup.d14SubstringSpans(spark, dir, k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("m8 cross-modal resolve equals a brute-force dual-modality union-find") {
+    def bands(fp: Long): Seq[Long] = (0 until 4).map(i => (fp >> (i * 15)) & 32767L)
+    val media = multimodal.Media.m5Phash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val text = dedup.Dedup.d4SimHash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val allIds = Tables(spark, dir).documents
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).sorted
+    // Brute force over ALL pairs: candidate when either modality's bands
+    // collide AND that modality verifies; kept when BOTH verify.
+    val parent = scala.collection.mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    var nEdges = 0
+    for (i <- allIds.indices; j <- (i + 1) until allIds.length) {
+      val (a, b) = (allIds(i), allIds(j))
+      if (media.contains(a) && media.contains(b) && text.contains(a) && text.contains(b)) {
+        val mh = java.lang.Long.bitCount(media(a) ^ media(b))
+        val th = java.lang.Long.bitCount(text(a) ^ text(b))
+        val mBand = bands(media(a)).zip(bands(media(b))).exists(p => p._1 == p._2)
+        val tBand = bands(text(a)).zip(bands(text(b))).exists(p => p._1 == p._2)
+        val cand = (mBand && mh <= 15) || (tBand && th <= 15)
+        if (cand && mh <= 15 && th <= 15) {
+          nEdges += 1
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    assert(nEdges > 0, "degenerate gate: no cross-modal duplicate pairs in the corpus")
+    val expected = allIds.map(id => (id, find(id), if (find(id) == id) 1 else 0)).toSet
+    val got = multimodal.Media.m8CrossModalResolve(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"), r.getAs[Int]("is_kept")))
+      .toSet
+    assert(got === expected)
+  }
+
   test("e10 sliding agg agrees with Spark's native hopping window") {
     val ev = Tables(spark, dir).events
     val ours = streaming.Events.slidingAgg(ev)
