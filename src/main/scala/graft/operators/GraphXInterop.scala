@@ -83,6 +83,26 @@ object GraphXInterop {
     spark.createDataFrame(comps).toDF("node", "component")
   }
 
+  /** Personalized PageRank via GraphX's `staticPersonalizedPageRank` over
+    * the same symmetrized long-keyed edges
+    * [[GraphIter.personalizedPageRankMicro]] iterates — the independent
+    * engine for the g14 agreement spec. Same recurrence (0.15 restart to
+    * the source, 0.85 damped degree-normalized flow), float arithmetic
+    * instead of integer micro-units, so agreement is on induced ranking
+    * and support, not bit equality.
+    */
+  def personalizedPageRankGraphX(edges: DataFrame, src: Long, iterations: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    val edgeRdd = sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    val ranks = graph.staticPersonalizedPageRank(src, iterations).vertices
+    spark.createDataFrame(ranks).toDF("node", "rank")
+  }
+
   /** g6's graph through the GraphX path (same packed-long node ids,
     * decoded to the display form).
     */

@@ -36,6 +36,37 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 0.8, f"top-$k overlap = $overlap%.2f")
   }
 
+  test("GraphX staticPersonalizedPageRank and the micro-unit PPR agree on support and ranking") {
+    val ss = spark
+    import ss.implicits._
+    // Crafted graph: a 2-community structure bridged by one edge, plus a
+    // disconnected pair — support (reachability from the seed) must agree
+    // exactly, ranking near-exactly.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),   // community A
+      (5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L), (8L, 9L),   // community B
+      (20L, 21L)                                          // unreachable from seed 1
+    ).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val micro = operators.GraphIter.personalizedPageRankMicro(edges, seeds, iterations = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    val gx = operators.GraphXInterop.personalizedPageRankGraphX(edges, 1L, iterations = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // Support: both engines must reach exactly the seed's 6-hop component
+    // and give the disconnected pair nothing.
+    val gxPos = gx.filter(_._2 > 0).keySet
+    val microPos = micro.filter(_._2 > 0).keySet
+    assert(microPos === gxPos)
+    assert(!microPos.contains(20L) && !microPos.contains(21L))
+    // Ranking: integer truncation vs float can swap near-ties, but the
+    // seed-proximity ordering is the same analysis — demand the top half
+    // (well separated by construction) match as an ordered sequence.
+    val k = microPos.size / 2
+    val topMicro = micro.toSeq.sortBy { case (n, r) => (-r, n) }.take(k).map(_._1)
+    val topGx = gx.toSeq.sortBy { case (n, r) => (-r, n) }.take(k).map(_._1)
+    assert(topMicro === topGx, s"micro=$topMicro gx=$topGx")
+  }
+
   test("GraphX Pregel ShortestPaths and the DataFrame BFS agree exactly") {
     // Hop distance is integral, so unlike PageRank the two engines must
     // agree bit-for-bit: same reachable set, same distances, both on the
