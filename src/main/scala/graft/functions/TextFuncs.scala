@@ -258,15 +258,22 @@ object TextFuncs {
     * window rank per stratum; the shuffle key is the stratum, so skew
     * routing (salting) applies unchanged if one language dominates.
     */
-  def t13StratifiedSample(spark: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+  def t13StratifiedSample(spark: SparkSession, dir: String, cap: Int = 50): DataFrame =
+    stratifiedSampleCore(Tables(spark, dir).documents, cap).orderBy("doc_id")
+
+  /** Core of t13 over any (doc_id, lang, text) frame — factored so the
+    * streaming form ([[graft.streaming.CurationStream.stratifiedSampleStream]])
+    * shares the sampling key (md5 of content, doc_id tie-break) and its
+    * agreement spec can run both forms on the same input.
+    */
+  def stratifiedSampleCore(docs: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")).asc, col("doc_id").asc)
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= cap)
       .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
-      .orderBy("doc_id")
   }
 
   /** t14: repetition signals — the Gopher-rules quality gate (Rae et al.

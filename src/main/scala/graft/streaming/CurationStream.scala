@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Input row of the streaming sampler: content hash precomputed as a
+  * codegen'd column BEFORE the typed boundary, so the state op never
+  * hashes inside the JVM loop.
+  */
+final case class DocSig(doc_id: Long, lang: String, h: String)
+
+/** Per-lang reservoir carried between micro-batches: the `cap` smallest
+  * (md5, doc_id) keys seen so far — O(cap) state per stratum forever,
+  * which is what makes the streaming form runnable against an unbounded
+  * crawl feed.
+  */
+final case class SampleState(hs: Seq[String], ids: Seq[Long], version: Long)
+
+/** Emitted sample row; `version` identifies the emitting micro-batch
+  * (monotone per lang) so a consumer — and the agreement spec — can take
+  * each stratum's latest snapshot.
+  */
+final case class SampleRow(doc_id: Long, lang: String, sample_rank: Long, version: Long)
+
+/** Structured Streaming forms of the curation-path projections (t21 hash
+  * split, t13 stratified sample) — the batch/stream parity story for the
+  * split/sample stage: a corpus split computed on an unbounded crawl feed
+  * must equal the batch split of the accumulated corpus, or
+  * dedup-then-split and split-then-dedup diverge between the two modes.
+  */
+object CurationStream {
+
+  /** Streaming t21: the content-keyed split is a stateless deterministic
+    * projection (md5 prefix → permille → split label), so the streaming
+    * form IS the batch expression applied to an unbounded frame — no
+    * state, no watermark, append mode. Rows land in the same split
+    * whenever and wherever they arrive.
+    */
+  def hashSplitStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT) % 1000")
+          .as("u_milli"))
+      .withColumn("split",
+        when(col("u_milli") < 800, "train")
+          .when(col("u_milli") < 900, "val")
+          .otherwise("test"))
+
+  /** Streaming t13: bounded per-stratum reservoir via
+    * `flatMapGroupsWithState` — each micro-batch merges the stratum's new
+    * (md5, doc_id) keys into the `cap` smallest seen so far and emits the
+    * stratum's CURRENT sample (rank-stamped, version-stamped). Converges
+    * to exactly the batch t13 sample of the accumulated input, because
+    * "cap smallest content-hash keys" is a commutative/associative fold
+    * over any arrival order — the same reason the batch form is
+    * re-crawl-stable. State is O(cap) per lang with no timeout: strata
+    * are few and long-lived (this is the `mapGroupsWithState` analog of a
+    * streaming top-k, not a sessionization).
+    */
+  def stratifiedSampleStream(docs: DataFrame, cap: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .as[DocSig]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[SampleState, SampleRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (lang, rows, state) =>
+        val prev = state.getOption.getOrElse(SampleState(Nil, Nil, 0L))
+        // distinct before take: replayed rows (at-least-once upstream)
+        // must not occupy two reservoir slots.
+        val merged = (prev.hs.zip(prev.ids) ++ rows.map(r => (r.h, r.doc_id)))
+          .distinct.sortBy(identity)
+          .take(cap)
+        val next = SampleState(merged.map(_._1), merged.map(_._2), prev.version + 1)
+        state.update(next)
+        merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+          SampleRow(id, lang, i + 1L, next.version)
+        }
+      }
+      .toDF()
+  }
+}

@@ -14,6 +14,8 @@ final case class Doc(doc_id: Long, text: String, ingest_ts_ns: Long)
 
 final case class CallEv(event_id: Long, user_id: Long, event_type: String, ts: Long, value: Double, props: String)
 
+final case class CurDoc(doc_id: Long, lang: String, text: String)
+
 /** Structured Streaming forms of the F-group, driven through MemoryStream:
   * the streaming plans must (a) run incrementally with watermarked state and
   * (b) agree with the batch forms on the same finite input.
@@ -227,6 +229,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     val kept = spark.table("d7s").collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept === Set(2L, 4L, 7L))
+  }
+
+  test("streaming t21 hash split labels rows exactly as the batch split") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val docs = Seq(
+      CurDoc(1, "en", "alpha beta gamma"),
+      CurDoc(2, "en", "delta epsilon"),
+      CurDoc(3, "de", "zeta eta theta iota"),
+      CurDoc(4, "de", "kappa"),
+      CurDoc(5, "en", "lambda mu nu xi"))
+    val mem = MemoryStream[CurDoc]
+    mem.addData(docs: _*)
+    val got = runStream("t21s", graft.streaming.CurationStream.hashSplitStream(mem.toDF()))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("u_milli"), r.getAs[String]("split"))).toSet
+    val batch = graft.streaming.CurationStream.hashSplitStream(docs.toDF())
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("u_milli"), r.getAs[String]("split"))).toSet
+    assert(got === batch)
+    assert(got.size === docs.size)
+  }
+
+  test("streaming t13 reservoir converges to the batch stratified sample across batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val batch1 = Seq(
+      CurDoc(1, "en", "aaa"), CurDoc(2, "en", "bbb"), CurDoc(3, "en", "ccc"),
+      CurDoc(10, "de", "ddd"), CurDoc(11, "de", "eee"))
+    val batch2 = Seq(
+      CurDoc(4, "en", "fff"), CurDoc(5, "en", "ggg"),
+      CurDoc(12, "de", "hhh"), CurDoc(2, "en", "bbb")) // replay of doc 2
+    val cap = 3
+    val mem = MemoryStream[CurDoc]
+    val q = graft.streaming.CurationStream.stratifiedSampleStream(mem.toDF(), cap)
+      .writeStream.format("memory").queryName("t13s").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("t13s").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sample_rank"), r.getAs[Long]("version")))
+    // Latest snapshot per stratum = rows carrying that lang's max version.
+    val latest = emitted.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val v = rows.map(_._4).max
+      rows.filter(_._4 == v).toSeq
+    }.map(t => (t._2, t._1, t._3)).toSet
+    val batchForm = graft.functions.TextFuncs
+      .stratifiedSampleCore((batch1 ++ batch2).distinct.toDF()
+        .select(col("doc_id"), col("lang"), col("text")), cap)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("sample_rank")))
+      .toSet
+    assert(latest === batchForm)
+    assert(latest.nonEmpty && latest.size <= 2 * cap)
   }
 
   test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
