@@ -19,16 +19,32 @@ import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongT
   * the inner loops branch-free.
   */
 final class Bitmap(initialWords: Int = 8) {
+  /** Absolute word index of `words(0)` — the offset that keeps a
+    * CLUSTERED id range cheap wherever it sits in the key space. Without
+    * it, a bitmap whose smallest key is k pays ~k/64 leading-zero words
+    * in every serialize/OR — and clustered ranges are exactly what
+    * range-partitioned dictionary encoding produces at scale (the sf1
+    * sweep measured g4's union cost growing with id OFFSET, not set
+    * size). With the base, cost tracks the set-bit EXTENT only.
+    */
+  var base: Int = 0
   var words: Array[Long] = new Array[Long](math.max(initialWords, 1))
+  private var anchored: Boolean = false
 
-  private def ensureWords(n: Int): Unit =
-    if (n > words.length) {
-      // n is bounded by MaxKey/64 + 1 (set() guards the key range), so
-      // n * 2 - 1 cannot overflow Int here.
-      val grown = new Array[Long](Integer.highestOneBit(n * 2 - 1))
-      System.arraycopy(words, 0, grown, 0, words.length)
-      words = grown
-    }
+  /** Guarantee `words` covers absolute word range [wLo, wHi]. */
+  private def ensureRange(wLo: Int, wHi: Int): Unit = {
+    if (!anchored) { base = wLo; anchored = true }
+    if (wLo >= base && wHi - base < words.length) return
+    val newBase = math.min(base, wLo)
+    val needed = math.max(wHi, base + words.length - 1) - newBase + 1
+    // needed is bounded by MaxKey/64 + 1 (set() guards the key range), so
+    // needed * 2 - 1 cannot overflow Int here.
+    if (newBase == base && needed <= words.length) return
+    val grown = new Array[Long](Integer.highestOneBit(needed * 2 - 1))
+    System.arraycopy(words, 0, grown, base - newBase, words.length)
+    words = grown
+    base = newBase
+  }
 
   def set(v: Long): Unit = {
     // Hard key-range guard, not a silent wrap: beyond 2^31 the word index
@@ -42,31 +58,42 @@ final class Bitmap(initialWords: Int = 8) {
         "For sparse or hashed 64-bit keyspaces use graft_distinct_union_count " +
         "(DistinctLongUnionCount): its buffer is bounded by cardinality, not key range.")
     val w = (v >>> 6).toInt
-    ensureWords(w + 1)
-    words(w) |= 1L << (v & 63L)
+    ensureRange(w, w)
+    words(w - base) |= 1L << (v & 63L)
   }
 
-  def or(other: Array[Long], len: Int): Unit = {
-    ensureWords(len)
+  /** OR `len` words of `other` (whose first word sits at absolute index
+    * `otherBase`) into this bitmap.
+    */
+  def orWords(otherBase: Int, other: Array[Long], len: Int): Unit = {
+    if (len == 0) return
+    ensureRange(otherBase, otherBase + len - 1)
+    val off = otherBase - base
     var i = 0
-    while (i < len) { words(i) |= other(i); i += 1 }
+    while (i < len) { words(off + i) |= other(i); i += 1 }
   }
 
-  /** OR a SERIALIZED bitmap (the big-endian word form [[BitmapAggBase
-    * .serialize]] emits) into this one, assembling each word directly
-    * from the bytes. The obvious decode-then-or allocates a temp long
-    * array per call; in the two-hop aggregate that call sits on the
-    * per-joined-row path, and at ~2 KB per bitmap the temp arrays alone
-    * were gigabytes of young-gen churn per sweep — the GC pressure, not
-    * the OR itself, was the measured cost.
+  /** OR a SERIALIZED bitmap (the `[base:int][big-endian words]` form
+    * [[BitmapAggBase.serialize]] emits) into this one, assembling each
+    * word directly from the bytes. The obvious decode-then-or allocates a
+    * temp long array per call; in the two-hop aggregate that call sits on
+    * the per-joined-row path, and at ~2 KB per bitmap the temp arrays
+    * alone were gigabytes of young-gen churn per sweep — the GC pressure,
+    * not the OR itself, was the measured cost.
     */
   def orBytes(bytes: Array[Byte]): Unit = {
-    val n = bytes.length / 8
-    ensureWords(n)
+    if (bytes.length < 4) return
+    val otherBase =
+      ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val n = (bytes.length - 4) / 8
+    if (n == 0) return
+    ensureRange(otherBase, otherBase + n - 1)
+    val off = otherBase - base
     var i = 0
     while (i < n) {
-      val b = i * 8
-      words(i) |=
+      val b = 4 + i * 8
+      words(off + i) |=
         ((bytes(b) & 0xffL) << 56) | ((bytes(b + 1) & 0xffL) << 48) |
         ((bytes(b + 2) & 0xffL) << 40) | ((bytes(b + 3) & 0xffL) << 32) |
         ((bytes(b + 4) & 0xffL) << 24) | ((bytes(b + 5) & 0xffL) << 16) |
@@ -82,11 +109,38 @@ final class Bitmap(initialWords: Int = 8) {
     c
   }
 
-  /** Words up to the last non-zero one — the serialized form. */
+  /** Words up to the last non-zero one (relative to `base`). */
   def usedWords: Int = {
     var n = words.length
     while (n > 0 && words(n - 1) == 0L) n -= 1
     n
+  }
+
+  /** First non-zero word index (relative to `base`); == usedWords when
+    * the bitmap is empty.
+    */
+  def firstWord: Int = {
+    val hi = usedWords
+    var n = 0
+    while (n < hi && words(n) == 0L) n += 1
+    n
+  }
+
+  /** The canonical serialized form: `[absolute base of first non-zero
+    * word: 4-byte big-endian int][that word .. last non-zero word,
+    * big-endian]` — leading AND trailing zero words trimmed, so the size
+    * is the set-bit extent regardless of where the keys sit. Empty
+    * bitmap: `[0]` (4 bytes, no words).
+    */
+  def serialized: Array[Byte] = {
+    val lo = firstWord
+    val hi = usedWords
+    val n = math.max(hi - lo, 0)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * n)
+    bb.putInt(if (n == 0) 0 else base + lo)
+    var i = lo
+    while (i < hi) { bb.putLong(words(i)); i += 1 }
+    bb.array()
   }
 }
 
@@ -104,26 +158,17 @@ private[graft] trait BitmapAggBase extends TypedImperativeAggregate[Bitmap] {
   override def createAggregationBuffer(): Bitmap = new Bitmap()
 
   override def merge(buffer: Bitmap, other: Bitmap): Bitmap = {
-    buffer.or(other.words, other.usedWords)
+    buffer.orWords(other.base, other.words, other.usedWords)
     buffer
   }
 
   override def eval(buffer: Bitmap): Any = serialize(buffer)
 
-  override def serialize(buffer: Bitmap): Array[Byte] = {
-    val n = buffer.usedWords
-    val bb = java.nio.ByteBuffer.allocate(8 * n)
-    var i = 0
-    while (i < n) { bb.putLong(buffer.words(i)); i += 1 }
-    bb.array()
-  }
+  override def serialize(buffer: Bitmap): Array[Byte] = buffer.serialized
 
   override def deserialize(bytes: Array[Byte]): Bitmap = {
-    val n = bytes.length / 8
-    val bm = new Bitmap(math.max(n, 1))
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    var i = 0
-    while (i < n) { bm.words(i) = bb.getLong; i += 1 }
+    val bm = new Bitmap(math.max((bytes.length - 4) / 8, 1))
+    bm.orBytes(bytes)
     bm
   }
 }
@@ -207,35 +252,60 @@ case class BitmapOrCardinality(
   */
 object BitmapBlob {
   final class Decoded(
-      val n: Int, val offsets: Array[Int], val words: Array[Long]) {
-    /** Longest single entry, in words — sizes the per-row union scratch. */
-    val maxWords: Int = {
-      var m = 0
+      val n: Int, val offsets: Array[Int], val bases: Array[Int],
+      val words: Array[Long]) {
+    /** Smallest absolute word any entry touches — anchors the scratch. */
+    val minBase: Int = {
+      var m = Int.MaxValue
       var i = 0
       while (i < n) {
-        val w = offsets(i + 1) - offsets(i)
-        if (w > m) m = w
+        if (offsets(i + 1) > offsets(i) && bases(i) < m) m = bases(i)
         i += 1
       }
-      m
+      if (m == Int.MaxValue) 0 else m
+    }
+    /** Absolute word extent of the union of all entries — sizes the
+      * per-row union scratch (set-bit extent, not key-space width).
+      */
+    val scratchWords: Int = {
+      var hi = 0
+      var i = 0
+      while (i < n) {
+        val e = bases(i) + (offsets(i + 1) - offsets(i)) - minBase
+        if (offsets(i + 1) > offsets(i) && e > hi) hi = e
+        i += 1
+      }
+      hi
     }
   }
 
-  /** Pack (id, serialized bitmap) pairs. Ids must be small non-negative
-    * ints (the same dense-dictionary assumption the bitmap itself makes);
-    * missing ids get empty slices.
+  /** Pack (id, serialized bitmap) pairs — each entry in the
+    * `[base][words]` form [[Bitmap.serialized]] emits; the bases land in
+    * their own lane so the word lanes stay leading-zero-free. Ids must be
+    * small non-negative ints (the same dense-dictionary assumption the
+    * bitmap itself makes); missing ids get empty slices.
     */
   def build(entries: Seq[(Long, Array[Byte])]): Array[Byte] = {
     val n = if (entries.isEmpty) 0 else entries.map(_._1).max.toInt + 1
     val wordCount = new Array[Int](n)
-    entries.foreach { case (id, b) => wordCount(id.toInt) = b.length / 8 }
+    val baseOf = new Array[Int](n)
+    entries.foreach { case (id, b) =>
+      wordCount(id.toInt) = math.max(0, (b.length - 4) / 8)
+      baseOf(id.toInt) =
+        if (b.length < 4) 0
+        else ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+          ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    }
     val offsets = new Array[Int](n + 1)
     var i = 0
     while (i < n) { offsets(i + 1) = offsets(i) + wordCount(i); i += 1 }
-    val bb = java.nio.ByteBuffer.allocate(4 + 4 * (n + 1) + 8 * offsets(n))
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 * (n + 1) + 4 * n + 8 * offsets(n))
     bb.putInt(n)
     offsets.foreach(bb.putInt)
-    entries.sortBy(_._1).foreach { case (_, b) => bb.put(b) }
+    baseOf.foreach(bb.putInt)
+    entries.sortBy(_._1).foreach { case (_, b) =>
+      if (b.length > 4) bb.put(b, 4, b.length - 4)
+    }
     bb.array()
   }
 
@@ -245,10 +315,13 @@ object BitmapBlob {
     val offsets = new Array[Int](n + 1)
     var i = 0
     while (i <= n) { offsets(i) = bb.getInt; i += 1 }
+    val bases = new Array[Int](n)
+    i = 0
+    while (i < n) { bases(i) = bb.getInt; i += 1 }
     val words = new Array[Long](offsets(n))
     i = 0
     while (i < offsets(n)) { words(i) = bb.getLong; i += 1 }
-    new Decoded(n, offsets, words)
+    new Decoded(n, offsets, bases, words)
   }
 }
 
@@ -290,38 +363,53 @@ case class BitmapBlobUnionCount(keys: Expression, blob: Expression)
   @transient private lazy val table: BitmapBlob.Decoded =
     BitmapBlob.decode(blob.eval(null).asInstanceOf[Array[Byte]])
   @transient private lazy val scratch: Array[Long] =
-    new Array[Long](math.max(table.maxWords, 1))
-  @transient private var usedWords: Int = 0
+    new Array[Long](math.max(table.scratchWords, 1))
+  @transient private var usedLo: Int = 0
+  @transient private var usedHi: Int = 0
 
   def unionCount(keyBytes: Array[Byte]): Long = {
     val t = table
-    java.util.Arrays.fill(scratch, 0, usedWords, 0L)
-    usedWords = 0
-    val nw = keyBytes.length / 8
+    java.util.Arrays.fill(scratch, usedLo, usedHi, 0L)
+    usedLo = scratch.length
+    usedHi = 0
+    if (keyBytes.length < 4) return 0L
+    // Key-set bitmap arrives in the same [base][words] serialized form.
+    val kBase =
+      ((keyBytes(0) & 0xff) << 24) | ((keyBytes(1) & 0xff) << 16) |
+      ((keyBytes(2) & 0xff) << 8) | (keyBytes(3) & 0xff)
+    val nw = (keyBytes.length - 4) / 8
     var wi = 0
     while (wi < nw) {
-      val b = wi * 8
+      val b = 4 + wi * 8
       var w =
         ((keyBytes(b) & 0xffL) << 56) | ((keyBytes(b + 1) & 0xffL) << 48) |
         ((keyBytes(b + 2) & 0xffL) << 40) | ((keyBytes(b + 3) & 0xffL) << 32) |
         ((keyBytes(b + 4) & 0xffL) << 24) | ((keyBytes(b + 5) & 0xffL) << 16) |
         ((keyBytes(b + 6) & 0xffL) << 8) | (keyBytes(b + 7) & 0xffL)
       while (w != 0L) {
-        val id = wi * 64 + java.lang.Long.numberOfTrailingZeros(w)
-        if (id < t.n) {
+        val id = (kBase + wi) * 64 + java.lang.Long.numberOfTrailingZeros(w)
+        if (id >= 0 && id < t.n) {
           val s = t.offsets(id)
           val e = t.offsets(id + 1)
+          // Entry words land at their absolute position (minus the blob's
+          // min base): ORs only touch the entry's extent, so a clustered
+          // id range costs its own width wherever it sits.
+          val off = t.bases(id) - t.minBase
           var j = s
-          while (j < e) { scratch(j - s) |= t.words(j); j += 1 }
-          if (e - s > usedWords) usedWords = e - s
+          while (j < e) { scratch(off + j - s) |= t.words(j); j += 1 }
+          if (e > s) {
+            if (off < usedLo) usedLo = off
+            if (off + e - s > usedHi) usedHi = off + e - s
+          }
         }
         w &= w - 1L
       }
       wi += 1
     }
     var c = 0L
-    var i = 0
-    while (i < usedWords) { c += java.lang.Long.bitCount(scratch(i)); i += 1 }
+    var i = usedLo
+    while (i < usedHi) { c += java.lang.Long.bitCount(scratch(i)); i += 1 }
+    if (usedLo > usedHi) { usedLo = 0; usedHi = 0 }
     c
   }
 

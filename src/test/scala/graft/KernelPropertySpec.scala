@@ -217,33 +217,35 @@ class KernelPropertySpec extends AnyFunSuite {
         bm
       }
       val union = new org.apache.spark.sql.graft.Bitmap(1)
-      bms.foreach(b => union.or(b.words, b.usedWords))
+      bms.foreach(b => union.orWords(b.base, b.words, b.usedWords))
       assert(union.cardinality === groups.flatten.toSet.size)
-      // trailing-zero trim never drops set bits
-      val trimmed = bms.map(b => b.words.take(b.usedWords))
+      // leading/trailing-zero trim in the serialized form never drops
+      // set bits
       val reunion = new org.apache.spark.sql.graft.Bitmap(1)
-      trimmed.foreach(w => reunion.or(w, w.length))
+      bms.foreach(b => reunion.orBytes(b.serialized))
       assert(reunion.cardinality === union.cardinality)
     }
   }
 
   test("orBytes: OR from serialized form is bit-identical to decode-then-or") {
     val rng = new scala.util.Random(37)
-    def ser(bm: org.apache.spark.sql.graft.Bitmap): Array[Byte] = {
-      val n = bm.usedWords
-      val bb = java.nio.ByteBuffer.allocate(8 * n)
-      (0 until n).foreach(i => bb.putLong(bm.words(i)))
-      bb.array()
-    }
     (1 to 200).foreach { _ =>
-      val base = Seq.fill(rng.nextInt(300))(rng.nextInt(8000).toLong)
-      val inc = Seq.fill(rng.nextInt(300))(rng.nextInt(8000).toLong)
+      // offset keys exercise the base-trim: one operand clustered high,
+      // one low, one spanning — serialized size must track extent, and
+      // the OR must land bits at their absolute positions.
+      val off = rng.nextInt(3) * 100000
+      val base = Seq.fill(rng.nextInt(300))((off + rng.nextInt(8000)).toLong)
+      val inc = Seq.fill(rng.nextInt(300))(rng.nextInt(2) * 100000L + rng.nextInt(8000))
       val incBm = new org.apache.spark.sql.graft.Bitmap(1)
       inc.foreach(incBm.set)
       val viaBytes = new org.apache.spark.sql.graft.Bitmap(1)
       base.foreach(viaBytes.set)
-      viaBytes.orBytes(ser(incBm))
+      viaBytes.orBytes(incBm.serialized)
       assert(viaBytes.cardinality === (base.toSet ++ inc.toSet).size)
+      // serialized size is extent-bound: a pure-offset singleton is tiny
+      val one = new org.apache.spark.sql.graft.Bitmap(1)
+      one.set(off + 63L)
+      assert(one.serialized.length <= 4 + 8)
     }
   }
 
@@ -252,27 +254,24 @@ class KernelPropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
     val rng = new scala.util.Random(41)
-    def ser(bm: Bitmap): Array[Byte] = {
-      val n = bm.usedWords
-      val bb = java.nio.ByteBuffer.allocate(8 * n)
-      (0 until n).foreach(i => bb.putLong(bm.words(i)))
-      bb.array()
-    }
     (1 to 100).foreach { _ =>
       // entry id → key set (some ids absent, some sets empty — the blob
-      // must treat both as empty slices); key-set rows pick random ids,
+      // must treat both as empty slices); key sets cluster at random
+      // offsets (the base-trim case); key-set rows pick random ids,
       // including ids PAST the blob's range (ignored, not a crash)
       val nEntries = 1 + rng.nextInt(40)
       val entrySets: Map[Long, Set[Long]] =
         (0 until nEntries).flatMap { id =>
-          if (rng.nextBoolean())
-            Some(id.toLong -> Seq.fill(rng.nextInt(200))(rng.nextInt(5000).toLong).toSet)
-          else None
+          if (rng.nextBoolean()) {
+            val off = rng.nextInt(4) * 50000
+            Some(id.toLong ->
+              Seq.fill(rng.nextInt(200))((off + rng.nextInt(5000)).toLong).toSet)
+          } else None
         }.toMap
       val blob = BitmapBlob.build(entrySets.toSeq.map { case (id, ks) =>
         val bm = new Bitmap(1)
         ks.foreach(bm.set)
-        id -> ser(bm)
+        id -> bm.serialized
       })
       val expr = BitmapBlobUnionCount(
         Literal.create(null, BinaryType), Literal.create(blob, BinaryType))
@@ -283,8 +282,8 @@ class KernelPropertySpec extends AnyFunSuite {
         val expected =
           picked.flatMap(id => entrySets.getOrElse(id, Set.empty[Long])).size
         // successive calls reuse the scratch buffer — the loop also
-        // checks the high-watermark clear leaves no stale bits behind
-        assert(expr.unionCount(ser(keyBm)) === expected.toLong)
+        // checks the watermark clear leaves no stale bits behind
+        assert(expr.unionCount(keyBm.serialized) === expected.toLong)
       }
     }
   }
