@@ -62,6 +62,7 @@ object SparkEntry {
     "d12_containment"    -> ((s: SparkSession, d: String) => Dedup.d12Containment(s, d)),
     "d13_fuzzy_pairs"    -> ((s: SparkSession, d: String) => Dedup.d13FuzzyPairs(s, d)),
     "d14_substring_spans" -> ((s: SparkSession, d: String) => Dedup.d14SubstringSpans(s, d)),
+    "d15_chunk_neardup"  -> ((s: SparkSession, d: String) => Dedup.d15ChunkNearDup(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -772,6 +773,22 @@ object SparkEntry {
         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
         |  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
         |FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""".stripMargin,
+    "d15_chunk_neardup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE length(text) >= 5),
+        |ch0 AS (SELECT doc_id, unnest(generate_series(0, (len(w)-1)//32)) AS cn, w FROM words),
+        |ch AS (SELECT doc_id, cn, array_to_string(w[cn*32+1 : cn*32+32], ' ') AS ct FROM ch0),
+        |sh AS (SELECT doc_id, cn,
+        |    list_distinct(list_transform(range(1, length(ct) - 3), i -> substr(ct, CAST(i AS INTEGER), 5))) AS g
+        |  FROM ch WHERE length(ct) >= 5),
+        |p AS (SELECT a.doc_id AS doc_id1, a.cn AS chunk1, b.doc_id AS doc_id2, b.cn AS chunk2,
+        |    len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id1, CAST(chunk1 AS BIGINT) AS chunk1,
+        |  doc_id2, CAST(chunk2 AS BIGINT) AS chunk2,
+        |  CAST(floor(jac * 1000000.0) AS BIGINT) AS jaccard_micro
+        |FROM p WHERE jac >= 0.8
+        |ORDER BY doc_id1, chunk1, doc_id2, chunk2""".stripMargin,
     "d12_containment" ->
       """WITH g AS (
         |  SELECT doc_id,

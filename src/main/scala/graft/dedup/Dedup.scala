@@ -686,6 +686,89 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** d15: NEAR-duplicate chunk pairs across documents — the fuzzy
+    * complement of [[d14SubstringSpans]]'s exact tier: d14 finds spans
+    * repeated verbatim; d15 finds paragraph-sized regions that are
+    * *almost* the same across documents (lightly edited boilerplate,
+    * templated intros with substituted entities) — the
+    * paragraph-granularity MinHash pass of a production curation stack.
+    * Documents are cut into fixed `chunkWords`-word chunks (a
+    * newline-delimited corpus would chunk at paragraph boundaries through
+    * the same plan) and the d3 machinery runs at chunk granularity:
+    * one-pass native MinHash signatures per chunk, banded LSH candidates
+    * (with the shared salted skew escape), exact char-5-gram Jaccard
+    * verification. Cross-document pairs only (intra-document repetition
+    * is t14/d14's domain). Output (doc_id1, chunk1, doc_id2, chunk2,
+    * jaccard_micro), doc_id1 < doc_id2.
+    *
+    * Scale shape: identical to d3 — chunking multiplies rows by
+    * ~tokens/chunkWords but each signature kernel runs over a BOUNDED
+    * text slice, candidates are a band equijoin (never all-pairs), and
+    * the verify join touches candidate chunks only. Chunk ids pack as
+    * doc_id·1024+chunk_no so every stage moves 8-byte keys.
+    */
+  def d15ChunkNearDup(
+      spark: SparkSession,
+      dir: String,
+      chunkWords: Int = 32,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val chunks = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(nPart)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(w) - 1) DIV $chunkWords AS INT)),
+             |  c -> array_join(slice(w, c * $chunkWords + 1, $chunkWords), ' '))""".stripMargin)))
+      .toDF("doc_id", "cn", "ct")
+      .filter(length(col("ct")) >= 5)
+      .select((col("doc_id") * 1024 + col("cn")).as("cid"), col("ct"))
+      .localCheckpoint(true)
+    val banded = chunks
+      .select(col("cid"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .minhashSignature(col("ct"), 5, numHashes).as("sig"))
+      .select(col("cid"), explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
+      .select(col("cid"), col("band_id"),
+        hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("band_hash"))
+    val keyed = banded.select(
+      (col("band_id").cast("long").multiply(lit(4294967296L))
+        .plus(col("band_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))).as("grp"),
+      col("cid").as("id"))
+      .localCheckpoint(true)
+    val candidates = graft.operators.GraphOps
+      .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
+      .select(col("id1").as("cid1"), col("id2").as("cid2"))
+      .distinct()
+      // cross-document only; packed ids keep doc order: cid1 < cid2 with
+      // different docs ⟺ doc_id1 < doc_id2
+      .filter(expr("cid1 DIV 1024") =!= expr("cid2 DIV 1024"))
+      .repartition(nPart, col("cid1"), col("cid2"))
+    val grams = chunks.select(col("cid"), gramCodes(col("ct")).as("grams"))
+    val n1 = size(col("g1")).cast("double")
+    val n2 = size(col("g2")).cast("double")
+    val inter = org.apache.spark.sql.graft.VectorExpressions
+      .sortedIntersectCountLong(col("g1"), col("g2")).cast("double")
+    candidates
+      .join(grams.select(col("cid").as("cid1"), col("grams").as("g1")), Seq("cid1"))
+      .join(grams.select(col("cid").as("cid2"), col("grams").as("g2")), Seq("cid2"))
+      .filter(least(n1, n2) / greatest(n1, n2) >= threshold)
+      .withColumn("jac", inter / (n1 + n2 - inter))
+      .filter(col("jac") >= threshold)
+      .select(
+        expr("cid1 DIV 1024").as("doc_id1"), expr("cid1 % 1024").as("chunk1"),
+        expr("cid2 DIV 1024").as("doc_id2"), expr("cid2 % 1024").as("chunk2"),
+        floor(col("jac") * 1000000.0).cast("long").as("jaccard_micro"))
+      .orderBy("doc_id1", "chunk1", "doc_id2", "chunk2")
+  }
+
   def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
     val exploded = Tables(spark, dir).documents

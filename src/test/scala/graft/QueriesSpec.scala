@@ -905,6 +905,38 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("d15 chunk near-dups equal a brute-force chunk-level jaccard pass") {
+    val cw = 32
+    val docs = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 5)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // Brute force: literal char-5-gram sets per chunk, exact jaccard over
+    // ALL cross-doc chunk pairs — no hashing, no banding.
+    val chunks = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(cw).zipWithIndex.map { case (ws, cn) =>
+        (id, cn.toLong, ws.mkString(" "))
+      }
+    }.filter(_._3.length >= 5)
+      .map { case (id, cn, ct) =>
+        (id, cn, (0 to ct.length - 5).map(i => ct.substring(i, i + 5)).toSet)
+      }
+    val expected = (for {
+      i <- chunks.indices; j <- chunks.indices
+      if chunks(i)._1 < chunks(j)._1
+      inter = chunks(i)._3.intersect(chunks(j)._3).size.toDouble
+      jac = inter / (chunks(i)._3.size + chunks(j)._3.size - inter)
+      if jac >= 0.8
+    } yield (chunks(i)._1, chunks(i)._2, chunks(j)._1, chunks(j)._2,
+      math.floor(jac * 1000000.0).toLong)).toSet
+    assert(expected.nonEmpty, "degenerate gate: no near-dup chunks in the corpus")
+    val got = dedup.Dedup.d15ChunkNearDup(spark, dir, cw).collect()
+      .map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("chunk1"),
+        r.getAs[Long]("doc_id2"), r.getAs[Long]("chunk2"),
+        r.getAs[Long]("jaccard_micro"))).toSet
+    assert(got === expected)
+  }
+
   test("m8 cross-modal resolve equals a brute-force dual-modality union-find") {
     def bands(fp: Long): Seq[Long] = (0 until 4).map(i => (fp >> (i * 15)) & 32767L)
     val media = multimodal.Media.m5Phash(spark, dir).collect()
