@@ -43,6 +43,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allPairs.isEmpty, s"all-pairs join in d12 plan:\n$plan")
   }
 
+  test("d14/d15/m8: the new dedup tiers plan equijoins only — no all-pairs operator, no Expand") {
+    // d14's "gram in >=2 docs" must stay the partial-aggregable min<max
+    // trick (an Expand means a count-DISTINCT rewrite crept in); all
+    // three pair/candidate stages must stay equijoins.
+    for ((name, df) <- Seq(
+        "d14" -> dedup.Dedup.d14SubstringSpans(spark, dir),
+        "d15" -> dedup.Dedup.d15ChunkNearDup(spark, dir),
+        "m8" -> multimodal.Media.m8CrossModalResolve(spark, dir))) {
+      val plan = physical(df)
+      val allPairs = plan.collectWithSubqueries {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(allPairs.isEmpty, s"all-pairs join in $name plan:\n$plan")
+    }
+    val d14Plan = physical(dedup.Dedup.d14SubstringSpans(spark, dir))
+    val expands = d14Plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty, s"Expand (count-distinct rewrite) in d14 plan:\n$d14Plan")
+  }
+
   test("blocked pair generation emits exactly the plain self-join pair set") {
     val t = Tables(spark, dir)
     val grouped = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey").as("id"))
