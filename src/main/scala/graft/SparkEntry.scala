@@ -34,6 +34,7 @@ object SparkEntry {
     "q13_rollup_distinct" -> operators.ExactRollup.q13RollupDistinct _,
     "q14_column_profile" -> Relational.q14ColumnProfile _,
     "q15_auto_distinct"  -> Relational.q15AutoDistinct _,
+    "q16_skew_probe"     -> Relational.q16SkewProbe _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "m6_phash_pairs"     -> ((s: SparkSession, d: String) => Media.m6PhashPairs(s, d)),
     "m7_media_resolve"   -> Media.m7MediaResolve _,
     "m8_crossmodal_resolve" -> ((s: SparkSession, d: String) => Media.m8CrossModalResolve(s, d)),
+    "m9_incremental_media_dedup" -> ((s: SparkSession, d: String) => Media.m9IncrementalMediaDedup(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -539,6 +541,42 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_skew_probe" -> {
+      def probe(rel: String, key: String): String =
+        s"""SELECT '$rel' AS relation, '$key' AS key,
+           |  CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket_log2,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(sz) AS BIGINT) AS n_rows,
+           |  CAST(max(sz) AS BIGINT) AS max_group
+           |FROM (SELECT $key, count(*) AS sz FROM $rel GROUP BY $key)
+           |GROUP BY 1, 2, 3""".stripMargin
+      s"""${probe("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${probe("lineitem", "l_suppkey")}
+         |UNION ALL
+         |${probe("documents", "lang")}
+         |ORDER BY relation, key, bucket_log2""".stripMargin
+    },
+    "m9_incremental_media_dedup" ->
+      s"""$phashCte,
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+         |ex AS (SELECT a.doc_id, min(b.doc_id) AS exact_dup_of
+         |  FROM p a JOIN p b ON a.hx = b.hx AND b.doc_id % 2 = 0
+         |  WHERE a.doc_id % 2 = 1 GROUP BY a.doc_id),
+         |nr AS (SELECT a.doc_id, min(b.doc_id) AS near_dup_of
+         |  FROM fb a JOIN fb b ON b.doc_id % 2 = 0
+         |    AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |         a.band2 = b.band2 OR a.band3 = b.band3)
+         |    AND bit_count(xor(a.phash, b.phash)) <= 15
+         |  WHERE a.doc_id % 2 = 1 GROUP BY a.doc_id)
+         |SELECT i.doc_id,
+         |  CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact'
+         |       WHEN n.near_dup_of IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS status,
+         |  coalesce(e.exact_dup_of, n.near_dup_of) AS dup_of
+         |FROM inc i LEFT JOIN ex e ON i.doc_id = e.doc_id
+         |  LEFT JOIN nr n ON i.doc_id = n.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
     "q14_column_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")

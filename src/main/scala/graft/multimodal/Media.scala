@@ -274,6 +274,66 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** m9: INCREMENTAL media dedup — a new media batch classified against
+    * the existing corpus without ever re-pairing existing×existing: the
+    * m-tier twin of the text-side d7, and the production shape for a
+    * rolling multimodal ingest (historical payloads are never re-read;
+    * at scale the existing side is the persisted band-bucketed
+    * fingerprint index, the `SignatureIndex` pattern).
+    *
+    * Two asymmetric tiers, incoming probing existing only:
+    *  1. exact — payload equality (verbatim re-upload). Joined on the
+    *     binary payload here; a production index stores a content hash.
+    *  2. near — m5 phash band probe (incoming bands × existing bands on
+    *     the 4×15-bit keys) verified by exact `bit_count(xor)` ≤
+    *     `maxHamming` (re-encodings, appended metadata).
+    * Verdict per incoming item: exact | near | new, with the minimum
+    * matching existing id as `dup_of` (exact tier wins ties, as d7).
+    *
+    * The corpus splits deterministically (odd doc_id = incoming, even =
+    * existing) so the oracle derives the same split.
+    */
+  def m9IncrementalMediaDedup(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 15): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), payload(col("doc_id"), col("text")).as("pl"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1).repartition(nPart)
+    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0).repartition(nPart)
+    val exact = incoming
+      .join(existing.select(col("pl"), col("doc_id").as("ex_id")), Seq("pl"))
+      .groupBy("doc_id")
+      .agg(min(col("ex_id")).as("exact_dup_of"))
+    def banded(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs),
+        org.apache.spark.sql.graft.VectorExpressions
+          .blockAvgHash60(col("pl")).as("phash"))
+      .select(col(idAs), col("phash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("phash"), i * 15).bitwiseAND(lit(32767L))): _*)))
+      .toDF(idAs, s"phash_$idAs", "band_id", "band")
+    val near = banded(incoming, "in_id")
+      .join(banded(existing, "ex_id"), Seq("band_id", "band"))
+      .select("in_id", "ex_id", "phash_in_id", "phash_ex_id")
+      .distinct()
+      .filter(bit_count(col("phash_in_id").bitwiseXOR(col("phash_ex_id"))) <= maxHamming)
+      .groupBy("in_id")
+      .agg(min(col("ex_id")).as("near_dup_of"))
+      .withColumnRenamed("in_id", "doc_id")
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_dup_of").isNotNull, lit("exact"))
+          .when(col("near_dup_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * codecs would run the real image/audio decoder batch-wise per
     * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),

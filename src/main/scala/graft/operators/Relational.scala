@@ -322,6 +322,41 @@ object Relational {
   def q14ColumnProfile(spark: SparkSession, dir: String): DataFrame =
     columnProfile(Tables(spark, dir).orders)
 
+  /** q16: SKEW PROBE — the group-size distribution of a join/agg key,
+    * the operational measurement every salting/blocking knob in this
+    * engine is tuned from (blockThreshold in g1/d3/d9/m6, AQE skew-join
+    * thresholds, bucket counts). One hash-agg per key computes group
+    * sizes; a second tiny agg folds them into a power-of-two histogram
+    * (bucket = ⌊log2 size⌋ via integer bit length — float log2 would
+    * drift across engines near exact powers) with group count, row mass
+    * and max group per bucket. Run over three representative keys: the
+    * fact join key (l_orderkey — well-behaved), the mid-cardinality
+    * dimension key (l_suppkey), and a low-cardinality attribute
+    * (documents.lang — the mega-group shape that forces salting).
+    *
+    * At 100 TB this is a pre-flight scan whose cost is one map-side
+    * combined aggregate per key — the cheap measurement that decides
+    * whether the expensive job needs the skew path, instead of
+    * discovering it from a straggler.
+    */
+  def q16SkewProbe(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def probe(df: DataFrame, rel: String, key: String): DataFrame = df
+      .groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("sz"))
+      .select(lit(rel).as("relation"), lit(key).as("key"),
+        (length(expr("bin(sz)")) - 1).cast("long").as("bucket_log2"), col("sz"))
+      .groupBy("relation", "key", "bucket_log2")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_rows"),
+        max(col("sz")).as("max_group"))
+    probe(t.lineitem, "lineitem", "l_orderkey")
+      .unionByName(probe(t.lineitem, "lineitem", "l_suppkey"))
+      .unionByName(probe(t.documents, "documents", "lang"))
+      .orderBy("relation", "key", "bucket_log2")
+  }
+
   /** Core of [[q14ColumnProfile]] over any frame. */
   def columnProfile(df: DataFrame): DataFrame = {
     val melted = df.select(explode(array(df.columns.toSeq.map(c =>

@@ -973,6 +973,55 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("m9 incremental media dedup equals a brute-force asymmetric classify") {
+    val media = multimodal.Media.m5Phash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val texts = Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    def bands(fp: Long): Seq[Long] = (0 until 4).map(i => (fp >> (i * 15)) & 32767L)
+    val (incoming, existing) = texts.keys.toSeq.sorted.partition(_ % 2 == 1)
+    val expected = incoming.map { in =>
+      // payload equality == (magic class, text) equality
+      val exact = existing.filter(ex =>
+        ex % 3 == in % 3 && texts(ex) == texts(in)).sorted.headOption
+      val near = existing.filter { ex =>
+        java.lang.Long.bitCount(media(in) ^ media(ex)) <= 15 &&
+          bands(media(in)).zip(bands(media(ex))).exists(p => p._1 == p._2)
+      }.sorted.headOption
+      val status = if (exact.isDefined) "exact" else if (near.isDefined) "near" else "new"
+      (in, status, exact.orElse(near))
+    }.toSet
+    assert(expected.exists(_._2 != "new"), "degenerate gate: no dups across the split")
+    val got = multimodal.Media.m9IncrementalMediaDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong))).toSet
+    assert(got === expected)
+  }
+
+  test("q16 skew probe: bucket masses reconcile with the tables and bounds hold") {
+    val t = Tables(spark, dir)
+    val rows = operators.Relational.q16SkewProbe(spark, dir).collect()
+      .map(r => (r.getAs[String]("relation"), r.getAs[String]("key"),
+        r.getAs[Long]("bucket_log2"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("max_group")))
+    // Row mass per (relation, key) sums to the full table row count.
+    val liCount = t.lineitem.count()
+    val docCount = t.documents.count()
+    for ((rel, key, expect) <- Seq(
+        ("lineitem", "l_orderkey", liCount),
+        ("lineitem", "l_suppkey", liCount),
+        ("documents", "lang", docCount))) {
+      val mass = rows.filter(x => x._1 == rel && x._2 == key).map(_._5).sum
+      assert(mass === expect, s"$rel.$key row mass")
+    }
+    // Every bucket's max group sits inside [2^b, 2^(b+1)).
+    rows.foreach { case (rel, key, b, ng, _, mx) =>
+      assert(ng > 0)
+      assert(mx >= (1L << b) && mx < (1L << (b + 1)), s"$rel.$key bucket $b max $mx")
+    }
+  }
+
   test("e10 sliding agg agrees with Spark's native hopping window") {
     val ev = Tables(spark, dir).events
     val ours = streaming.Events.slidingAgg(ev)
