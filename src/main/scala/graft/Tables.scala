@@ -37,9 +37,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       // TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) needs a cast before
-      // unix_micros; the session timezone is pinned to UTC (GraftSession),
-      // so the cast is the identity on the underlying micros value.
-      case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      // unix_micros, and that cast interprets the wall-clock value in the
+      // SESSION timezone — only the identity when it is UTC (GraftSession
+      // pins it). Any other zone would silently shift every ts, so fail
+      // loudly instead.
+      case _ =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events: TIMESTAMP_NTZ source requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz') — use GraftSession.create, or set the conf before loading")
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
   }
   def documents: DataFrame  = load("documents")

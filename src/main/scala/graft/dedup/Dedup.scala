@@ -662,6 +662,11 @@ object Dedup {
           s"""transform(sequence(1, size(w) - ${k - 1}),
              |  p -> xxhash64(array_join(slice(w, p, $k), ' ')))""".stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("gh"))
+      // Consumed by BOTH the dup-gram aggregate and the coverage join:
+      // materialize once (20 bytes/row) instead of re-running the gram
+      // explode + xxhash64 over the corpus per branch — the same shared-
+      // frame discipline as bandedHammingPairs / d15's chunks.
+      .localCheckpoint(true)
     val dupGrams = grams.groupBy("gh")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") < col("mx"))
@@ -705,7 +710,8 @@ object Dedup {
     * ~tokens/chunkWords but each signature kernel runs over a BOUNDED
     * text slice, candidates are a band equijoin (never all-pairs), and
     * the verify join touches candidate chunks only. Chunk ids pack as
-    * doc_id·1024+chunk_no so every stage moves 8-byte keys.
+    * doc_id·2^20+chunk_no so every stage moves 8-byte keys (up to ~1M
+    * chunks = 32M words per document before aliasing, and ids to 2^43).
     */
   def d15ChunkNearDup(
       spark: SparkSession,
@@ -728,7 +734,7 @@ object Dedup {
              |  c -> array_join(slice(w, c * $chunkWords + 1, $chunkWords), ' '))""".stripMargin)))
       .toDF("doc_id", "cn", "ct")
       .filter(length(col("ct")) >= 5)
-      .select((col("doc_id") * 1024 + col("cn")).as("cid"), col("ct"))
+      .select((col("doc_id") * expr("CAST(1048576 AS BIGINT)") + col("cn")).as("cid"), col("ct"))
       .localCheckpoint(true)
     val banded = chunks
       .select(col("cid"),
@@ -749,7 +755,7 @@ object Dedup {
       .distinct()
       // cross-document only; packed ids keep doc order: cid1 < cid2 with
       // different docs ⟺ doc_id1 < doc_id2
-      .filter(expr("cid1 DIV 1024") =!= expr("cid2 DIV 1024"))
+      .filter(expr("cid1 DIV 1048576") =!= expr("cid2 DIV 1048576"))
       .repartition(nPart, col("cid1"), col("cid2"))
     val grams = chunks.select(col("cid"), gramCodes(col("ct")).as("grams"))
     val n1 = size(col("g1")).cast("double")
@@ -763,8 +769,8 @@ object Dedup {
       .withColumn("jac", inter / (n1 + n2 - inter))
       .filter(col("jac") >= threshold)
       .select(
-        expr("cid1 DIV 1024").as("doc_id1"), expr("cid1 % 1024").as("chunk1"),
-        expr("cid2 DIV 1024").as("doc_id2"), expr("cid2 % 1024").as("chunk2"),
+        expr("cid1 DIV 1048576").as("doc_id1"), expr("cid1 % 1048576").as("chunk1"),
+        expr("cid2 DIV 1048576").as("doc_id2"), expr("cid2 % 1048576").as("chunk2"),
         floor(col("jac") * 1000000.0).cast("long").as("jaccard_micro"))
       .orderBy("doc_id1", "chunk1", "doc_id2", "chunk2")
   }

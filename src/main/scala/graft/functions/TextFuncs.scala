@@ -506,7 +506,15 @@ object TextFuncs {
     * partition-prune on it after a partitioned write.
     */
   def t21HashSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    hashSplitCore(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** Core of t21 over any (doc_id, text) frame — the single definition of
+    * the split expression, shared by the batch form and the streaming
+    * twin ([[graft.streaming.CurationStream.hashSplitStream]]) so the
+    * batch/stream parity invariant is structural, not by duplication.
+    */
+  def hashSplitCore(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT) % 1000")
           .as("u_milli"))
@@ -514,7 +522,6 @@ object TextFuncs {
         when(col("u_milli") < 800, "train")
           .when(col("u_milli") < 900, "val")
           .otherwise("test"))
-      .orderBy("doc_id")
 
   /** t20: TF-IDF top terms per document — the classic keyword/topic
     * signal a curation pipeline hangs filters and clustering on. Scores

@@ -248,19 +248,24 @@ object Media {
     val textFp = docs.filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions.simhash60(col("text")).as("tfp"))
-    val cand = m6PhashPairs(spark, dir, maxMediaHamming)
+    // Each band tier arrives ALREADY verified on its own modality
+    // (bandedHammingPairs filters its hamming), so each branch joins and
+    // checks only the OPPOSITE modality's fingerprint — no redundant
+    // re-verification, and each kernel runs over the corpus once per
+    // consumer instead of once more for a four-way join.
+    val mediaPairs = m6PhashPairs(spark, dir, maxMediaHamming)
       .select("doc_id1", "doc_id2")
-      .union(graft.dedup.Dedup.d9SimhashPairs(spark, dir, maxTextHamming)
-        .select("doc_id1", "doc_id2"))
-      .distinct()
-    val verified = cand
-      .join(mediaFp.select(col("doc_id").as("doc_id1"), col("mfp").as("mfp1")), Seq("doc_id1"))
-      .join(mediaFp.select(col("doc_id").as("doc_id2"), col("mfp").as("mfp2")), Seq("doc_id2"))
       .join(textFp.select(col("doc_id").as("doc_id1"), col("tfp").as("tfp1")), Seq("doc_id1"))
       .join(textFp.select(col("doc_id").as("doc_id2"), col("tfp").as("tfp2")), Seq("doc_id2"))
-      .filter(
-        bit_count(col("mfp1").bitwiseXOR(col("mfp2"))) <= maxMediaHamming &&
-        bit_count(col("tfp1").bitwiseXOR(col("tfp2"))) <= maxTextHamming)
+      .filter(bit_count(col("tfp1").bitwiseXOR(col("tfp2"))) <= maxTextHamming)
+      .select("doc_id1", "doc_id2")
+    val textPairs = graft.dedup.Dedup.d9SimhashPairs(spark, dir, maxTextHamming)
+      .select("doc_id1", "doc_id2")
+      .join(mediaFp.select(col("doc_id").as("doc_id1"), col("mfp").as("mfp1")), Seq("doc_id1"))
+      .join(mediaFp.select(col("doc_id").as("doc_id2"), col("mfp").as("mfp2")), Seq("doc_id2"))
+      .filter(bit_count(col("mfp1").bitwiseXOR(col("mfp2"))) <= maxMediaHamming)
+      .select("doc_id1", "doc_id2")
+    val verified = mediaPairs.union(textPairs).distinct()
       .select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
     val comps = graft.operators.GraphIter.connectedComponents(verified)
       .select(col("node").as("doc_id"), col("label").as("canonical"))

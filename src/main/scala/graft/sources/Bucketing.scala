@@ -66,7 +66,10 @@ object Bucketing {
 
   def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    val ck = spark.sparkContext.applicationId + ":" + table
+    // Cache key carries (key, buckets): a repeat call for the same table
+    // name but a DIFFERENT layout must fall through to the real check, not
+    // silently vouch for a co-location that was never written.
+    val ck = spark.sparkContext.applicationId + ":" + table + ":" + key + ":" + buckets
     if (verified.contains(ck)) return
     ensureBucketedUncached(df, table, key, buckets)
     verified.add(ck)

@@ -38,14 +38,7 @@ object CurationStream {
     * whenever and wherever they arrive.
     */
   def hashSplitStream(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT) % 1000")
-          .as("u_milli"))
-      .withColumn("split",
-        when(col("u_milli") < 800, "train")
-          .when(col("u_milli") < 900, "val")
-          .otherwise("test"))
+    graft.functions.TextFuncs.hashSplitCore(docs)
 
   /** Streaming t13: bounded per-stratum reservoir via
     * `flatMapGroupsWithState` — each micro-batch merges the stratum's new

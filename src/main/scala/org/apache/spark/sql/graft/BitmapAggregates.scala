@@ -368,11 +368,13 @@ case class BitmapBlobUnionCount(keys: Expression, blob: Expression)
   @transient private var usedHi: Int = 0
 
   def unionCount(keyBytes: Array[Byte]): Long = {
+    // Short/empty key: bail BEFORE touching the watermark — the previous
+    // row's (valid) range stays in place for the next real row's clear.
+    if (keyBytes.length < 4) return 0L
     val t = table
     java.util.Arrays.fill(scratch, usedLo, usedHi, 0L)
     usedLo = scratch.length
     usedHi = 0
-    if (keyBytes.length < 4) return 0L
     // Key-set bitmap arrives in the same [base][words] serialized form.
     val kBase =
       ((keyBytes(0) & 0xff) << 24) | ((keyBytes(1) & 0xff) << 16) |
