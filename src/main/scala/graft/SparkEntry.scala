@@ -107,6 +107,7 @@ object SparkEntry {
     "t19_gram_lm_score"  -> ((s: SparkSession, d: String) => TextFuncs.t19GramLmScore(s, d)),
     "t20_tfidf_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t20TfidfTerms(s, d)),
     "t21_hash_split"     -> TextFuncs.t21HashSplit _,
+    "t22_curation_verdict" -> TextFuncs.t22CurationVerdict _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -1530,6 +1531,49 @@ object SparkEntry {
         |    (a, b) -> a * 16 + b) % 1000 < 900 THEN 'val'
         |    ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t22_curation_verdict" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) AS n_chars FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|and|of)\b')) AS hits_en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS hits_de,
+        |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS hits_es,
+        |    len(regexp_extract_all(text, '\b(le|les|une|est)\b')) AS hits_fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS hits_zh
+        |  FROM documents),
+        |b AS (SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |  greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN best > 0 AND hits_en = best THEN 'en'
+        |       WHEN best > 0 AND hits_de = best THEN 'de'
+        |       WHEN best > 0 AND hits_es = best THEN 'es'
+        |       WHEN best > 0 AND hits_fr = best THEN 'fr'
+        |       WHEN best > 0 AND hits_zh = best THEN 'zh'
+        |       ELSE 'und' END AS pred_lang FROM b),
+        |toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        |st AS (SELECT doc_id, sum(c) AS n_words, count(*) AS nd, max(c) AS best FROM wc GROUP BY doc_id),
+        |rep AS (SELECT doc_id,
+        |  CAST(best * 1000000 // n_words >= 100000
+        |    OR (n_words - nd) * 1000000 // n_words >= 600000 AS INTEGER) AS repetition_flag
+        |  FROM st)
+        |SELECT f.doc_id, l.pred_lang, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(f.n_chars >= 100 AND f.n_chars <= 20000 AND f.n_tokens >= 20 AS INTEGER) AS quality_ok,
+        |  coalesce(r.repetition_flag, 0) AS repetition_flag,
+        |  CAST(l.pred_lang <> 'und' AS INTEGER) AS lang_ok,
+        |  CAST((f.n_chars >= 100 AND f.n_chars <= 20000 AND f.n_tokens >= 20)
+        |    AND coalesce(r.repetition_flag, 0) = 0 AND l.pred_lang <> 'und' AS INTEGER) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (f.n_chars >= 100 AND f.n_chars <= 20000 AND f.n_tokens >= 20) THEN 'quality' END,
+        |    CASE WHEN coalesce(r.repetition_flag, 0) = 1 THEN 'repetition' END,
+        |    CASE WHEN l.pred_lang = 'und' THEN 'lang' END) AS reasons
+        |FROM f JOIN lang l USING (doc_id) LEFT JOIN rep r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t20_tfidf_terms" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

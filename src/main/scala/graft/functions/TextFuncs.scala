@@ -325,6 +325,71 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
+  /** t22: COMPOSITE CURATION VERDICT — the per-document keep/drop gate a
+    * curation pipeline actually materializes, folding the signal tiers
+    * into one decision row: structural quality (t3's length/token
+    * bounds), repetition (t14's Gopher-rule flags via the same sorted-run
+    * fold), and language allowlist (t2's marker argmax). `keep` is the
+    * conjunction; `reasons` names every failed check in a fixed order
+    * ('quality', 'repetition', 'lang') so downstream triage can group by
+    * failure mode — the audit trail a 100 TB filter pass must emit
+    * alongside the verdict (silently dropped data is undebuggable).
+    *
+    * Scale shape: every signal is computed in the SAME shuffle-free
+    * projection over one corpus scan — no joins between the signal tiers,
+    * no explode (the repetition stats ride the per-row fold, not a
+    * doc×word aggregate). This is the composition argument for keeping
+    * the signals as column expressions rather than separate jobs.
+    */
+  def t22CurationVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val words = array_sort(split(trim(lower(text)), "\\s+"))
+    val folded = aggregate(
+      words,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, w) => {
+        val same = w === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(
+          w.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
+      })
+    val nonEmpty = length(trim(text)) > 0
+    val base = Tables(spark, dir).documents.select(
+      (Seq(
+        col("doc_id"),
+        tokenCount(text).cast("long").as("n_tokens"),
+        length(text).cast("long").as("n_chars"),
+        when(nonEmpty, size(words).cast("long")).otherwise(lit(0L)).as("n_words"),
+        when(nonEmpty, folded.getField("best")).otherwise(lit(0L)).as("top_count"),
+        when(nonEmpty, folded.getField("nd")).otherwise(lit(0L)).as("nd"))
+        ++ langMarkers.map { case (l, p) => patternHits(text, p).as(s"hits_$l") }): _*)
+    val best = langMarkers.map(m => col(s"hits_${m._1}")).reduce(greatest(_, _))
+    val pred = langMarkers.reverse.foldLeft(lit("und"): Column) { case (acc, (l, _)) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    base
+      .withColumn("pred_lang", pred)
+      .withColumn("quality_ok",
+        (col("n_chars") >= 100 && col("n_chars") <= 20000 && col("n_tokens") >= 20).cast("int"))
+      .withColumn("repetition_flag",
+        when(col("n_words") === 0, lit(0)).otherwise(
+          (expr("top_count * 1000000 DIV n_words") >= 100000L ||
+            expr("(n_words - nd) * 1000000 DIV n_words") >= 600000L).cast("int")))
+      .withColumn("lang_ok", (col("pred_lang") =!= "und").cast("int"))
+      .withColumn("keep",
+        (col("quality_ok") === 1 && col("repetition_flag") === 0 && col("lang_ok") === 1).cast("int"))
+      .withColumn("reasons", concat_ws(",",
+        when(col("quality_ok") === 0, lit("quality")),
+        when(col("repetition_flag") === 1, lit("repetition")),
+        when(col("lang_ok") === 0, lit("lang"))))
+      .select("doc_id", "pred_lang", "n_tokens", "quality_ok",
+        "repetition_flag", "lang_ok", "keep", "reasons")
+      .orderBy("doc_id")
+  }
+
   /** t9: corpus-level word-bigram frequency (top 100) — the n-gram
     * statistics pass of corpus analysis. Per-document bigram lists are
     * built with one array zip (no self-join); the global count is a single

@@ -1022,6 +1022,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t22 verdict agrees with its constituent signal operators row by row") {
+    val tf = functions.TextFuncs
+    val verdict = tf.t22CurationVerdict(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Int]("quality_ok"),
+          r.getAs[Int]("repetition_flag"), r.getAs[Int]("keep"),
+          r.getAs[String]("reasons"))).toMap
+    val lang = tf.t2LangId(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val quality = tf.t3QualityScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("quality_ok")).toMap
+    val rep = tf.t14Repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("repetition_flag")).toMap
+    assert(verdict.nonEmpty)
+    verdict.foreach { case (id, (pl, q, rf, keep, reasons)) =>
+      assert(pl === lang(id), s"doc $id lang")
+      assert(q === quality(id), s"doc $id quality")
+      assert(rf === rep.getOrElse(id, 0), s"doc $id repetition")
+      assert(keep === (if (q == 1 && rf == 0 && pl != "und") 1 else 0), s"doc $id keep")
+      val expectReasons = Seq(
+        if (q == 0) Some("quality") else None,
+        if (rf == 1) Some("repetition") else None,
+        if (pl == "und") Some("lang") else None).flatten.mkString(",")
+      assert(reasons === expectReasons, s"doc $id reasons")
+    }
+    assert(verdict.values.exists(_._4 == 1) && verdict.values.exists(_._4 == 0),
+      "degenerate gate: verdict must mix keeps and drops")
+  }
+
   test("e10 sliding agg agrees with Spark's native hopping window") {
     val ev = Tables(spark, dir).events
     val ours = streaming.Events.slidingAgg(ev)
