@@ -43,9 +43,15 @@ final case class Tables(spark: SparkSession, dir: String) {
       // loudly instead.
       case _ =>
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"Tables.events: TIMESTAMP_NTZ source requires spark.sql.session.timeZone=UTC " +
-            s"(got '$tz') — use GraftSession.create, or set the conf before loading")
+        // Accept any zero-offset fixed zone (UTC, Etc/UTC, GMT, +00:00) —
+        // the cast is the identity under all of them.
+        val zoneOk = scala.util.Try {
+          val rules = java.time.ZoneId.of(tz).getRules
+          rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        }.getOrElse(false)
+        require(zoneOk,
+          s"Tables.events: TIMESTAMP_NTZ source requires a UTC session timezone " +
+            s"(got '$tz') — use GraftSession.create, or set spark.sql.session.timeZone=UTC")
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
   }

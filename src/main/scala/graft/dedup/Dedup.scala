@@ -483,6 +483,14 @@ object Dedup {
     bandedHammingPairs(fp, "simhash", maxHamming, blockThreshold, nBlocks)
   }
 
+  /** The 4×15-bit band array of a 60-bit fingerprint — the single
+    * definition of the banding layout, shared by the symmetric pair stage
+    * ([[bandedHammingPairs]]) and the asymmetric incremental probe
+    * ([[graft.multimodal.Media.m9IncrementalMediaDedup]]).
+    */
+  private[graft] def bands15(fp: Column): Column =
+    array((0 until 4).map(i => shiftright(fp, i * 15).bitwiseAND(lit(32767L))): _*)
+
   /** Banded hamming near-dup pairs over a 60-bit fingerprint column —
     * the shared pairing stage of d9 (SimHash) and m6 (perceptual hash):
     * 4×15-bit band equijoin, exact `bit_count(xor)` verify, never
@@ -506,9 +514,7 @@ object Dedup {
     // otherwise re-run the fingerprint kernel over the corpus.
     val fpCp = fp.select(col("doc_id"), col(fpCol).as("fp")).localCheckpoint(true)
     val banded = fpCp
-      .select(col("doc_id"), col("fp"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("fp"), i * 15).bitwiseAND(lit(32767L))): _*)))
+      .select(col("doc_id"), col("fp"), posexplode(bands15(col("fp"))))
       .toDF("doc_id", "fp", "band_id", "band")
     val keyed = banded.select(
       (col("band_id").cast("long") * 32768L + col("band")).as("grp"),

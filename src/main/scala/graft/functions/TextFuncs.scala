@@ -50,21 +50,14 @@ object TextFuncs {
   /** t2: stopword-hit language ID — argmax of marker hits with fixed
     * priority order, 'und' when nothing matches.
     */
-  def t2LangId(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir).documents
+  def t2LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
       .select(col("doc_id") +: langMarkers.map { case (l, p) =>
         patternHits(col("text"), p).as(s"hits_$l")
       }: _*)
-    val best = langMarkers.map(m => col(s"hits_${m._1}")).reduce(greatest(_, _))
-    // First marker in declaration order wins ties (en > de > es > fr > zh).
-    val pred = langMarkers.reverse.foldLeft(lit("und"): Column) { case (acc, (l, _)) =>
-      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    base
-      .withColumn("pred_lang", pred)
+      .withColumn("pred_lang", langArgmax)
       .select("doc_id", "pred_lang")
       .orderBy("doc_id")
-  }
 
   /** t3: quality scoring — length, punctuation and stopword ratios in
     * exact fixed-point (reference content_validator semantics).
@@ -292,13 +285,21 @@ object TextFuncs {
     * plan is not). Fixed-point ratios via integer DIV keep the oracle
     * comparison exact.
     */
-  def t14Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val words = array_sort(split(trim(lower(col("text"))), "\\s+"))
-    // Run-length fold over the sorted words: `run` = length of the current
-    // run, `best` = longest run so far (top word count), `nd` = number of
-    // run starts (distinct words). Tokens are non-empty, so "" is a safe
-    // initial `prev`.
-    val folded = aggregate(
+  /** Sorted lowercase word array of a text column — the shared token
+    * domain of t14's repetition stats and t22's verdict.
+    */
+  private def sortedWords(text: Column): Column =
+    array_sort(split(trim(lower(text)), "\\s+"))
+
+  /** Run-length fold over sorted words: `run` = length of the current
+    * run, `best` = longest run so far (top word count), `nd` = number of
+    * run starts (distinct words). Tokens are non-empty, so "" is a safe
+    * initial `prev`. The SINGLE definition of the repetition-stat kernel,
+    * shared by t14 and t22 so the composite verdict can't drift from the
+    * signal operator.
+    */
+  private def runLengthFold(words: Column): Column =
+    aggregate(
       words,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("nd")),
       (acc, w) => {
@@ -310,6 +311,22 @@ object TextFuncs {
           greatest(acc.getField("best"), run).as("best"),
           (acc.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
       })
+
+  /** Marker-argmax language prediction over the `hits_<lang>` columns
+    * produced from [[langMarkers]] — first marker in declaration order
+    * wins ties, 'und' when nothing matches. The single definition shared
+    * by t2 and t22.
+    */
+  private def langArgmax: Column = {
+    val best = langMarkers.map(m => col(s"hits_${m._1}")).reduce(greatest(_, _))
+    langMarkers.reverse.foldLeft(lit("und"): Column) { case (acc, (l, _)) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  def t14Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = sortedWords(col("text"))
+    val folded = runLengthFold(words)
     Tables(spark, dir).documents
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), size(words).cast("long").as("n_words"), folded.as("f"))
@@ -343,35 +360,23 @@ object TextFuncs {
     */
   def t22CurationVerdict(spark: SparkSession, dir: String): DataFrame = {
     val text = col("text")
-    val words = array_sort(split(trim(lower(text)), "\\s+"))
-    val folded = aggregate(
-      words,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("nd")),
-      (acc, w) => {
-        val same = w === acc.getField("prev")
-        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(
-          w.as("prev"),
-          run.as("run"),
-          greatest(acc.getField("best"), run).as("best"),
-          (acc.getField("nd") + when(same, 0L).otherwise(1L)).as("nd"))
-      })
+    val words = sortedWords(text)
     val nonEmpty = length(trim(text)) > 0
+    // The fold is projected ONCE as a struct column (t14's pattern), then
+    // fields are read from it — never two conditional copies of the
+    // per-row sort+fold kernel.
     val base = Tables(spark, dir).documents.select(
       (Seq(
         col("doc_id"),
         tokenCount(text).cast("long").as("n_tokens"),
         length(text).cast("long").as("n_chars"),
         when(nonEmpty, size(words).cast("long")).otherwise(lit(0L)).as("n_words"),
-        when(nonEmpty, folded.getField("best")).otherwise(lit(0L)).as("top_count"),
-        when(nonEmpty, folded.getField("nd")).otherwise(lit(0L)).as("nd"))
+        when(nonEmpty, runLengthFold(words)).otherwise(lit(null)).as("f"))
         ++ langMarkers.map { case (l, p) => patternHits(text, p).as(s"hits_$l") }): _*)
-    val best = langMarkers.map(m => col(s"hits_${m._1}")).reduce(greatest(_, _))
-    val pred = langMarkers.reverse.foldLeft(lit("und"): Column) { case (acc, (l, _)) =>
-      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
     base
-      .withColumn("pred_lang", pred)
+      .withColumn("top_count", coalesce(col("f.best"), lit(0L)))
+      .withColumn("nd", coalesce(col("f.nd"), lit(0L)))
+      .withColumn("pred_lang", langArgmax)
       .withColumn("quality_ok",
         (col("n_chars") >= 100 && col("n_chars") <= 20000 && col("n_tokens") >= 20).cast("int"))
       .withColumn("repetition_flag",

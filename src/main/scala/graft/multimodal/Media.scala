@@ -303,21 +303,32 @@ object Media {
       dir: String,
       maxHamming: Int = 15): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Each side feeds several plan branches (exact join, band probe, the
+    // verdict spine): materialize the payload projection once per side —
+    // the shared-frame discipline of d14/bandedHammingPairs — so the scan
+    // and payload synthesis don't re-run per branch. The fingerprint
+    // kernel rides on top of the checkpointed payloads.
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), payload(col("doc_id"), col("text")).as("pl"))
-    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1).repartition(nPart)
-    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0).repartition(nPart)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .repartition(nPart).localCheckpoint(true)
+    val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .repartition(nPart).localCheckpoint(true)
     val exact = incoming
       .join(existing.select(col("pl"), col("doc_id").as("ex_id")), Seq("pl"))
       .groupBy("doc_id")
       .agg(min(col("ex_id")).as("exact_dup_of"))
+    // Shared 4×15-bit banding layout (Dedup.bands15). NOTE: unlike the
+    // symmetric m6/d9 pair stage there is no salted skew escape here —
+    // the probe is asymmetric (incoming × existing per band), so a hot
+    // band costs |incoming∩band|·|existing∩band|, bounded by the incoming
+    // batch size per band; the same posture as the text-side d7.
     def banded(df: DataFrame, idAs: String): DataFrame = df
       .select(col("doc_id").as(idAs),
         org.apache.spark.sql.graft.VectorExpressions
           .blockAvgHash60(col("pl")).as("phash"))
       .select(col(idAs), col("phash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("phash"), i * 15).bitwiseAND(lit(32767L))): _*)))
+        posexplode(graft.dedup.Dedup.bands15(col("phash"))))
       .toDF(idAs, s"phash_$idAs", "band_id", "band")
     val near = banded(incoming, "in_id")
       .join(banded(existing, "ex_id"), Seq("band_id", "band"))

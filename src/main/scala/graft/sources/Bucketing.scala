@@ -78,6 +78,22 @@ object Bucketing {
   private def ensureBucketedUncached(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     def upToDate = scala.util.Try(spark.table(table).count() == df.count()).getOrElse(false)
+    // The up-to-date probe must be LAYOUT-aware, not just row-count-aware:
+    // an existing table with the same name but a different bucket spec
+    // must not be vouched for (the caller would silently lose the
+    // exchange-free co-location it asked for). A layout mismatch is a
+    // naming bug on the caller's side — fail loudly rather than clobber.
+    if (spark.catalog.tableExists(table)) {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+      spec.foreach { s =>
+        require(s.numBuckets == buckets && s.bucketColumnNames == Seq(key),
+          s"ensureBucketed: table '$table' exists with layout " +
+            s"(${s.bucketColumnNames.mkString(",")} x ${s.numBuckets} buckets) but " +
+            s"($key x $buckets) was requested — use a distinct table name per layout")
+      }
+    }
     if (spark.catalog.tableExists(table) && upToDate) return
     if (!spark.catalog.tableExists(table)) {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
