@@ -358,14 +358,23 @@ object TextFuncs {
     * doc×word aggregate). This is the composition argument for keeping
     * the signals as column expressions rather than separate jobs.
     */
-  def t22CurationVerdict(spark: SparkSession, dir: String): DataFrame = {
+  def t22CurationVerdict(spark: SparkSession, dir: String): DataFrame =
+    curationVerdictCore(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** Core of t22 over any (doc_id, text) frame — every signal is a pure
+    * per-row expression, so this same core IS the streaming form
+    * ([[graft.streaming.CurationStream.curationVerdictStream]]): the
+    * in-flight classify stage of a streaming ingest, with batch/stream
+    * parity structural by shared definition.
+    */
+  def curationVerdictCore(docs: DataFrame): DataFrame = {
     val text = col("text")
     val words = sortedWords(text)
     val nonEmpty = length(trim(text)) > 0
     // The fold is projected ONCE as a struct column (t14's pattern), then
     // fields are read from it — never two conditional copies of the
     // per-row sort+fold kernel.
-    val base = Tables(spark, dir).documents.select(
+    val base = docs.select(
       (Seq(
         col("doc_id"),
         tokenCount(text).cast("long").as("n_tokens"),
@@ -392,7 +401,6 @@ object TextFuncs {
         when(col("lang_ok") === 0, lit("lang"))))
       .select("doc_id", "pred_lang", "n_tokens", "quality_ok",
         "repetition_flag", "lang_ok", "keep", "reasons")
-      .orderBy("doc_id")
   }
 
   /** t9: corpus-level word-bigram frequency (top 100) — the n-gram

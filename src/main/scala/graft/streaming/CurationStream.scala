@@ -40,6 +40,17 @@ object CurationStream {
   def hashSplitStream(docs: DataFrame): DataFrame =
     graft.functions.TextFuncs.hashSplitCore(docs)
 
+  /** Streaming t22: the composite curation verdict is a pure per-row
+    * projection (every signal — quality bounds, repetition fold,
+    * language argmax — is row-local), so the streaming form IS the batch
+    * core on an unbounded frame: classify-in-flight for a streaming
+    * ingest, append mode, no state, no watermark. A record's verdict is
+    * identical whenever it arrives — which is what makes the batch
+    * backfill and the live path produce one consistent corpus.
+    */
+  def curationVerdictStream(docs: DataFrame): DataFrame =
+    graft.functions.TextFuncs.curationVerdictCore(docs)
+
   /** Streaming t13: bounded per-stratum reservoir via
     * `flatMapGroupsWithState` — each micro-batch merges the stratum's new
     * (md5, doc_id) keys into the `cap` smallest seen so far and emits the

@@ -290,6 +290,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest.nonEmpty && latest.size <= 2 * cap)
   }
 
+  test("streaming t22 verdict labels rows exactly as the batch verdict") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val docs = Seq(
+      CurDoc(1, "en", "the cat and the dog of the house " * 5),     // en, repetitive
+      CurDoc(2, "en", ("w" + "x").take(2)),                          // too short -> quality
+      CurDoc(3, "de", Seq.tabulate(40)(i => s"wort$i und der die das tag$i").mkString(" ")),
+      CurDoc(4, "und", "zzz qqq vvv"))                               // no markers -> lang
+    val mem = MemoryStream[CurDoc]
+    mem.addData(docs: _*)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang"), r.getAs[Int]("keep"),
+        r.getAs[String]("reasons"))
+    val got = runStream("t22s",
+      graft.streaming.CurationStream.curationVerdictStream(mem.toDF())).map(key).toSet
+    val batch = graft.functions.TextFuncs.curationVerdictCore(docs.toDF()).collect().map(key).toSet
+    assert(got === batch)
+    assert(got.size === docs.size)
+    assert(got.exists(_._4.nonEmpty), "spec must exercise at least one drop reason")
+  }
+
   test("idempotent batch sink: replaying a micro-batch does not duplicate rows") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
