@@ -35,6 +35,7 @@ object SparkEntry {
     "q14_column_profile" -> Relational.q14ColumnProfile _,
     "q15_auto_distinct"  -> Relational.q15AutoDistinct _,
     "q16_skew_probe"     -> Relational.q16SkewProbe _,
+    "q17_histogram_quantiles" -> operators.HistogramQuantiles.q17HistogramQuantiles _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -53,6 +54,7 @@ object SparkEntry {
     "g13_node_similarity" -> ((s: SparkSession, d: String) => GraphOps.g13NodeSimilarity(s, d)),
     "g14_personalized_pagerank" -> ((s: SparkSession, d: String) => GraphIter.g14PersonalizedPagerank(s, d)),
     "g15_incremental_cc" -> ((s: SparkSession, d: String) => GraphIter.g15IncrementalCC(s, d)),
+    "g16_closeness"      -> ((s: SparkSession, d: String) => GraphIter.g16Closeness(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "s3_centroid_ivf"    -> ((s: SparkSession, d: String) => Ann.s3CentroidIvf(s, d)),
     "s4_knn_join"        -> ((s: SparkSession, d: String) => Ann.s4KnnJoin(s, d)),
     "s5_range_search"    -> ((s: SparkSession, d: String) => Ann.s5RangeSearch(s, d)),
+    "s6_kmeans_cluster"  -> ((s: SparkSession, d: String) => similarity.Cluster.s6KmeansCluster(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -108,6 +111,8 @@ object SparkEntry {
     "t20_tfidf_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t20TfidfTerms(s, d)),
     "t21_hash_split"     -> TextFuncs.t21HashSplit _,
     "t22_curation_verdict" -> TextFuncs.t22CurationVerdict _,
+    "t23_cluster_balance" -> ((s: SparkSession, d: String) => similarity.Cluster.t23ClusterBalance(s, d)),
+    "t24_drift_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t24DriftTerms(s, d)),
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -123,8 +128,53 @@ object SparkEntry {
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
     "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d)),
     "h3_snapshot_diff"   -> ((s: SparkSession, d: String) => sources.Upsert.h3SnapshotDiff(s, d)),
-    "h4_scd_asof_join"   -> ((s: SparkSession, d: String) => sources.Upsert.h4ScdAsofJoin(s, d))
+    "h4_scd_asof_join"   -> ((s: SparkSession, d: String) => sources.Upsert.h4ScdAsofJoin(s, d)),
+    "h5_zorder_key"      -> ((s: SparkSession, d: String) => sources.Layout.h5ZorderKey(s, d))
   )
+
+  /** DuckDB CTE chain mirroring [[graft.similarity.Cluster]]'s exact
+    * integer k-means (k=8, 2 Lloyd refinements): quantize → assign →
+    * integer sum update (twice) → final assign `a2f`. Every step is exact
+    * integer arithmetic except the single correctly-rounded D/n² double
+    * division, so Spark and DuckDB agree bit-for-bit.
+    */
+  private val kmeansCtes: String = {
+    val dim = 64
+    val dist = (1 to dim)
+      .map(i => s"(c.n*q.qv[$i]-c.s[$i])*(c.n*q.qv[$i]-c.s[$i])")
+      .mkString(" + ")
+    val sums = (1 to dim).map(i => s"CAST(SUM(qv[$i]) AS BIGINT)").mkString("[", ", ", "]")
+    def assignCte(name: String, cPrev: String): String =
+      s"""$name AS (SELECT vec_id, cell, qv FROM (
+         |  SELECT q.vec_id, c.cell, q.qv,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST($dist AS DOUBLE)/CAST(c.n*c.n AS DOUBLE), c.cell) AS rn
+         |  FROM q CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, aPrev: String, cPrev: String): String =
+      s"""${name}u AS (SELECT cell, $sums AS s, COUNT(*) AS n FROM $aPrev GROUP BY cell),
+         |$name AS (SELECT $cPrev.cell, COALESCE(${name}u.s, $cPrev.s) AS s,
+         |            COALESCE(${name}u.n, $cPrev.n) AS n
+         |          FROM $cPrev LEFT JOIN ${name}u USING (cell))""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, qv AS s, CAST(1 AS BIGINT) AS n FROM q WHERE vec_id < 8),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1", "c0")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2", "c1")},
+       |${assignCte("a2f", "c2")}""".stripMargin
+  }
+
+  /** DuckDB re-derivation of [[graft.sources.Layout.zValue]]'s 21-bit
+    * interleave — generated shift/mask terms, pure integer.
+    */
+  private val zvalTerms: String =
+    (0 until 21).map { i =>
+      s"((((user_id >> $i) & 1) << ${2 * i}) | (((day >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
 
   private val decPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -542,6 +592,15 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q17_histogram_quantiles" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(CAST(l_quantity AS BIGINT), [0.25, 0.5, 0.75, 0.95]) AS vs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST([25, 50, 75, 95][i] AS INTEGER) AS p,
+        |  CAST(vs[i] AS BIGINT) AS value
+        |FROM a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        |ORDER BY l_returnflag, p""".stripMargin,
     "q16_skew_probe" -> {
       def probe(rel: String, key: String): String =
         s"""SELECT '$rel' AS relation, '$key' AS key,
@@ -970,6 +1029,31 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "t24_drift_terms" ->
+      """WITH tm AS (
+        |  SELECT length(source) = 4 AS is_a,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term,
+        |        CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |        CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |      FROM tm GROUP BY term),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM c)
+        |SELECT term, cnt_a, cnt_b,
+        |  CAST(cnt_a*tot_b - cnt_b*tot_a AS BIGINT) AS drift
+        |FROM c CROSS JOIN t
+        |ORDER BY abs(drift) DESC, term LIMIT 20""".stripMargin,
+    "s6_kmeans_cluster" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, cell AS cluster FROM a2f ORDER BY vec_id""".stripMargin,
+    "t23_cluster_balance" ->
+      s"""$kmeansCtes,
+         |rk AS (SELECT cell AS cluster, vec_id,
+         |         row_number() OVER (PARTITION BY cell
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |       FROM a2f)
+         |SELECT cluster, vec_id FROM rk WHERE rn <= 20 ORDER BY cluster, vec_id""".stripMargin,
     "m1_media_meta" ->
       s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents)
          |SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
@@ -1378,6 +1462,23 @@ object SparkEntry {
         |FROM ev e JOIN thr t USING (event_type)
         |WHERE e.value_milli > t.p99_milli
         |ORDER BY e.event_id""".stripMargin,
+    "g16_closeness" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |bfs AS (
+        |  SELECT s_suppkey * 2 + 1 AS lm, s_suppkey * 2 + 1 AS node, 0 AS dist
+        |  FROM supplier WHERE s_suppkey < 4
+        |  UNION
+        |  SELECT bfs.lm, e.dst AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN e ON bfs.node = e.src WHERE bfs.dist < 6),
+        |m AS (SELECT lm, node, min(dist) AS dist FROM bfs GROUP BY lm, node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist
+        |FROM m GROUP BY 1 ORDER BY node""".stripMargin,
     "g9_shortest_paths" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -1451,6 +1552,12 @@ object SparkEntry {
         |    AS INTEGER) AS is_current
         |FROM hist
         |ORDER BY custkey, version""".stripMargin,
+    "h5_zorder_key" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+         |SELECT event_id, user_id, day,
+         |  CAST($zvalTerms AS BIGINT) AS zval
+         |FROM e ORDER BY event_id""".stripMargin,
     "h4_scd_asof_join" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -3,7 +3,7 @@ package graft
 /** Correctness dump: runs every SparkEntry query at the given scale-factor
   * dir, writes one parquet per query plus the oracle SQL map as JSON.
   *
-  * Usage: Verify <sfDir> <outDir>
+  * Usage: Verify <sfDir> <outDir> [comma-separated key subset]
   */
 object Verify {
 
@@ -21,11 +21,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir  = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_verify"
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet) else None
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown keys: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+    val oracles  = SparkEntry.oracleSql.filter { case (k, _) => only.forall(_.contains(k)) }
     val spark  = GraftSession.create("graft-verify")
 
     // Oracle map first, independent of query execution: one broken query
     // must not zero out every other query's verification.
-    val json = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+    val json = oracles.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
       .mkString("{\n", ",\n", "\n}")
     val path = java.nio.file.Paths.get(outDir, "oracle_sql.json")
@@ -33,7 +41,7 @@ object Verify {
     java.nio.file.Files.write(path, json.getBytes("UTF-8"))
 
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir)
@@ -51,7 +59,7 @@ object Verify {
         GraftSession.releaseCaches(spark)
       }
     }
-    println(s"wrote ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} results + oracle_sql.json to $outDir")
+    println(s"wrote ${selected.size - failed}/${selected.size} results + oracle_sql.json to $outDir")
     spark.stop()
   }
 }

@@ -729,4 +729,80 @@ object TextFuncs {
         expr("sum_p DIV n_bigrams").as("lm_micro"))
       .orderBy("doc_id")
   }
+
+  /** t24: distribution drift between two corpus slices — the
+    * crawl-over-crawl monitoring report a pipeline runs before letting a
+    * new batch into the training mix. Slice A = the first crawl batch
+    * (single-digit sources, src0–src9), B = the second; per term the
+    * drift statistic is the cross-product residual
+    *
+    *   drift = cnt_a·tot_b − cnt_b·tot_a
+    *
+    * i.e. the (scaled) difference of relative frequencies
+    * tot_a·tot_b·(p_a − p_b) — PURE INTEGER math, so the report is exact
+    * and engine-reproducible (no log/entropy float whose low bits could
+    * flap an ordering); |drift| ranks terms by how much their share
+    * moved, sign says which slice gained. Long arithmetic holds to ~3·10⁹
+    * tokens per slice; past that the counts pass through a per-million
+    * integer rescale (or a df-cutoff vocabulary first — the t19/t20
+    * discipline) before the cross product.
+    *
+    * Scale shape: one map-side-combined (term) aggregate with conditional
+    * sums (one scan, no join between slices), one broadcast of the 1-row
+    * totals, and a global top-k (TakeOrdered — never a full sort).
+    * Reference behavior: the per-batch tally comparison in
+    * bio_processor.py:29-180, generalized to term distributions.
+    */
+  /** Mergeable per-term token counts of a (text) frame — the state both
+    * the batch drift report and its streaming twin accumulate.
+    */
+  def termCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Closing projection of the drift report over two count tables (the
+    * reference crawl vs the live side): full-outer on term (absent = 0),
+    * integer cross-product residual, top-k. This is what the STREAMING
+    * monitor runs per micro-batch over its accumulated counts — counts
+    * are the mergeable state, drift is a cheap projection (the q17
+    * rollup discipline in-flight). Spec-pinned identical to
+    * [[t24DriftTerms]]'s one-scan conditional-sum form.
+    */
+  def driftFromCounts(ref: DataFrame, live: DataFrame, k: Int = 20): DataFrame = {
+    val joined = ref.select(col("term"), col("cnt").as("cnt_a"))
+      .join(live.select(col("term"), col("cnt").as("cnt_b")), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    joined
+      .crossJoin(broadcast(totals))
+      .withColumn("drift", col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+      .orderBy(abs(col("drift")).desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
+      .orderBy(abs(col("drift")).desc, col("term").asc)
+  }
+
+  def t24DriftTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val counts = docs
+      .select((length(col("source")) === 4).as("is_a"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(
+      sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("drift", col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+      .orderBy(abs(col("drift")).desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
+      .orderBy(abs(col("drift")).desc, col("term").asc)
+  }
 }

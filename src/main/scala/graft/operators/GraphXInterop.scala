@@ -63,6 +63,27 @@ object GraphXInterop {
       .filter(col("dist") <= maxDepth)
   }
 
+  /** PER-LANDMARK hop distances from the same GraphX `lib.ShortestPaths`
+    * run — the landmark map exploded instead of min-reduced, which is
+    * exactly [[GraphIter.labeledShortestPaths]]'s semantics (and so the
+    * independent engine for the g16 closeness agreement spec).
+    */
+  def labeledShortestPathsGraphX(edges: DataFrame, seeds: Seq[Long], maxDepth: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    val edgeRdd = sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    val res = org.apache.spark.graphx.lib.ShortestPaths.run(graph, seeds)
+    val dists = res.vertices.flatMap { case (v, spMap) =>
+      spMap.toSeq.map { case (lm, d) => (lm, v, d.toLong) }
+    }
+    spark.createDataFrame(dists).toDF("lm", "node", "dist")
+      .filter(col("dist") <= maxDepth)
+  }
+
   /** Connected components via GraphX's Pregel implementation over the
     * same symmetrized long-keyed edges [[GraphIter.connectedComponents]]
     * hash-min-iterates — a third independent engine (after the DuckDB

@@ -113,3 +113,67 @@ object ExactRollup {
     distinctUsersOverRange(cells, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
   }
 }
+
+/** EXACT quantiles from a mergeable frequency rollup — the third member
+  * of the rollup family (HLL ≈ distinct, roaring = exact distinct, this
+  * = exact quantiles): for value columns whose DISTINCT DOMAIN is
+  * bounded (quantities, ratings, bucketed sizes — anything categorical
+  * or low-resolution numeric), the per-segment (segment, group, value,
+  * count) frequency table is a lossless mergeable sketch. Segments
+  * aggregate once at ingest; any later group-level quantile is answered
+  * by merging counts — raw rows are never rescanned, and unlike
+  * GK/KLL/t-digest the answer is EXACT at every scale, because the
+  * state is the full (bounded) distribution.
+  *
+  * Rank convention: quantile p = the smallest value whose cumulative
+  * count reaches ceil(p·n/100), computed in INTEGER arithmetic
+  * ((p·n+99) div 100) so no float rank can flip an answer — provably
+  * the same element DuckDB's `quantile_disc` picks (for 0<q<1 the
+  * `ceil(q·n)` and `floor(q·(n-1))+1` ranks coincide), which is what
+  * the oracle cross-checks with its native aggregate.
+  *
+  * Scale shape: one map-side-combined (segment, group, value) count,
+  * one (group, value) merge, then windows over the MERGED histogram —
+  * state is |groups|·|domain| rows regardless of corpus size. The
+  * escalation when the domain is NOT bounded is Spark's native
+  * `approx_percentile` (GK sketch); this is the exact sibling on the
+  * q12/g4 boundary.
+  *
+  * Reference behavior: bio_processor.py:29-180 accumulates per-batch
+  * token tallies and reports distribution stats over merged batches.
+  */
+object HistogramQuantiles {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Mergeable per-(ship month, returnflag, quantity) frequency cells. */
+  def buildMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(
+        date_trunc("month", col("l_shipdate")).as("seg"),
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("seg", "l_returnflag", "v")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q17: p25/p50/p75/p95 of quantity per returnflag, answered entirely
+    * from the merged frequency cells.
+    */
+  def q17HistogramQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesOf(buildMonthly(spark, dir), Seq(25, 50, 75, 95))
+
+  /** Exact quantiles from (seg, l_returnflag, v, cnt) cells. */
+  def quantilesOf(cells: DataFrame, ps: Seq[Int]): DataFrame = {
+    val merged = cells.groupBy("l_returnflag", "v").agg(sum("cnt").as("cnt"))
+    val wTot = Window.partitionBy("l_returnflag")
+    val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("ntot", sum("cnt").over(wTot))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("p", explode(array(ps.map(lit(_)): _*)))
+      .filter(col("cum") >= expr("(CAST(p AS BIGINT) * ntot + 99) DIV 100"))
+      .groupBy("l_returnflag", "p")
+      .agg(min("v").as("value"))
+      .orderBy("l_returnflag", "p")
+  }
+}

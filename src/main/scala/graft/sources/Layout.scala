@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multidimensional clustering (Z-order) for write-time layout — the
+  * data-skipping lever for tables queried by MORE THAN ONE dimension.
+  * Sorting by (a, b) clusters a perfectly and b not at all; interleaving
+  * the bits of a and b (the Morton curve) keeps every file/row-group
+  * tight in BOTH dimensions, so a 2-d box predicate prunes row groups by
+  * parquet min/max stats instead of scanning one full dimension stripe.
+  * At 100 TB this is the difference between "point-in-rectangle reads one
+  * curve segment" and "reads 1/k of the table".
+  *
+  * Everything here is engine-native: the z-value is a codegen'd
+  * shift/mask column expression (no UDF), the layout is
+  * `repartitionByRange` + `sortWithinPartitions` on it, and the skipping
+  * itself is Spark's ordinary parquet predicate pushdown hitting
+  * row-group stats — the layout just makes those stats selective
+  * (spec-measured: the z-ordered scan's output rows collapse vs the
+  * same predicate over a single-dimension layout).
+  *
+  * Reference behavior: the loader's by-region × by-time organization of
+  * career events (mysql2neo4j.py:700-829) — queries slice both ways, so
+  * storage must serve both.
+  */
+object Layout {
+
+  /** Morton/Z-value: the low `bits` bits of two non-negative longs
+    * interleaved (`a` on even positions, `b` on odd). Pure shift/mask
+    * arithmetic — whole-stage-codegen'd, exactly reproducible on any
+    * engine (the oracle re-derives it in SQL).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` clustered on the z-value of (`ca`, `cb`): range-partition
+    * into `nFiles` curve segments (each task gets one contiguous z-range
+    * — files are non-overlapping in z, hence tight in both source
+    * dimensions), sort within partitions so row groups inside each file
+    * are tight too, and keep the z-value as a column so readers can also
+    * range-prune on it directly.
+    */
+  def writeZOrdered(
+      df: DataFrame, ca: String, cb: String, path: String,
+      nFiles: Int = 16, rowGroupBytes: Long = 64L * 1024): Unit =
+    df.withColumn("zval", zValue(col(ca), col(cb)))
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .option("parquet.page.size", math.max(rowGroupBytes / 8, 1024L))
+      .parquet(path)
+
+  /** h5: the z-value projection itself, keyed on the events table —
+    * (event_id, user_id, day, zval). The layout write is the
+    * spec-asserted surface; this keys the curve arithmetic to the
+    * DuckDB oracle so the interleave is verified bit-for-bit.
+    */
+  def h5ZorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts DIV 86400000000000").as("day"),
+        zValue(col("user_id"), expr("ts DIV 86400000000000")).as("zval"))
+      .orderBy("event_id")
+}

@@ -85,4 +85,18 @@ object CurationStream {
       }
       .toDF()
   }
+
+  /** Streaming half of the t24 drift monitor: the live feed's per-term
+    * token counts as a streaming aggregate (update mode — each
+    * micro-batch emits the strata it touched; state is vocab-bounded,
+    * never corpus-bounded). The drift report against the reference
+    * crawl's static count table closes per micro-batch in the sink via
+    * [[graft.functions.TextFuncs.driftFromCounts]] — counts are the
+    * mergeable state, drift the cheap projection, so the in-flight
+    * monitor and the batch backfill read the SAME numbers (agreement
+    * spec: accumulated stream counts ≡ batch `termCountsOf`, hence
+    * identical drift rows).
+    */
+  def termCountsStream(docs: DataFrame): DataFrame =
+    graft.functions.TextFuncs.termCountsOf(docs)
 }

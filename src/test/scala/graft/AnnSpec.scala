@@ -173,4 +173,76 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"index side of the probe join shuffles:\n$side"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("s6 exact k-means matches a single-machine integer reference and shuffles only for the output sort") {
+    import org.apache.spark.sql.functions._
+    val k = 8; val iters = 2
+    // Single-machine reference: the same exact-arithmetic recipe in plain
+    // Scala over the collected corpus.
+    val vecs: Seq[(Long, Array[Long])] = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 512.0 + 0.5).toLong).toArray))
+      .toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Long], Long)] =
+      vecs.filter(_._1 < k).map { case (id, q) => (id, q, 1L) }
+    def assignAll(): Map[Long, Long] = vecs.map { case (id, q) =>
+      val best = cents.minBy { case (cell, s, n) =>
+        var d = 0L
+        var i = 0
+        while (i < q.length) { val t = n * q(i) - s(i); d += t * t; i += 1 }
+        (d.toDouble / (n * n).toDouble, cell)
+      }
+      id -> best._1
+    }.toMap
+    for (_ <- 1 to iters) {
+      val byCell = assignAll().toSeq.groupBy(_._2)
+      cents = cents.map { case (cell, s0, n0) =>
+        byCell.get(cell) match {
+          case Some(members) =>
+            val s = new Array[Long](s0.length)
+            val byId = vecs.toMap
+            members.foreach { case (id, _) =>
+              val q = byId(id)
+              var i = 0; while (i < q.length) { s(i) += q(i); i += 1 }
+            }
+            (cell, s, members.size.toLong)
+          case None => (cell, s0, n0)
+        }
+      }
+    }
+    val want = assignAll()
+    val got = similarity.Cluster.s6KmeansCluster(spark, dir, k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.toSet.size > 1, "degenerate clustering: all vectors in one cell")
+    // Assignment is a pure projection: the only exchange in the whole
+    // query is the range partitioning for the deterministic output sort.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = similarity.Cluster.s6KmeansCluster(spark, dir, k, iters)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size <= 1, s"assignment stage shuffles:\n$plan")
+  }
+
+  test("t23 cluster balance caps every cluster at the cap and is a subset of the s6 assignment") {
+    val cap = 5
+    val assigned = similarity.Cluster.s6KmeansCluster(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = assigned.groupBy(_._2).view.mapValues(_.size).toMap
+    val sampled = similarity.Cluster.t23ClusterBalance(spark, dir, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    sampled.foreach { case (cluster, id) =>
+      assert(assigned(id) === cluster, s"vec $id sampled into foreign cluster $cluster")
+    }
+    val got = sampled.groupBy(_._1).view.mapValues(_.size).toMap
+    sizes.foreach { case (cluster, n) =>
+      assert(got.getOrElse(cluster, 0) === math.min(cap, n),
+        s"cluster $cluster: expected ${math.min(cap, n)} sampled, got ${got.getOrElse(cluster, 0)}")
+    }
+  }
 }

@@ -103,4 +103,26 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("labeled BFS agrees exactly with GraphX per-landmark ShortestPaths") {
+    val ss = spark
+    import ss.implicits._
+    // Chain + branch + unreachable pair: distances differ per landmark,
+    // and the depth bound (3) cuts the far tail on both engines.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 7L), (7L, 8L),
+      (30L, 31L)
+    ).toDF("src", "dst")
+    val landmarks = Seq(1L, 4L)
+    val seeds = landmarks.map(l => (l, l)).toDF("lm", "node")
+    val df = operators.GraphIter.labeledShortestPaths(edges, seeds, maxDepth = 3)
+      .collect().map(r => (r.getAs[Long]("lm"), r.getAs[Long]("node")) -> r.getAs[Long]("dist")).toMap
+    val gx = operators.GraphXInterop.labeledShortestPathsGraphX(edges, landmarks, maxDepth = 3)
+      .collect().map(r => (r.getAs[Long]("lm"), r.getAs[Long]("node")) -> r.getAs[Long]("dist")).toMap
+    assert(df === gx)
+    assert(df((1L, 4L)) === 3L && df((4L, 1L)) === 3L && df((4L, 7L)) === 3L)
+    assert(!df.contains((4L, 8L)), "node 8 is 4 hops from landmark 4 — past the depth bound")
+    assert(!df.keySet.exists { case (_, n) => n == 30L || n == 31L })
+  }
 }

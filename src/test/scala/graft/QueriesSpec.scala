@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.TextFuncs
+
 class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
@@ -1083,5 +1085,67 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"),
       s"profile must not use the count(distinct) Expand rewrite:\n$plan")
+  }
+
+  test("q17 quantiles satisfy the rank definition and the rollup is segmentation-invariant") {
+    import org.apache.spark.sql.functions._
+    val values = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = operators.HistogramQuantiles.q17HistogramQuantiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    values.foreach { case (flag, xs) =>
+      val n = xs.length
+      Seq(25, 50, 75, 95).foreach { p =>
+        val rank = (p.toLong * n + 99) / 100
+        val v = got((flag, p))
+        assert(xs.count(_ <= v) >= rank, s"$flag p$p: $v too small")
+        assert(xs.count(_ < v) < rank, s"$flag p$p: $v not minimal")
+        assert(v === xs((rank - 1).toInt), s"$flag p$p: not the rank-$rank element")
+      }
+    }
+    // Mergeability: a completely different segmentation (by orderkey mod 7)
+    // must roll up to identical quantiles — the state is lossless.
+    val alt = Tables(spark, dir).lineitem
+      .select(pmod(col("l_orderkey"), lit(7)).as("seg"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("seg", "l_returnflag", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val gotAlt = operators.HistogramQuantiles.quantilesOf(alt, Seq(25, 50, 75, 95))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotAlt === got)
+  }
+
+  test("t24 drift matches a single-machine recount and flags the moved terms") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), col("text")).collect()
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    docs.foreach { r =>
+      val isA = r.getString(0).length == 4
+      r.getString(1).split(" ").filter(_.nonEmpty).foreach { t =>
+        val (a, b) = counts(t)
+        counts(t) = if (isA) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val totA = counts.valuesIterator.map(_._1).sum
+    val totB = counts.valuesIterator.map(_._2).sum
+    val want = counts.toSeq
+      .map { case (t, (a, b)) => (t, a, b, a * totB - b * totA) }
+      .sortBy { case (t, _, _, d) => (-math.abs(d), t) }
+      .take(20).toSet
+    val got = TextFuncs.t24DriftTerms(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.exists(_._4 != 0L), "degenerate: no drifted term in the top set")
+    // The split-into-two-count-tables form (what the streaming monitor
+    // closes over) is the same report as the one-scan conditional form.
+    val docsDf = Tables(spark, dir).documents
+    val viaCounts = TextFuncs.driftFromCounts(
+      TextFuncs.termCountsOf(docsDf.filter(length(col("source")) === 4)),
+      TextFuncs.termCountsOf(docsDf.filter(length(col("source")) =!= 4)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaCounts === got)
   }
 }

@@ -542,4 +542,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.table("e6s").collect().map(key).toSet
     assert(after === streamed + ((1L, 7L, 1L, 120000000L)))
   }
+
+  test("streaming t24 drift monitor: accumulated counts equal the batch recount and close to the identical report") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val ref = Seq(
+      CurDoc(100, "en", "alpha alpha beta gamma"),
+      CurDoc(101, "en", "beta delta")).toDF()
+      .select(col("doc_id"), col("lang"), col("text"))
+    val live1 = Seq(
+      CurDoc(1, "en", "alpha beta beta"),
+      CurDoc(2, "en", "epsilon zeta"))
+    val live2 = Seq(
+      CurDoc(3, "en", "beta epsilon epsilon"),
+      CurDoc(4, "en", "alpha eta"))
+    val mem = MemoryStream[CurDoc]
+    val q = graft.streaming.CurationStream.termCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("t24s").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(live1: _*)
+    q.processAllAvailable()
+    mem.addData(live2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode sink appends each term's refreshed count; counts are
+    // monotone, so the accumulated state is the per-term max.
+    val got = spark.table("t24s").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val liveDf = (live1 ++ live2).toDF().select(col("doc_id"), col("lang"), col("text"))
+    val batch = graft.functions.TextFuncs.termCountsOf(liveDf)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("cnt")).toMap
+    assert(got === batch)
+    // Closing projection: the report off the streamed state is the report
+    // off the batch recount, row for row.
+    val refCounts = graft.functions.TextFuncs.termCountsOf(ref)
+    val gotDf = got.toSeq.toDF("term", "cnt")
+    def report(live: org.apache.spark.sql.DataFrame) =
+      graft.functions.TextFuncs.driftFromCounts(refCounts, live)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(report(gotDf) === report(graft.functions.TextFuncs.termCountsOf(liveDf)))
+    assert(report(gotDf).exists(_._4 != 0L))
+  }
 }
