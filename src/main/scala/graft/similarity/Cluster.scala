@@ -116,6 +116,16 @@ object Cluster {
     cents
   }
 
+  /** Assignment against a FROZEN centroid state — the serving half of the
+    * clustering loop (train batch-side, assign anywhere): a pure
+    * zero-shuffle projection, so it runs identically over a bounded
+    * corpus or an unbounded stream
+    * ([[graft.streaming.CurationStream.clusterAssignStream]]).
+    */
+  def assignFrozen(emb: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame =
+    assign(quantized(emb), cents)
+      .select(col("vec_id"), col("cell").as("cluster"))
+
   /** s6: final (vec_id, cluster) assignment after exact k-means. */
   def s6KmeansCluster(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
     val emb = Tables(spark, dir).embeddings

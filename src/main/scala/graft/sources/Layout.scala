@@ -56,6 +56,53 @@ object Layout {
       .option("parquet.page.size", math.max(rowGroupBytes / 8, 1024L))
       .parquet(path)
 
+  /** What [[compact]] did, for the maintenance log. */
+  final case class CompactionReport(
+      filesBefore: Int, filesAfter: Int, bytes: Long, rows: Long)
+
+  /** Small-file compaction — the table-maintenance pass that keeps a
+    * continuously-ingested warehouse scannable: streaming sinks and
+    * per-batch upserts shatter tables into thousands of tiny files, and
+    * at 100 TB the scan cost becomes task-scheduling and footer-reading
+    * overhead instead of I/O. Rewrite the directory into
+    * ceil(bytes/targetBytes) size-balanced files and atomically swap
+    * (the [[Upsert.applyBatch]] discipline — readers never observe a
+    * half-compacted table; crash before the rename leaves the original
+    * untouched).
+    *
+    * Content is preserved exactly (spec: row multiset identical); only
+    * the file layout changes. Skips (returns the current state) when the
+    * directory already meets the target, so a maintenance loop is
+    * idempotent and cheap to re-run.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): CompactionReport = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val nAfter = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // Churn guard: rewriting N files into N (or N−ε, e.g. because the
+    // compacted layout sheds per-file footer overhead and re-measures
+    // slightly smaller) pays a full rewrite for no real gain — a
+    // maintenance loop must converge, not oscillate. Only compact when
+    // it at least halves the file count (or collapses to one file).
+    if (dataFiles.length < 2 * nAfter)
+      return CompactionReport(dataFiles.length, dataFiles.length, bytes,
+        spark.read.parquet(path).count())
+    val df = spark.read.parquet(path)
+    val tmp = new Path(path + ".compact-tmp")
+    // repartition (round-robin), not coalesce: coalesce would glue
+    // neighboring input files into uneven outputs; the shuffle buys
+    // size-balanced files, once, at maintenance time.
+    df.repartition(nAfter).write.mode("overwrite").parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"atomic swap failed for $path")
+    CompactionReport(dataFiles.length, nAfter, bytes, rows)
+  }
+
   /** h5: the z-value projection itself, keyed on the events table —
     * (event_id, user_id, day, zval). The layout write is the
     * spec-asserted surface; this keys the curve arithmetic to the

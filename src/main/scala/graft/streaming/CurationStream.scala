@@ -99,4 +99,17 @@ object CurationStream {
     */
   def termCountsStream(docs: DataFrame): DataFrame =
     graft.functions.TextFuncs.termCountsOf(docs)
+
+  /** Streaming s6 assignment: centroids are FROZEN state trained
+    * batch-side ([[graft.similarity.Cluster.trainExact]]); assignment is
+    * the same zero-shuffle integer-exact projection, so the streaming
+    * form IS the batch expression on an unbounded embedding feed —
+    * append mode, no state, no watermark. Because the arithmetic is
+    * exact, a vector gets the SAME cluster whether it arrives in the
+    * training corpus, a later batch backfill, or the live stream — the
+    * property that keeps cluster-balanced sampling consistent between
+    * modes.
+    */
+  def clusterAssignStream(emb: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame =
+    graft.similarity.Cluster.assignFrozen(emb, cents)
 }

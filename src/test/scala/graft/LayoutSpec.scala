@@ -87,4 +87,26 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order read $readZ rows vs linear $readL — no pruning advantage")
     assert(readL < (1L << 16), "sanity: even the linear layout prunes the a-stripe")
   }
+
+  test("compaction bin-packs the shattered table, preserves content exactly, and re-runs as a no-op") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val path = s"$tmp/shattered"
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+    def files() = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = docs.collect().map(_.toString).sorted
+    assert(files() === 32)
+    val bytes = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val rep = graft.sources.Layout.compact(spark, path, targetBytes = bytes / 4 + 1)
+    assert(rep.filesBefore === 32 && rep.filesAfter === 4)
+    assert(files() === 4, "on-disk layout must match the report")
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(after === before, "compaction must not change the row multiset")
+    assert(rep.rows === before.length.toLong)
+    // Idempotent maintenance loop: already-compacted input is a no-op.
+    val rep2 = graft.sources.Layout.compact(spark, path, targetBytes = bytes / 4 + 1)
+    assert(rep2.filesBefore === rep2.filesAfter)
+    assert(files() === 4)
+  }
 }

@@ -16,6 +16,8 @@ final case class CallEv(event_id: Long, user_id: Long, event_type: String, ts: L
 
 final case class CurDoc(doc_id: Long, lang: String, text: String)
 
+final case class EmbRow(vec_id: Long, embedding: Seq[Float])
+
 /** Structured Streaming forms of the F-group, driven through MemoryStream:
   * the streaming plans must (a) run incrementally with watermarked state and
   * (b) agree with the batch forms on the same finite input.
@@ -585,5 +587,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(report(gotDf) === report(graft.functions.TextFuncs.termCountsOf(liveDf)))
     assert(report(gotDf).exists(_._4 != 0L))
+  }
+
+  test("streaming s6 assignment against frozen centroids equals the batch assignment") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.similarity.Cluster.trainExact(Tables(spark, dir).embeddings)
+    // "Live" vectors: a handful of corpus vectors replayed as a stream —
+    // exact arithmetic means the stream assigns them identically.
+    val live = Tables(spark, dir).embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .collect().map(r => EmbRow(r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[EmbRow]
+    mem.addData(live.toIndexedSeq: _*)
+    val got = runStream("s6s",
+      graft.streaming.CurationStream.clusterAssignStream(mem.toDF(), cents))
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val batch = graft.similarity.Cluster
+      .assignFrozen(Tables(spark, dir).embeddings
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 20), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+    assert(got.size === 20)
   }
 }
