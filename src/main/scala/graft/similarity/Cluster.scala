@@ -57,14 +57,23 @@ object Cluster {
   def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
 
-  /** Assign every vector to its nearest centroid. The k centroid states
-    * are folded into ONE literal array-of-structs expression, so the
-    * argmin is a pure per-row projection over the corpus scan — no join,
-    * no window, ZERO shuffle. Strict `<` over centroids in ascending cell
-    * order ties to the lowest cell id, matching the oracle's
-    * `ORDER BY distd, cell` rank.
+  /** Assign every vector to its nearest centroid: one codegen'd
+    * allocation-free kernel
+    * ([[org.apache.spark.sql.graft.KmeansAssignExact]]) carrying the
+    * frozen k×dim centroid state — the argmin is a pure per-row
+    * projection over the corpus scan: no join, no window, ZERO shuffle.
+    * Strict `<` over centroids in ascending cell order ties to the lowest
+    * cell id, matching the oracle's `ORDER BY distd, cell` rank.
     */
-  private def assign(q: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+  private def assign(q: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame =
+    q.withColumn("cell",
+      org.apache.spark.sql.graft.VectorExpressions.kmeansAssignExact(col("qv"), cents))
+
+  /** Reference formulation of [[assign]]'s argmin via higher-order
+    * functions (interpreted; kept for the equivalence spec and as
+    * executable documentation — the [[Ann.cosineHof]] discipline).
+    */
+  def assignHof(q: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
     val centArr = array(cents.sortBy(_._1).map { case (cell, s, n) =>
       struct(
         lit(cell).as("cell"),

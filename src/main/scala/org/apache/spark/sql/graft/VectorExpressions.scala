@@ -661,6 +661,102 @@ object BlockAvgHashKernel {
   }
 }
 
+/** Argmin cell assignment for the exact integer k-means
+  * ([[graft.similarity.Cluster]]): given a quantized `array<long>` vector
+  * and a frozen centroid state (cell id, integer SUM vector, member
+  * count), return the cell minimizing |n·q − S|²/n², ties to the lowest
+  * cell id.
+  *
+  * The HOF formulation (`aggregate` over an array-of-structs literal with
+  * a nested `zip_with` per centroid) is interpreted and allocates k
+  * zipped arrays per row; this expression is one fused, allocation-free
+  * double loop inside whole-stage codegen. Arithmetic is identical by
+  * construction: the distance accumulates exactly in long, and the single
+  * D/n² division is correctly rounded — so assignments are bit-identical
+  * to both the HOF form and the DuckDB oracle (spec-pinned in
+  * KernelPropertySpec).
+  */
+case class KmeansAssignExact(child: Expression, cents: Seq[(Long, Seq[Long], Long)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kmeans_assign"
+
+  // Flat, codegen-referenceable centroid state (ordered by cell id so the
+  // strict `<` scan ties to the lowest cell).
+  @transient private lazy val ordered = cents.sortBy(_._1)
+  @transient private lazy val cellIds: Array[Long] = ordered.map(_._1).toArray
+  @transient private lazy val sums: Array[Array[Long]] = ordered.map(_._2.toArray).toArray
+  @transient private lazy val counts: Array[Long] = ordered.map(_._3).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val len = q.numElements()
+    var bestCell = -1L
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cellIds.length) {
+      val s = sums(c)
+      if (s.length != len) return null
+      val n = counts(c)
+      var d = 0L
+      var i = 0
+      while (i < len) {
+        val t = n * q.getLong(i) - s(i)
+        d += t * t
+        i += 1
+      }
+      val dd = d.toDouble / (n * n).toDouble
+      if (dd < bestD) { bestD = dd; bestCell = cellIds(c) }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("kmCells", cellIds, "long[]")
+    val sumsRef = ctx.addReferenceObj("kmSums", sums, "long[][]")
+    val countsRef = ctx.addReferenceObj("kmCounts", counts, "long[]")
+    nullSafeCodeGen(ctx, ev, q => {
+      val len = ctx.freshName("len")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val dd = ctx.freshName("dd")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $len = $q.numElements();
+         |long $best = -1L;
+         |double $bestD = Double.MAX_VALUE;
+         |boolean $bad = false;
+         |for (int $c = 0; $c < $cellsRef.length && !$bad; $c++) {
+         |  final long[] $s = $sumsRef[$c];
+         |  if ($s.length != $len) { $bad = true; break; }
+         |  final long $n = $countsRef[$c];
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    final long $t = $n * $q.getLong($i) - $s[$i];
+         |    $d += $t * $t;
+         |  }
+         |  final double $dd = (double) $d / (double) ($n * $n);
+         |  if ($dd < $bestD) { $bestD = $dd; $best = $cellsRef[$c]; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
@@ -696,4 +792,8 @@ object VectorExpressions {
   /** Column wrapper for [[BlockAvgHash60]]. */
   def blockAvgHash60(payload: Column): Column =
     ExpressionUtils.column(BlockAvgHash60(ExpressionUtils.expression(payload)))
+
+  /** Column wrapper for [[KmeansAssignExact]]. */
+  def kmeansAssignExact(qv: Column, cents: Seq[(Long, Seq[Long], Long)]): Column =
+    ExpressionUtils.column(KmeansAssignExact(ExpressionUtils.expression(qv), cents))
 }

@@ -229,6 +229,29 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.size <= 1, s"assignment stage shuffles:\n$plan")
   }
 
+  test("native k-means assignment kernel is bit-identical to the HOF reference formulation") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val emb = (0L until 200L).map { id =>
+      (id, Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    // Random but valid centroid states: integer sums of plausible members.
+    val cents: Seq[(Long, Seq[Long], Long)] = (0L until 6L).map { c =>
+      val n = 1L + rng.nextInt(40)
+      (c, Seq.fill(dim)((rng.nextGaussian() * 200 * n).toLong), n)
+    }
+    val native = similarity.Cluster.assignFrozen(emb, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = similarity.Cluster.assignHof(similarity.Cluster.quantized(emb), cents)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+    assert(native.values.toSet.size > 1)
+  }
+
   test("t23 cluster balance caps every cluster at the cap and is a subset of the s6 assignment") {
     val cap = 5
     val assigned = similarity.Cluster.s6KmeansCluster(spark, dir)
