@@ -113,6 +113,7 @@ object SparkEntry {
     "t22_curation_verdict" -> TextFuncs.t22CurationVerdict _,
     "t23_cluster_balance" -> ((s: SparkSession, d: String) => similarity.Cluster.t23ClusterBalance(s, d)),
     "t24_drift_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t24DriftTerms(s, d)),
+    "t25_lm_buckets"     -> TextFuncs.t25LmBuckets _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -131,6 +132,33 @@ object SparkEntry {
     "h4_scd_asof_join"   -> ((s: SparkSession, d: String) => sources.Upsert.h4ScdAsofJoin(s, d)),
     "h5_zorder_key"      -> ((s: SparkSession, d: String) => sources.Layout.h5ZorderKey(s, d))
   )
+
+  /** Shared t19 LM-score CTE chain, ending in `lm(doc_id, n_bigrams,
+    * lm_micro)` — reused by the t25 bucketing oracle.
+    */
+  private val t19Ctes: String =
+    """docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
+      |v AS (SELECT count(*) AS vocab FROM uni),
+      |bg AS (
+      |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+      |    unnest(toks[2:len(toks)]) AS w2
+      |  FROM docs),
+      |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT bg.doc_id, ((bc.c2 + 1) * 1000000) // (u.c1 + v.vocab) AS p_micro
+      |  FROM bg JOIN bc USING (w1, w2) JOIN uni u ON bg.w1 = u.w CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, sum(p_micro) AS sum_p
+      |  FROM sc GROUP BY 1),
+      |lm AS (
+      |  SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(a.sum_p // a.n_bigrams AS BIGINT) AS lm_micro
+      |  FROM docs d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   /** DuckDB CTE chain mirroring [[graft.similarity.Cluster]]'s exact
     * integer k-means (k=8, 2 Lloyd refinements): quantize → assign →
@@ -1603,28 +1631,27 @@ object SparkEntry {
         |   OR a.spend IS DISTINCT FROM b.spend
         |ORDER BY custkey""".stripMargin,
     "t19_gram_lm_score" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |uni AS (
-        |  SELECT w, count(*) AS c1
-        |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
-        |v AS (SELECT count(*) AS vocab FROM uni),
-        |bg AS (
-        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
-        |    unnest(toks[2:len(toks)]) AS w2
-        |  FROM docs),
-        |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT bg.doc_id, ((bc.c2 + 1) * 1000000) // (u.c1 + v.vocab) AS p_micro
-        |  FROM bg JOIN bc USING (w1, w2) JOIN uni u ON bg.w1 = u.w CROSS JOIN v),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams, sum(p_micro) AS sum_p
-        |  FROM sc GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(a.sum_p // a.n_bigrams AS BIGINT) AS lm_micro
-        |FROM docs d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $t19Ctes
+         |SELECT doc_id, n_bigrams, lm_micro FROM lm ORDER BY doc_id""".stripMargin,
+    "t25_lm_buckets" ->
+      s"""WITH $t19Ctes,
+         |scored AS (
+         |  SELECT dd.doc_id, dd.lang, lm.lm_micro
+         |  FROM documents dd JOIN lm USING (doc_id)),
+         |hist AS (SELECT lang, lm_micro, count(*) AS c FROM scored
+         |         WHERE lm_micro IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, lm_micro,
+         |          sum(c) OVER (PARTITION BY lang ORDER BY lm_micro) AS cum,
+         |          sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+         |b AS (SELECT lang,
+         |        min(CASE WHEN cum >= (33*n+99)//100 THEN lm_micro END) AS v33,
+         |        min(CASE WHEN cum >= (67*n+99)//100 THEN lm_micro END) AS v67
+         |      FROM cum GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.lm_micro,
+         |  CASE WHEN s.lm_micro > b.v67 THEN 'head'
+         |       WHEN s.lm_micro > b.v33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s JOIN b USING (lang) ORDER BY s.doc_id""".stripMargin,
     "t21_hash_split" ->
       """SELECT doc_id,
         |  list_reduce(list_transform(range(1, 13),

@@ -753,6 +753,43 @@ object TextFuncs {
     * Reference behavior: the per-batch tally comparison in
     * bio_processor.py:29-180, generalized to term distributions.
     */
+  /** t25: CCNet-style quality bucketing — split each language stratum
+    * into head/middle/tail by the t19 LM score's per-lang terciles (the
+    * published recipe trains on "head", audits "middle", drops "tail").
+    * Boundaries come from the q17 exact-quantile discipline: lm_micro is
+    * already an integer, so the per-(lang, lm_micro) frequency table is a
+    * lossless mergeable rollup and the tercile boundary is an integer
+    * cum-count rank ((33n+99) div 100) — no float percentile, identical
+    * on every engine. Docs with no bigrams (NULL score) sink to 'tail' on
+    * both engines (CASE falls through). One scan for the histogram
+    * (state = langs × distinct scores), a broadcast of the per-lang
+    * boundary pair, and a projection — nothing sorts the corpus.
+    */
+  def t25LmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(spark, dir).documents.select(col("doc_id"), col("lang"))
+      .join(t19GramLmScore(spark, dir).select(col("doc_id"), col("lm_micro")), Seq("doc_id"))
+    val hist = scored.filter(col("lm_micro").isNotNull)
+      .groupBy("lang", "lm_micro").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("lm_micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("lang")
+    val bounds = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wTot))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") >= expr("(33 * n + 99) DIV 100"), col("lm_micro"))).as("v33"),
+        min(when(col("cum") >= expr("(67 * n + 99) DIV 100"), col("lm_micro"))).as("v67"))
+    scored
+      .join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_micro"),
+        when(col("lm_micro") > col("v67"), lit("head"))
+          .when(col("lm_micro") > col("v33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Mergeable per-term token counts of a (text) frame — the state both
     * the batch drift report and its streaming twin accumulate.
     */

@@ -1117,6 +1117,32 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotAlt === got)
   }
 
+  test("t25 buckets partition each lang monotonically by score with tercile-sized heads") {
+    val rows = TextFuncs.t25LmBuckets(spark, dir).collect()
+      .map(r => (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._3).view
+        .mapValues(_.flatMap(_._2)).toMap
+      // Monotone partition: every head score beats every middle score,
+      // every middle beats every non-null tail.
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        if (h.nonEmpty && m.nonEmpty) assert(h.min > m.max, s"$lang head/middle overlap")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        if (m.nonEmpty && t.nonEmpty) assert(m.min > t.max, s"$lang middle/tail overlap")
+      // Null scores (no bigrams) are always 'tail'.
+      rs.filter(_._2.isEmpty).foreach { case (_, _, b) => assert(b === "tail") }
+      // Head is at most a tercile (boundary ties push docs DOWN, never up).
+      val n = rs.count(_._2.nonEmpty)
+      if (n >= 3) {
+        val head = rs.count(_._3 == "head")
+        assert(head <= n - (67 * n + 99) / 100 + 1, s"$lang head too large: $head of $n")
+        assert(head > 0 || rs.flatMap(_._2).distinct.size <= 2,
+          s"$lang: no head bucket despite score spread")
+      }
+    }
+    assert(rows.map(_._3).toSet === Set("head", "middle", "tail"))
+  }
+
   test("t24 drift matches a single-machine recount and flags the moved terms") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir).documents
