@@ -383,6 +383,8 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.window.WindowExec
     for ((name, df) <- Seq(
         "t12" -> functions.TextFuncs.t12CorpusStats(spark, dir),
+        "q17" -> operators.HistogramQuantiles.q17HistogramQuantiles(spark, dir),
+        "t25" -> functions.TextFuncs.t25LmBuckets(spark, dir),
         "e7"  -> streaming.Events.e7Thresholds(Tables(spark, dir).events))) {
       val windows = physical(df).collectWithSubqueries { case w: WindowExec => w }
       assert(windows.nonEmpty, s"$name: expected the cumulative-rank window")
@@ -402,6 +404,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((name, df) <- Seq(
         "q4_window_latest"      -> operators.Relational.q4WindowLatest(spark, dir),
         "t13_stratified_sample" -> functions.TextFuncs.t13StratifiedSample(spark, dir),
+        "t23_cluster_balance"   -> similarity.Cluster.t23ClusterBalance(spark, dir),
         "s2_lsh_ann"            -> similarity.Ann.s2LshAnn(spark, dir),
         "s3_centroid_ivf"       -> similarity.Ann.s3CentroidIvf(spark, dir),
         "s4_knn_join"           -> similarity.Ann.s4KnnJoin(spark, dir),
@@ -414,6 +417,14 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.nonEmpty
       assert(hasLimit, s"$name: expected WindowGroupLimitExec in:\n$plan")
     }
+  }
+
+  test("t24 drift top-k plans as TakeOrdered — the vocabulary is never globally sorted") {
+    val plan = physical(functions.TextFuncs.t24DriftTerms(spark, dir))
+    val take = plan.collectWithSubqueries {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(take.nonEmpty, s"expected TakeOrderedAndProject in:\n$plan")
   }
 
   test("e7: the events fact side is scanned pruned and joined broadcast") {
