@@ -30,13 +30,12 @@ object Layout {
   /** Morton/Z-value: the low `bits` bits of two non-negative longs
     * interleaved (`a` on even positions, `b` on odd). Pure shift/mask
     * arithmetic — whole-stage-codegen'd, exactly reproducible on any
-    * engine (the oracle re-derives it in SQL).
+    * engine (the oracle re-derives it in SQL). Single curve definition
+    * shared with the `graft_zvalue` SQL function
+    * ([[org.apache.spark.sql.graft.VectorExpressions.zValueExpr]]).
     */
   def zValue(a: Column, b: Column, bits: Int = 21): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    org.apache.spark.sql.graft.VectorExpressions.zValueNative(a, b, bits)
 
   /** Write `df` clustered on the z-value of (`ca`, `cb`): range-partition
     * into `nFiles` curve segments (each task gets one contiguous z-range

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("... graft_cosine(a, b) ...")` works anywhere
@@ -170,6 +171,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => {
           require(children.length == 2, "graft_sorted_intersect expects exactly 2 arguments")
           SortedIntersectCountLong(children.head, children(1))
+        }
+      )
+    )
+    // Z-order curve value as a SQL function, so layout writes (CTAS
+    // ... ORDER BY graft_zvalue(a, b)) work from pure SQL. The builder
+    // expands to the same composed shift/mask tree Layout.zValue emits —
+    // one definition of the curve.
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_zvalue"),
+        new ExpressionInfo(classOf[KmeansAssignExact].getName, "graft_zvalue"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "graft_zvalue expects exactly 2 arguments")
+          VectorExpressions.zValueExpr(children.head, children(1))
         }
       )
     )

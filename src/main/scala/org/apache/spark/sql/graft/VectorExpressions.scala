@@ -796,4 +796,27 @@ object VectorExpressions {
   /** Column wrapper for [[KmeansAssignExact]]. */
   def kmeansAssignExact(qv: Column, cents: Seq[(Long, Seq[Long], Long)]): Column =
     ExpressionUtils.column(KmeansAssignExact(ExpressionUtils.expression(qv), cents))
+
+  /** Morton/Z-value as a raw Catalyst expression tree — THE definition of
+    * the curve: `graft.sources.Layout.zValue` (Column API) and the
+    * `graft_zvalue` SQL function both delegate here, so layout writes and
+    * ad-hoc SQL always agree on the interleave. Plain shift/mask
+    * arithmetic over existing codegen'd expressions.
+    */
+  def zValueExpr(a: Expression, b: Expression, bits: Int = 21): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRight}
+    val aL = Cast(a, LongType)
+    val bL = Cast(b, LongType)
+    (0 until bits).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(aL, Literal(i)), Literal(1L)), Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(bL, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+    }.reduce[Expression]((x, y) => BitwiseOr(x, y))
+  }
+
+  /** Column wrapper for [[zValueExpr]]. */
+  def zValueNative(a: Column, b: Column, bits: Int = 21): Column =
+    ExpressionUtils.column(
+      zValueExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b), bits))
 }

@@ -71,4 +71,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("graft_zvalue is reachable from SQL and matches the Layout column form") {
+    import org.apache.spark.sql.functions._
+    Tables(spark, dir).events.createOrReplaceTempView("events_z")
+    val got = spark.sql(
+      """SELECT event_id, graft_zvalue(user_id, ts DIV 86400000000000) AS z
+        |FROM events_z ORDER BY event_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables(spark, dir).events
+      .select(col("event_id"),
+        graft.sources.Layout.zValue(col("user_id"), expr("ts DIV 86400000000000")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
