@@ -55,6 +55,7 @@ object SparkEntry {
     "g14_personalized_pagerank" -> ((s: SparkSession, d: String) => GraphIter.g14PersonalizedPagerank(s, d)),
     "g15_incremental_cc" -> ((s: SparkSession, d: String) => GraphIter.g15IncrementalCC(s, d)),
     "g16_closeness"      -> ((s: SparkSession, d: String) => GraphIter.g16Closeness(s, d)),
+    "g17_harmonic"       -> ((s: SparkSession, d: String) => GraphIter.g17Harmonic(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -1490,6 +1491,22 @@ object SparkEntry {
         |FROM ev e JOIN thr t USING (event_type)
         |WHERE e.value_milli > t.p99_milli
         |ORDER BY e.event_id""".stripMargin,
+    "g17_harmonic" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |bfs AS (
+        |  SELECT s_suppkey * 2 + 1 AS lm, s_suppkey * 2 + 1 AS node, 0 AS dist
+        |  FROM supplier WHERE s_suppkey < 4
+        |  UNION
+        |  SELECT bfs.lm, e.dst AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN e ON bfs.node = e.src WHERE bfs.dist < 6),
+        |m AS (SELECT lm, node, min(dist) AS dist FROM bfs GROUP BY lm, node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  CAST(sum(1000000 // dist) AS BIGINT) AS h_micro
+        |FROM m WHERE dist > 0 GROUP BY 1 ORDER BY node""".stripMargin,
     "g16_closeness" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

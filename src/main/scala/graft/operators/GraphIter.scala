@@ -490,6 +490,36 @@ object GraphIter {
     * the whole org network" question answered with data-parallel BFS
     * instead of an OLTP graph walk.
     */
+  /** g17: landmark HARMONIC centrality — Σ 1/dist over the landmark set,
+    * in exact integer micro-units (1e6 DIV dist), so unreachable
+    * landmarks contribute 0 naturally (no ∞ special-casing, the reason
+    * harmonic replaced classic closeness for disconnected graphs) and
+    * the ranking is float-free. Same labeled BFS substrate as g16; the
+    * closing aggregate differs.
+    */
+  def g17Harmonic(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = t.supplier.filter(col("s_suppkey") < 4)
+      .select((col("s_suppkey") * 2 + 1).as("lm"), (col("s_suppkey") * 2 + 1).as("node"))
+    labeledShortestPaths(edges, seeds, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(sum(expr("1000000 DIV dist")).as("h_micro"))
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("h_micro"))
+      .orderBy("node")
+  }
+
   def g16Closeness(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame = {
     val t = Tables(spark, dir)
     val edges = t.lineitem
