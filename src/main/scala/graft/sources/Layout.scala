@@ -72,7 +72,10 @@ object Layout {
     * Content is preserved exactly (spec: row multiset identical); only
     * the file layout changes. Skips (returns the current state) when the
     * directory already meets the target, so a maintenance loop is
-    * idempotent and cheap to re-run.
+    * idempotent and cheap to re-run. Operates on ONE leaf directory of
+    * parquet files — for a partitioned table, run it per partition
+    * directory (which is also the right scale unit: per-partition
+    * compaction parallelizes and never rewrites cold partitions).
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): CompactionReport = {
     import org.apache.hadoop.fs.Path
@@ -97,8 +100,14 @@ object Layout {
     // size-balanced files, once, at maintenance time.
     df.repartition(nAfter).write.mode("overwrite").parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
-    fs.delete(target, true)
+    // Swap via a backup rename, not delete-then-rename: a crash between
+    // the two renames leaves either the original or the compacted table
+    // on disk (plus a recoverable .compact-bak) — never neither.
+    val bak = new Path(path + ".compact-bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(target, bak), s"backup rename failed for $path")
     require(fs.rename(tmp, target), s"atomic swap failed for $path")
+    fs.delete(bak, true)
     CompactionReport(dataFiles.length, nAfter, bytes, rows)
   }
 
