@@ -730,29 +730,6 @@ object TextFuncs {
       .orderBy("doc_id")
   }
 
-  /** t24: distribution drift between two corpus slices — the
-    * crawl-over-crawl monitoring report a pipeline runs before letting a
-    * new batch into the training mix. Slice A = the first crawl batch
-    * (single-digit sources, src0–src9), B = the second; per term the
-    * drift statistic is the cross-product residual
-    *
-    *   drift = cnt_a·tot_b − cnt_b·tot_a
-    *
-    * i.e. the (scaled) difference of relative frequencies
-    * tot_a·tot_b·(p_a − p_b) — PURE INTEGER math, so the report is exact
-    * and engine-reproducible (no log/entropy float whose low bits could
-    * flap an ordering); |drift| ranks terms by how much their share
-    * moved, sign says which slice gained. Long arithmetic holds to ~3·10⁹
-    * tokens per slice; past that the counts pass through a per-million
-    * integer rescale (or a df-cutoff vocabulary first — the t19/t20
-    * discipline) before the cross product.
-    *
-    * Scale shape: one map-side-combined (term) aggregate with conditional
-    * sums (one scan, no join between slices), one broadcast of the 1-row
-    * totals, and a global top-k (TakeOrdered — never a full sort).
-    * Reference behavior: the per-batch tally comparison in
-    * bio_processor.py:29-180, generalized to term distributions.
-    */
   /** t25: CCNet-style quality bucketing — split each language stratum
     * into head/middle/tail by the t19 LM score's per-lang terciles (the
     * published recipe trains on "head", audits "middle", drops "tail").
@@ -767,8 +744,12 @@ object TextFuncs {
     */
   def t25LmBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The t19 pipeline (gram aggregates + exploded-corpus equijoin) feeds
+    // BOTH the histogram branch and the final projection — checkpoint it
+    // once (the d14 shared-frame discipline) so it doesn't execute twice.
     val scored = Tables(spark, dir).documents.select(col("doc_id"), col("lang"))
       .join(t19GramLmScore(spark, dir).select(col("doc_id"), col("lm_micro")), Seq("doc_id"))
+      .localCheckpoint(true)
     val hist = scored.filter(col("lm_micro").isNotNull)
       .groupBy("lang", "lm_micro").agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy("lang").orderBy("lm_micro")
@@ -808,11 +789,14 @@ object TextFuncs {
     * [[t24DriftTerms]]'s one-scan conditional-sum form.
     */
   def driftFromCounts(ref: DataFrame, live: DataFrame, k: Int = 20): DataFrame = {
+    // Checkpoint the joined counts: the totals row and the report both
+    // read them, and without pinning the full-outer join runs twice.
     val joined = ref.select(col("term"), col("cnt").as("cnt_a"))
       .join(live.select(col("term"), col("cnt").as("cnt_b")), Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .localCheckpoint(true)
     val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
     joined
       .crossJoin(broadcast(totals))
@@ -823,6 +807,29 @@ object TextFuncs {
       .orderBy(abs(col("drift")).desc, col("term").asc)
   }
 
+  /** t24: distribution drift between two corpus slices — the
+    * crawl-over-crawl monitoring report a pipeline runs before letting a
+    * new batch into the training mix. Slice A = the first crawl batch
+    * (single-digit sources, src0–src9), B = the second; per term the
+    * drift statistic is the cross-product residual
+    *
+    *   drift = cnt_a·tot_b − cnt_b·tot_a
+    *
+    * i.e. the (scaled) difference of relative frequencies
+    * tot_a·tot_b·(p_a − p_b) — PURE INTEGER math, so the report is exact
+    * and engine-reproducible (no log/entropy float whose low bits could
+    * flap an ordering); |drift| ranks terms by how much their share
+    * moved, sign says which slice gained. Long arithmetic holds to ~3·10⁹
+    * tokens per slice; past that the counts pass through a per-million
+    * integer rescale (or a df-cutoff vocabulary first — the t19/t20
+    * discipline) before the cross product.
+    *
+    * Scale shape: one map-side-combined (term) aggregate with conditional
+    * sums (one scan, no join between slices), one broadcast of the 1-row
+    * totals, and a global top-k (TakeOrdered — never a full sort).
+    * Reference behavior: the per-batch tally comparison in
+    * bio_processor.py:29-180, generalized to term distributions.
+    */
   def t24DriftTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = Tables(spark, dir).documents
     val counts = docs

@@ -481,6 +481,44 @@ object GraphIter {
     settled
   }
 
+  /** Shared substrate of the landmark centralities (g16/g17): the packed
+    * customer–supplier edge list, the fixed landmark seed set
+    * (s_suppkey < 4), and the labeled BFS over them. One definition, so
+    * the two centralities can never diverge on graph or landmarks.
+    */
+  private def landmarkDistances(
+      spark: SparkSession, dir: String, maxDepth: Int): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = t.supplier.filter(col("s_suppkey") < 4)
+      .select((col("s_suppkey") * 2 + 1).as("lm"), (col("s_suppkey") * 2 + 1).as("node"))
+    labeledShortestPaths(edges, seeds, maxDepth)
+  }
+
+  private def decodePacked(c: org.apache.spark.sql.Column) =
+    when(pmod(c, lit(2)) === 0, concat(lit("c_"), expr("node DIV 2").cast("string")))
+      .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+
+  /** g17: landmark HARMONIC centrality — Σ 1/dist over the landmark set,
+    * in exact integer micro-units (1e6 DIV dist), so unreachable
+    * landmarks contribute 0 naturally (no ∞ special-casing, the reason
+    * harmonic replaced classic closeness for disconnected graphs) and
+    * the ranking is float-free. Same labeled BFS substrate as g16; the
+    * closing aggregate differs.
+    */
+  def g17Harmonic(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame =
+    landmarkDistances(spark, dir, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(sum(expr("1000000 DIV dist")).as("h_micro"))
+      .select(decodePacked(col("node")).as("node"), col("h_micro"))
+      .orderBy("node")
+
   /** g16: landmark closeness centrality on the customer–supplier graph —
     * per node, how many of the fixed landmark suppliers reach it within
     * 6 hops and the total hop distance to them (the
@@ -490,57 +528,13 @@ object GraphIter {
     * the whole org network" question answered with data-parallel BFS
     * instead of an OLTP graph walk.
     */
-  /** g17: landmark HARMONIC centrality — Σ 1/dist over the landmark set,
-    * in exact integer micro-units (1e6 DIV dist), so unreachable
-    * landmarks contribute 0 naturally (no ∞ special-casing, the reason
-    * harmonic replaced classic closeness for disconnected graphs) and
-    * the ranking is float-free. Same labeled BFS substrate as g16; the
-    * closing aggregate differs.
-    */
-  def g17Harmonic(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame = {
-    val t = Tables(spark, dir)
-    val edges = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .select(
-        (col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val seeds = t.supplier.filter(col("s_suppkey") < 4)
-      .select((col("s_suppkey") * 2 + 1).as("lm"), (col("s_suppkey") * 2 + 1).as("node"))
-    labeledShortestPaths(edges, seeds, maxDepth)
-      .filter(col("dist") > 0)
-      .groupBy("node")
-      .agg(sum(expr("1000000 DIV dist")).as("h_micro"))
-      .select(
-        when(pmod(col("node"), lit(2)) === 0,
-          concat(lit("c_"), expr("node DIV 2").cast("string")))
-          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
-          .as("node"),
-        col("h_micro"))
-      .orderBy("node")
-  }
-
-  def g16Closeness(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame = {
-    val t = Tables(spark, dir)
-    val edges = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .select(
-        (col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val seeds = t.supplier.filter(col("s_suppkey") < 4)
-      .select((col("s_suppkey") * 2 + 1).as("lm"), (col("s_suppkey") * 2 + 1).as("node"))
-    labeledShortestPaths(edges, seeds, maxDepth)
+  def g16Closeness(spark: SparkSession, dir: String, maxDepth: Int = 6): DataFrame =
+    landmarkDistances(spark, dir, maxDepth)
       .groupBy("node")
       .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"))
-      .select(
-        when(pmod(col("node"), lit(2)) === 0,
-          concat(lit("c_"), expr("node DIV 2").cast("string")))
-          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
-          .as("node"),
+      .select(decodePacked(col("node")).as("node"),
         col("n_reached"), col("sum_dist"))
       .orderBy("node")
-  }
 
   /** Synchronous label propagation over an undirected edge list: labels
     * start as the node id; each superstep every node adopts the most

@@ -75,7 +75,13 @@ object GraphXInterop {
       .unionByName(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
       .distinct()
     val edgeRdd = sym.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
-    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1.0)
+    // Graph.fromEdges materializes only vertices with incident edges; a
+    // landmark isolated from the edge set would silently vanish, while
+    // the DataFrame operator seeds it unconditionally and emits
+    // (lm, lm, 0). Add the landmark vertices explicitly so both engines
+    // agree on isolated landmarks too.
+    val seedVerts = spark.sparkContext.parallelize(seeds.map(l => (l, 1.0)))
+    val graph = Graph(seedVerts, edgeRdd, defaultVertexAttr = 1.0)
     val res = org.apache.spark.graphx.lib.ShortestPaths.run(graph, seeds)
     val dists = res.vertices.flatMap { case (v, spMap) =>
       spMap.toSeq.map { case (lm, d) => (lm, v, d.toLong) }

@@ -127,9 +127,11 @@ object ExactRollup {
   *
   * Rank convention: quantile p = the smallest value whose cumulative
   * count reaches ceil(p·n/100), computed in INTEGER arithmetic
-  * ((p·n+99) div 100) so no float rank can flip an answer — provably
-  * the same element DuckDB's `quantile_disc` picks (for 0<q<1 the
-  * `ceil(q·n)` and `floor(q·(n-1))+1` ranks coincide), which is what
+  * ((p·n+99) div 100) so no float rank can flip an answer. This is the
+  * inverse-CDF (type-1) convention, and it is what DuckDB's
+  * `quantile_disc` implements (verified empirically across n and p —
+  * note it is NOT the `floor(q·(n-1))+1` convention some engines use;
+  * e.g. n=10, q=0.75 gives rank 8 here vs rank 7 there), which is what
   * the oracle cross-checks with its native aggregate.
   *
   * Scale shape: one map-side-combined (segment, group, value) count,

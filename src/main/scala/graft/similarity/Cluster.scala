@@ -154,7 +154,11 @@ object Cluster {
   def t23ClusterBalance(
       spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2, cap: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = s6KmeansCluster(spark, dir, k, iters)
+    // assignFrozen, not s6KmeansCluster: s6's global orderBy(vec_id) would
+    // add a range exchange + sort that the window's hash repartition
+    // immediately discards — one full wasted shuffle at corpus scale.
+    val emb = Tables(spark, dir).embeddings
+    val assigned = assignFrozen(emb, trainExact(emb, k, iters))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
     assigned

@@ -46,7 +46,7 @@ object Layout {
     */
   def writeZOrdered(
       df: DataFrame, ca: String, cb: String, path: String,
-      nFiles: Int = 16, rowGroupBytes: Long = 64L * 1024): Unit =
+      nFiles: Int = 16, rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
     df.withColumn("zval", zValue(col(ca), col(cb)))
       .repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions("zval")
@@ -83,6 +83,10 @@ object Layout {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(target)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // Empty leaf dir (fresh partition, only _SUCCESS): nothing to do, and
+    // spark.read.parquet on it would throw — report zeros instead so a
+    // per-partition maintenance loop sails past it.
+    if (dataFiles.isEmpty) return CompactionReport(0, 0, 0L, 0L)
     val bytes = dataFiles.map(_.getLen).sum
     val nAfter = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // Churn guard: rewriting N files into N (or N−ε, e.g. because the

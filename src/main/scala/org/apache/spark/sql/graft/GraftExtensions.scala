@@ -3,7 +3,6 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("... graft_cosine(a, b) ...")` works anywhere
@@ -181,7 +180,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (
         FunctionIdentifier("graft_zvalue"),
-        new ExpressionInfo(classOf[KmeansAssignExact].getName, "graft_zvalue"),
+        new ExpressionInfo(VectorExpressions.getClass.getName, "graft_zvalue"),
         (children: Seq[Expression]) => {
           require(children.length == 2, "graft_zvalue expects exactly 2 arguments")
           VectorExpressions.zValueExpr(children.head, children(1))

@@ -114,7 +114,10 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 7L), (7L, 8L),
       (30L, 31L)
     ).toDF("src", "dst")
-    val landmarks = Seq(1L, 4L)
+    // Landmark 40 has no incident edges: both engines must still emit its
+    // (40, 40, 0) self-row (the GraphX bridge adds seed vertices
+    // explicitly — Graph.fromEdges alone would drop it).
+    val landmarks = Seq(1L, 4L, 40L)
     val seeds = landmarks.map(l => (l, l)).toDF("lm", "node")
     val df = operators.GraphIter.labeledShortestPaths(edges, seeds, maxDepth = 3)
       .collect().map(r => (r.getAs[Long]("lm"), r.getAs[Long]("node")) -> r.getAs[Long]("dist")).toMap
@@ -124,5 +127,7 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df((1L, 4L)) === 3L && df((4L, 1L)) === 3L && df((4L, 7L)) === 3L)
     assert(!df.contains((4L, 8L)), "node 8 is 4 hops from landmark 4 — past the depth bound")
     assert(!df.keySet.exists { case (_, n) => n == 30L || n == 31L })
+    assert(df((40L, 40L)) === 0L, "isolated landmark must keep its self-row")
+    assert(df.keySet.count(_._1 == 40L) === 1, "isolated landmark reaches nothing else")
   }
 }

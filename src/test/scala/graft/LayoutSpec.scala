@@ -108,5 +108,10 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rep2 = graft.sources.Layout.compact(spark, path, targetBytes = bytes / 4 + 1)
     assert(rep2.filesBefore === rep2.filesAfter)
     assert(files() === 4)
+    // Empty leaf dir (fresh partition): skipped with a zero report, no read.
+    val empty = s"$tmp/empty-part"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    val rep3 = graft.sources.Layout.compact(spark, empty, targetBytes = 1024)
+    assert(rep3 === graft.sources.Layout.CompactionReport(0, 0, 0L, 0L))
   }
 }
