@@ -79,6 +79,7 @@ object SparkEntry {
     "s4_knn_join"        -> ((s: SparkSession, d: String) => Ann.s4KnnJoin(s, d)),
     "s5_range_search"    -> ((s: SparkSession, d: String) => Ann.s5RangeSearch(s, d)),
     "s6_kmeans_cluster"  -> ((s: SparkSession, d: String) => similarity.Cluster.s6KmeansCluster(s, d)),
+    "s7_pq_search"       -> ((s: SparkSession, d: String) => similarity.Pq.s7PqSearch(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -195,6 +196,64 @@ object SparkEntry {
        |${assignCte("a2", "c1")},
        |${updateCte("c2", "a2", "c1")},
        |${assignCte("a2f", "c2")}""".stripMargin
+  }
+
+  /** DuckDB re-derivation of [[graft.similarity.Pq]]: per-subspace exact
+    * integer k-means (k=16, 2 refinements) over sliced quantized vectors,
+    * half-up rounding to integer codebooks
+    * (`(2·(s+512·n)+n) // (2·n) − 512`, numerator non-negative so floor ≡
+    * truncate), integer argmin encoding, pure-integer ADC scoring — the
+    * whole PQ pipeline re-derived so Spark and DuckDB agree bit-for-bit.
+    */
+  private val pqCtes: String = {
+    val subDim = 8
+    val m = 8
+    val k = 64
+    def trainDist(q: String, c: String): String = (1 to subDim)
+      .map(i => s"($c.n*$q.qv[$i]-$c.s[$i])*($c.n*$q.qv[$i]-$c.s[$i])")
+      .mkString(" + ")
+    def intDist(v: String, r: String): String = (1 to subDim)
+      .map(i => s"($v.qv[$i]-$r.c[$i])*($v.qv[$i]-$r.c[$i])")
+      .mkString(" + ")
+    val sums = (1 to subDim).map(i => s"CAST(SUM(qv[$i]) AS BIGINT)").mkString("[", ", ", "]")
+    def subspace(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      // MATERIALIZED throughout: DuckDB inlines plain CTEs at every use
+      // site, and 8 subspace chains × (enc + qd) references would re-expand
+      // the whole training chain 16× — planning alone takes minutes. Each
+      // relation here is tiny (≤ corpus × k rows), so materializing is free.
+      def assignCte(name: String, cPrev: String): String =
+        s"""$name AS MATERIALIZED (SELECT vec_id, cell, qv FROM (
+           |  SELECT q.vec_id, c.cell, q.qv,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      CAST(${trainDist("q", "c")} AS DOUBLE)/CAST(c.n*c.n AS DOUBLE), c.cell) AS rn
+           |  FROM qs$s q CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+      def updateCte(name: String, aPrev: String, cPrev: String): String =
+        s"""${name}u AS MATERIALIZED (SELECT cell, $sums AS s, COUNT(*) AS n FROM $aPrev GROUP BY cell),
+           |$name AS MATERIALIZED (SELECT $cPrev.cell, COALESCE(${name}u.s, $cPrev.s) AS s,
+           |            COALESCE(${name}u.n, $cPrev.n) AS n
+           |          FROM $cPrev LEFT JOIN ${name}u USING (cell))""".stripMargin
+      s"""qs$s AS MATERIALIZED (SELECT vec_id, qv[$lo:$hi] AS qv FROM qz),
+         |c0x$s AS MATERIALIZED (SELECT vec_id AS cell, qv AS s, CAST(1 AS BIGINT) AS n FROM qs$s WHERE vec_id < $k),
+         |${assignCte(s"a1x$s", s"c0x$s")},
+         |${updateCte(s"c1x$s", s"a1x$s", s"c0x$s")},
+         |${assignCte(s"a2x$s", s"c1x$s")},
+         |${updateCte(s"c2x$s", s"a2x$s", s"c1x$s")},
+         |rc$s AS MATERIALIZED (SELECT cell, list_transform(s, v -> (2*(v + 512*n) + n) // (2*n) - 512) AS c FROM c2x$s),
+         |encx$s AS MATERIALIZED (SELECT vec_id, cell AS code FROM (
+         |  SELECT v.vec_id, r.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${intDist("v", "r")}, r.cell) AS rn
+         |  FROM qs$s v CROSS JOIN rc$s r) WHERE rn = 1),
+         |qdx$s AS MATERIALIZED (SELECT v.vec_id AS query_id, r.cell AS code, CAST(${intDist("v", "r")} AS BIGINT) AS d
+         |  FROM qs$s v CROSS JOIN rc$s r WHERE v.vec_id < 10)""".stripMargin
+    }
+    s"""WITH qz AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${(0 until m).map(subspace).mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB re-derivation of [[graft.sources.Layout.zValue]]'s 21-bit
@@ -1076,6 +1135,35 @@ object SparkEntry {
     "s6_kmeans_cluster" ->
       s"""$kmeansCtes
          |SELECT vec_id, cell AS cluster FROM a2f ORDER BY vec_id""".stripMargin,
+    "s7_pq_search" -> {
+      val encJoins = (1 until 8).map(s => s"JOIN encx$s e$s USING (vec_id)").mkString("\n    ")
+      val qdJoins = (1 until 8)
+        .map(s => s"JOIN qdx$s q$s ON q$s.query_id = q0.query_id AND q$s.code = e$s.code")
+        .mkString("\n    ")
+      val adcSum = (0 until 8).map(s => s"q$s.d").mkString(" + ")
+      val exact = (1 to 64).map(i => s"(qq.qv[$i]-nv.qv[$i])*(qq.qv[$i]-nv.qv[$i])").mkString(" + ")
+      s"""$pqCtes,
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q0.query_id, e0.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q0.query_id
+         |        ORDER BY $adcSum, e0.vec_id) AS arn
+         |    FROM encx0 e0
+         |    $encJoins
+         |    JOIN qdx0 q0 ON q0.code = e0.code
+         |    $qdJoins
+         |    WHERE e0.vec_id <> q0.query_id)
+         |  WHERE arn <= 100),
+         |rr AS (
+         |  SELECT sl.query_id, sl.neighbor_id, CAST($exact AS BIGINT) AS dist
+         |  FROM sl JOIN qz nv ON nv.vec_id = sl.neighbor_id
+         |          JOIN qz qq ON qq.vec_id = sl.query_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, dist FROM (
+         |  SELECT query_id, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+         |  FROM rr)
+         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     "t23_cluster_balance" ->
       s"""$kmeansCtes,
          |rk AS (SELECT cell AS cluster, vec_id,

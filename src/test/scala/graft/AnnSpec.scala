@@ -268,4 +268,44 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"cluster $cluster: expected ${math.min(cap, n)} sampled, got ${got.getOrElse(cluster, 0)}")
     }
   }
+
+  test("s7 PQ: exact refine distances verified driver-side, results within the ADC shortlist") {
+    import graft.similarity.Pq
+    val emb = Tables(spark, dir).embeddings
+    val books = Pq.trainCodebooks(emb)
+    val bookMaps: Seq[Map[Long, Seq[Long]]] = books.map(_.toMap)
+    val codes = Pq.encode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    codes.values.foreach(cs =>
+      assert(cs.size == Pq.M && cs.forall(c => c >= 0 && c < Pq.K), s"codes out of range: $cs"))
+    // Independent quantization (plain Scala over the collected floats),
+    // reconstruction, and shortlist: none of the LUT/element_at/zip_with
+    // plumbing under test is reused here.
+    val qv: Map[Long, Array[Long]] = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 512.0 + 0.5).toLong).toArray
+    }.toMap
+    def adc(q: Long, n: Long): Long = (0 until Pq.M).map { sub =>
+      val qs = qv(q).slice(sub * Pq.SubDim, (sub + 1) * Pq.SubDim)
+      val c = bookMaps(sub)(codes(n)(sub))
+      qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    }.sum
+    val shortlists: Map[Long, Set[Long]] = qv.keys.filter(_ < 10).map { q =>
+      q -> qv.keys.filter(_ != q).toSeq
+        .map(n => (adc(q, n), n)).sorted.take(Pq.Shortlist).map(_._2).toSet
+    }.toMap
+    val out = Pq.s7PqSearch(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n, d) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("dist"))
+      val expect = qv(q).zip(qv(n)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(d === expect, s"exact dist mismatch for ($q,$n)")
+      assert(shortlists(q).contains(n), s"neighbor $n of query $q not in the ADC shortlist")
+    }
+  }
+
+  test("s7 PQ+refine reaches recall@10 >= 0.85 vs brute force (unit-norm corpus: L2 rank == cosine rank)") {
+    val got = topkSets(similarity.Pq.s7PqSearch(spark, dir))
+    val r = recallAt10(got, truth)
+    assert(r >= 0.85, f"s7 PQ recall@10 = $r%.3f")
+  }
 }
