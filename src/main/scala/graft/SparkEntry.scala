@@ -67,6 +67,8 @@ object SparkEntry {
     "d13_fuzzy_pairs"    -> ((s: SparkSession, d: String) => Dedup.d13FuzzyPairs(s, d)),
     "d14_substring_spans" -> ((s: SparkSession, d: String) => Dedup.d14SubstringSpans(s, d)),
     "d15_chunk_neardup"  -> ((s: SparkSession, d: String) => Dedup.d15ChunkNearDup(s, d)),
+    "d16_bloom_prefilter" -> ((s: SparkSession, d: String) => Dedup.d16BloomPrefilter(s, d)),
+    "d17_strip_spans"    -> ((s: SparkSession, d: String) => Dedup.d17StripSpans(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -255,6 +257,25 @@ object SparkEntry {
        |  FROM embeddings),
        |${(0 until m).map(subspace).mkString(",\n")}""".stripMargin
   }
+
+  /** Shared CTE chain re-deriving [[graft.dedup.Dedup.d14SubstringSpans]]'s
+    * covered-window islands (word 8-grams in ≥2 docs, merged into maximal
+    * spans) — consumed by both the d14 oracle and d17's strip oracle.
+    */
+  private val spanCtes: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wf AS (SELECT doc_id, w FROM words WHERE len(w) >= 8),
+      |grams AS (
+      |  SELECT doc_id, p, array_to_string(w[p:p+7], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p FROM wf)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) < max(doc_id)),
+      |cov AS (SELECT doc_id, p AS s, p + 7 AS e FROM grams WHERE g IN (SELECT g FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 THEN 1 ELSE 0 END AS brk
+      |  FROM cov),
+      |grp AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid FROM isl)""".stripMargin
 
   /** DuckDB re-derivation of [[graft.sources.Layout.zValue]]'s 21-bit
     * interleave — generated shift/mask terms, pure integer.
@@ -943,22 +964,34 @@ object SparkEntry {
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY name1, name2""".stripMargin,
     "d14_substring_spans" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |wf AS (SELECT doc_id, w FROM words WHERE len(w) >= 8),
-        |grams AS (
-        |  SELECT doc_id, p, array_to_string(w[p:p+7], ' ') AS g
-        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p FROM wf)),
-        |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) < max(doc_id)),
-        |cov AS (SELECT doc_id, p AS s, p + 7 AS e FROM grams WHERE g IN (SELECT g FROM dup)),
-        |isl AS (
-        |  SELECT doc_id, s, e,
-        |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 THEN 1 ELSE 0 END AS brk
-        |  FROM cov),
-        |grp AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid FROM isl)
+      s"""$spanCtes
         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
         |  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
         |FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""".stripMargin,
+    "d16_bloom_prefilter" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(text || ' v2') FROM documents WHERE doc_id % 3 = 1),
+        |ex AS (SELECT md5(text) AS h, min(doc_id) AS ex_id FROM documents GROUP BY h)
+        |SELECT inc.doc_id,
+        |  CASE WHEN ex.ex_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+        |  ex.ex_id AS dup_of
+        |FROM inc LEFT JOIN ex USING (h) ORDER BY doc_id""".stripMargin,
+    "d17_strip_spans" ->
+      s"""$spanCtes,
+        |spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+        |tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM words),
+        |keep AS (
+        |  SELECT t.doc_id, t.i, t.w[t.i] AS wd FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.s AND sp.e))
+        |SELECT words.doc_id, CAST(len(words.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(words.w) - count(keep.i) AS BIGINT) AS removed_tokens,
+        |  coalesce(string_agg(keep.wd, ' ' ORDER BY keep.i), '') AS clean_text
+        |FROM words LEFT JOIN keep ON keep.doc_id = words.doc_id
+        |GROUP BY words.doc_id, len(words.w) ORDER BY words.doc_id""".stripMargin,
     "d15_chunk_neardup" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE length(text) >= 5),

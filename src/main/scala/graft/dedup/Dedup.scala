@@ -781,6 +781,102 @@ object Dedup {
       .orderBy("doc_id1", "chunk1", "doc_id2", "chunk2")
   }
 
+  /** d16: Bloom-ACCELERATED incremental exact dedup — d7's exact tier with
+    * the corpus-side join input collapsed before any shuffle happens. The
+    * existing corpus folds into one Bloom filter over `xxhash64(text)`
+    * digests (Spark's distributed `stat.bloomFilter` aggregate — only the
+    * bit array reaches the driver); the incoming batch probes it in a
+    * zero-shuffle codegen'd projection, and ONLY the "maybe" survivors
+    * (true duplicates + the fpp·|incoming| false-positive sliver) enter
+    * the exact md5 verification join. A Bloom false positive merely sends
+    * one extra row to the verify join where it finds no match ("new");
+    * false negatives are impossible for identical text (identical digest)
+    * — so the output is bit-identical to the plain join classification
+    * (spec-pinned) while the join moves ~|dups| rows instead of
+    * |incoming|.
+    *
+    * This is the ingest-path shape at 100 TB, where almost every incoming
+    * document is genuinely new and the anti-join against a billions-row
+    * corpus digest table is pure wasted shuffle: the filter is built once
+    * per corpus epoch (and is incrementally maintainable — `put` is
+    * union), broadcast ~1.2 GB per 10⁹ docs at 1% fpp; past single-digit
+    * billions it shards by digest prefix into per-shard filters probed the
+    * same way. Spark's own `InjectRuntimeFilter` applies this idea only
+    * inside selective shuffle joins; the ingest gate wants it explicit and
+    * unconditional.
+    *
+    * Reference analog: `check_html_exists` / `filter_existing`
+    * (utils/db_utils.py:91, processor/data_processor.py:91-143) — the
+    * skip-already-fetched gate, here without ever joining the full corpus.
+    */
+  def d16BloomPrefilter(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    // Re-crawl batch against the full corpus: pages with doc_id % 3 == 0
+    // come back byte-identical under a new crawl id (→ exact dup), pages
+    // with % 3 == 1 come back edited (→ new). Non-vacuous on BOTH
+    // branches, unlike a corpus split of an all-distinct test table.
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .repartition(nPart)
+    val existing = docs.repartition(nPart)
+    // Bounded scalar probe: sizes the filter to the actual corpus (the
+    // production form reads this from table stats / the previous epoch).
+    val exCount = math.max(existing.count(), 1L)
+    val bloom = existing.stat.bloomFilter(xxhash64(col("text")), exCount, fpp)
+    val maybe = incoming.filter(
+      org.apache.spark.sql.graft.VectorExpressions
+        .bloomMightContainLong(xxhash64(col("text")), bloom))
+    val matches = maybe.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.select(md5(col("text")).as("h"), col("doc_id").as("ex_id")), Seq("h"))
+      .groupBy("doc_id")
+      .agg(min(col("ex_id")).as("dup_of"))
+    incoming.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** d17: repeated-span STRIP — the apply step over [[d14SubstringSpans]]:
+    * every token covered by a cross-document repeated region is removed
+    * and the cleaned text re-assembled (the transformation RefinedWeb's
+    * exact-substring pass actually performs on the corpus; d14 is its
+    * detect half). Conservative strip semantics: covered tokens drop from
+    * EVERY occurrence — deterministic, order-free, and idempotent, where
+    * keep-first would depend on a global document order.
+    *
+    * Scale shape: d14's span table is result-sized (rows = repeated
+    * regions, not tokens); grouped per doc it left-joins back onto the
+    * corpus scan on doc_id — one key-partitioned join — and the strip
+    * itself is a pure projection (`filter` over token indices against the
+    * row's own span array, then `array_join`); no token ever leaves its
+    * row. Docs without spans pass through the join as null → kept whole.
+    */
+  def d17StripSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spans = d14SubstringSpans(spark, dir, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("spans"), array().cast("array<struct<s:bigint,e:bigint>>")).as("spans"))
+      .withColumn("keep",
+        expr("filter(sequence(1, size(w)), p -> NOT exists(spans, sp -> p >= sp.s AND p <= sp.e))"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("keep"))).cast("long").as("removed_tokens"),
+        expr("array_join(transform(keep, p -> w[p - 1]), ' ')").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 60
     val exploded = Tables(spark, dir).documents

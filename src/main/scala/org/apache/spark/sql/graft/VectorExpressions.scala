@@ -757,6 +757,40 @@ case class KmeansAssignExact(child: Expression, cents: Seq[(Long, Seq[Long], Lon
     copy(child = newChild)
 }
 
+/** Membership probe of a frozen [[org.apache.spark.util.sketch.BloomFilter]]
+  * over a `long` digest column — the scan-side half of a Bloom-accelerated
+  * anti/semi-join ([[graft.dedup.Dedup.d16BloomPrefilter]]).
+  *
+  * The filter is built once with Spark's distributed
+  * `DataFrameStatFunctions.bloomFilter` aggregate (only the bit array
+  * reaches the driver) and embedded here as a codegen reference object, so
+  * the probe runs inside whole-stage codegen with no join, no shuffle, and
+  * no per-row allocation. False positives only ever ADD candidate rows to
+  * a downstream exact verification join; false negatives are impossible by
+  * the Bloom contract — so operators built on it stay exact.
+  */
+case class BloomMightContainLong(
+    child: Expression, filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "bloomFilter", filter, "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[CosineSimilarity]]. */
   def cosineNative(a: Column, b: Column): Column =
@@ -796,6 +830,12 @@ object VectorExpressions {
   /** Column wrapper for [[KmeansAssignExact]]. */
   def kmeansAssignExact(qv: Column, cents: Seq[(Long, Seq[Long], Long)]): Column =
     ExpressionUtils.column(KmeansAssignExact(ExpressionUtils.expression(qv), cents))
+
+  /** Column wrapper for [[BloomMightContainLong]]. */
+  def bloomMightContainLong(
+      digest: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(
+      BloomMightContainLong(ExpressionUtils.expression(digest), filter))
 
   /** Morton/Z-value as a raw Catalyst expression tree — THE definition of
     * the curve: `graft.sources.Layout.zValue` (Column API) and the

@@ -939,6 +939,64 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("d16 bloom-prefiltered classification is exact and the filter actually prunes") {
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // Independent classification: plain map lookup over the full corpus.
+    val exMin = docs.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+    val incoming = docs.filter(_._1 % 3 == 0).map { case (id, t) => (id + 1000000L, t) } ++
+      docs.filter(_._1 % 3 == 1).map { case (id, t) => (id + 2000000L, t + " v2") }
+    val expected = incoming.map { case (id, t) =>
+      (id, exMin.get(t).map(_ => "dup").getOrElse("new"), exMin.get(t))
+    }.toSet
+    assert(expected.exists(_._2 == "dup") && expected.exists(_._2 == "new"),
+      "degenerate gate: need both dup and new rows")
+    val got = dedup.Dedup.d16BloomPrefilter(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong))).toSet
+    assert(got === expected)
+    // The Bloom contract the operator's exactness rests on: no digest of
+    // the existing corpus may probe false (false negatives impossible),
+    // and genuinely-new digests mostly probe false (the prune is real).
+    val bloom = Tables(spark, dir).documents
+      .stat.bloomFilter(xxhash64(col("text")), docs.length.toLong, 0.01)
+    def digest(t: String): Long = spark.range(1)
+      .select(xxhash64(lit(t))).head().getLong(0)
+    docs.foreach { case (_, t) =>
+      assert(bloom.mightContainLong(digest(t)), "bloom false negative")
+    }
+    val newTexts = incoming.filter { case (_, t) => !exMin.contains(t) }
+    val fp = newTexts.count { case (_, t) => bloom.mightContainLong(digest(t)) }
+    assert(fp.toDouble <= math.max(2.0, 0.05 * newTexts.length),
+      s"bloom prunes nothing: $fp false positives over ${newTexts.length} new docs")
+  }
+
+  test("d17 strip equals a driver-side coverage-bitmap strip of d14's spans") {
+    val k = 8
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ")))
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; p <- 0 to w.length - k)
+      gramDocs.getOrElseUpdate(w.slice(p, p + k).mkString(" "), scala.collection.mutable.Set()) += id
+    val expected = docs.map { case (id, w) =>
+      val cov = new Array[Boolean](w.length)
+      if (w.length >= k)
+        for (p <- 0 to w.length - k if gramDocs(w.slice(p, p + k).mkString(" ")).exists(_ != id))
+          (p until p + k).foreach(cov(_) = true)
+      val kept = w.indices.filter(!cov(_)).map(w)
+      (id, w.length.toLong, cov.count(identity).toLong, kept.mkString(" "))
+    }.toSet
+    assert(expected.exists(_._3 > 0), "degenerate gate: nothing stripped anywhere")
+    assert(expected.exists(e => e._3 > 0 && e._3 < e._2),
+      "degenerate gate: want a partially-stripped doc")
+    val got = dedup.Dedup.d17StripSpans(spark, dir, k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("removed_tokens"), r.getAs[String]("clean_text"))).toSet
+    assert(got === expected)
+  }
+
   test("m8 cross-modal resolve equals a brute-force dual-modality union-find") {
     def bands(fp: Long): Seq[Long] = (0 until 4).map(i => (fp >> (i * 15)) & 32767L)
     val media = multimodal.Media.m5Phash(spark, dir).collect()
