@@ -56,6 +56,7 @@ object SparkEntry {
     "g15_incremental_cc" -> ((s: SparkSession, d: String) => GraphIter.g15IncrementalCC(s, d)),
     "g16_closeness"      -> ((s: SparkSession, d: String) => GraphIter.g16Closeness(s, d)),
     "g17_harmonic"       -> ((s: SparkSession, d: String) => GraphIter.g17Harmonic(s, d)),
+    "g18_clustering_coeff" -> GraphIter.g18ClusteringCoeff _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -257,6 +258,23 @@ object SparkEntry {
        |  FROM embeddings),
        |${(0 until m).map(subspace).mkString(",\n")}""".stripMargin
   }
+
+  /** Shared CTE chain re-deriving g7's ordered co-purchase edge list and
+    * per-node triangle counts — consumed by the g7 and g18 oracles.
+    */
+  private val triangleCtes: String =
+    """WITH os0 AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem),
+      |os AS (SELECT okey, s, s_nationkey AS nat FROM os0 JOIN supplier ON s = s_suppkey),
+      |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+      |      FROM os x JOIN os y ON x.okey = y.okey AND x.nat = y.nat AND x.s < y.s),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+      |pn AS (
+      |  SELECT s, count(*) AS n FROM (
+      |    SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |  GROUP BY s)""".stripMargin
 
   /** Shared CTE chain re-deriving [[graft.dedup.Dedup.d14SubstringSpans]]'s
     * covered-window islands (word 8-grams in ≥2 docs, merged into maximal
@@ -905,20 +923,20 @@ object SparkEntry {
         |SELECT node, min(node) OVER (PARTITION BY root) AS component
         |FROM nodes ORDER BY node""".stripMargin,
     "g7_triangle_count" ->
-      """WITH os0 AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem),
-        |os AS (SELECT okey, s, s_nationkey AS nat FROM os0 JOIN supplier ON s = s_suppkey),
-        |e AS (SELECT DISTINCT x.s AS a, y.s AS b
-        |      FROM os x JOIN os y ON x.okey = y.okey AND x.nat = y.nat AND x.s < y.s),
-        |tri AS (
-        |  SELECT e1.a, e1.b, e2.b AS c
-        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
-        |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
-        |pn AS (
-        |  SELECT s, count(*) AS n FROM (
-        |    SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
-        |  GROUP BY s)
+      s"""$triangleCtes
         |SELECT s_suppkey AS suppkey, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
         |FROM supplier LEFT JOIN pn ON s_suppkey = pn.s
+        |ORDER BY suppkey""".stripMargin,
+    "g18_clustering_coeff" ->
+      s"""$triangleCtes,
+        |deg AS (SELECT s, count(*) AS d
+        |        FROM (SELECT a AS s FROM e UNION ALL SELECT b FROM e) GROUP BY s)
+        |SELECT s_suppkey AS suppkey,
+        |  CAST(coalesce(d, 0) AS BIGINT) AS deg,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN coalesce(d, 0) >= 2
+        |    THEN (2 * coalesce(n, 0) * 1000000) // (d * (d - 1)) ELSE 0 END AS BIGINT) AS cc_micro
+        |FROM supplier LEFT JOIN pn ON s_suppkey = pn.s LEFT JOIN deg ON s_suppkey = deg.s
         |ORDER BY suppkey""".stripMargin,
     "d3_minhash_lsh" ->
       """WITH sh AS (

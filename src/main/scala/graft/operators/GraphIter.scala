@@ -734,32 +734,78 @@ object GraphIter {
     */
   def g7TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val edges = coPurchaseEdges(t)
+    val perNode = triangleCounts(edges)
+    edges.unpersist()
+    t.supplier.select(col("s_suppkey").as("suppkey"))
+      .join(perNode, Seq("suppkey"), "left")
+      .select(col("suppkey"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("suppkey")
+  }
+
+  /** Ordered (a < b) same-nation supplier co-purchase edges — g7's graph,
+    * checkpointed for reuse by the wedge join and the degree aggregate.
+    */
+  private def coPurchaseEdges(t: Tables): DataFrame = {
     val suppNation = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
     val orderSupp = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_suppkey").as("s"))
       .distinct()
       .join(broadcast(suppNation), col("s") === col("s_suppkey"))
       .select(col("okey"), col("s"), col("s_nationkey").as("nat"))
-    val edges = orderSupp.as("x")
+    orderSupp.as("x")
       .join(orderSupp.as("y"),
         col("x.okey") === col("y.okey") && col("x.nat") === col("y.nat") && col("x.s") < col("y.s"))
       .select(col("x.s").as("a"), col("y.s").as("b"))
       .distinct()
       .localCheckpoint(true)
+  }
+
+  /** Per-node triangle counts over an ordered edge list: wedge join on the
+    * middle vertex + closing-edge semi-join (each triangle a<b<c found
+    * exactly once), then one explode+count per corner.
+    */
+  private def triangleCounts(edges: DataFrame): DataFrame = {
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
     val triangles = wedges
       .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
       .localCheckpoint(true)
-    edges.unpersist()
-    val perNode = triangles.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+    triangles.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
       .groupBy("suppkey")
       .agg(count(lit(1)).as("n_triangles"))
-    val out = t.supplier.select(col("s_suppkey").as("suppkey"))
+  }
+
+  /** g18: LOCAL CLUSTERING COEFFICIENT on g7's co-purchase graph — the
+    * per-node "how clique-like is my neighborhood" signal (GDS
+    * `localClusteringCoefficient`; the reference's colleague-clique
+    * analysis normalized by opportunity): cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    * in exact integer micro-units (`(2·T·1e6) DIV (deg·(deg−1))`, 0 when
+    * deg < 2) so the ranking carries no float and reproduces bit-for-bit
+    * on any engine. Triangle counts and degrees both ride the ONE
+    * checkpointed edge list (the degree aggregate is an explode+count —
+    * no second edge build), so g18 costs g7 plus one O(E) aggregate.
+    */
+  def g18ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = coPurchaseEdges(t)
+    val perNode = triangleCounts(edges)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("suppkey"))
+      .groupBy("suppkey")
+      .agg(count(lit(1)).as("deg"))
+    edges.unpersist()
+    t.supplier.select(col("s_suppkey").as("suppkey"))
+      .join(deg, Seq("suppkey"), "left")
       .join(perNode, Seq("suppkey"), "left")
-      .select(col("suppkey"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .select(
+        col("suppkey"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_micro",
+        when(col("deg") >= 2,
+          expr("(2 * n_triangles * 1000000) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
       .orderBy("suppkey")
-    out
   }
 }

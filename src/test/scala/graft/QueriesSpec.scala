@@ -178,9 +178,50 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("g7 per-node triangle counts sum to 3x the triangle total") {
-    val df = operators.GraphIter.g7TriangleCount(spark, dir)
+    // sf0.01: the sf0.001 co-purchase graph has no edges at all, which
+    // would make this invariant vacuous (0 % 3 == 0).
+    val df = operators.GraphIter.g7TriangleCount(spark, "/root/testdata/sf0.01")
     val total = df.agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(total > 0, "degenerate gate: no triangles")
     assert(total % 3 === 0)
+  }
+
+  test("g18 clustering coefficient equals a driver-side set-based recount") {
+    // Independent edge build: collect the (order, supplier, nation) rows
+    // and form the same-nation co-purchase graph with Scala sets — none
+    // of the wedge-join / semi-join machinery under test is reused.
+    // sf0.01: the sf0.001 co-purchase graph is empty (0 edges), which
+    // would make this gate vacuous.
+    val sfDir = "/root/testdata/sf0.01"
+    val t = Tables(spark, sfDir)
+    val rows = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").cast("long").as("okey"),
+        col("l_suppkey").cast("long").as("s"), col("s_nationkey").cast("long").as("nat"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("okey"), r.getAs[Long]("s"), r.getAs[Long]("nat")))
+    val byOrder = rows.groupBy(_._1)
+    val nbrs = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((_, ss) <- byOrder; x <- ss; y <- ss if x._2 < y._2 && x._3 == y._3) {
+      nbrs.getOrElseUpdate(x._2, scala.collection.mutable.Set()) += y._2
+      nbrs.getOrElseUpdate(y._2, scala.collection.mutable.Set()) += x._2
+    }
+    val allSupp = t.supplier.select("s_suppkey").collect().map(_.getLong(0))
+    val expected = allSupp.map { v =>
+      val n = nbrs.getOrElse(v, scala.collection.mutable.Set.empty[Long])
+      val tri = n.toSeq.combinations(2).count { case Seq(a, b) =>
+        nbrs(a).contains(b) || nbrs(b).contains(a)
+      }.toLong
+      val d = n.size.toLong
+      val cc = if (d >= 2) (2L * tri * 1000000L) / (d * (d - 1)) else 0L
+      (v, d, tri, cc)
+    }.toSet
+    assert(expected.exists(_._4 > 0), "degenerate gate: no node with cc > 0")
+    val got = operators.GraphIter.g18ClusteringCoeff(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("suppkey"), r.getAs[Long]("deg"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("cc_micro"))).toSet
+    assert(got === expected)
   }
 
   test("native minhash signature is bit-identical to the explode + min-agg formulation") {
