@@ -36,6 +36,7 @@ object SparkEntry {
     "q15_auto_distinct"  -> Relational.q15AutoDistinct _,
     "q16_skew_probe"     -> Relational.q16SkewProbe _,
     "q17_histogram_quantiles" -> operators.HistogramQuantiles.q17HistogramQuantiles _,
+    "q18_cohort_setops"  -> operators.ExactRollup.q18CohortSetops _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -711,6 +712,32 @@ object SparkEntry {
         |FROM d, b
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q18_cohort_setops" ->
+      """WITH d AS (
+        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |    event_type, user_id
+        |  FROM events),
+        |bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        |m AS (SELECT lo + (hi - lo) // 2 AS mid FROM bnd),
+        |ca AS (SELECT DISTINCT event_type, user_id FROM d, m WHERE day < mid),
+        |cb AS (SELECT DISTINCT event_type, user_id FROM d, m WHERE day >= mid),
+        |et AS (SELECT DISTINCT event_type FROM d),
+        |na AS (SELECT event_type, count(*) AS n FROM ca GROUP BY event_type),
+        |nb AS (SELECT event_type, count(*) AS n FROM cb GROUP BY event_type),
+        |nr AS (SELECT event_type, count(*) AS n
+        |       FROM (SELECT event_type, user_id FROM ca INTERSECT SELECT event_type, user_id FROM cb)
+        |       GROUP BY event_type)
+        |SELECT et.event_type,
+        |  CAST(coalesce(na.n, 0) AS BIGINT) AS n_users_a,
+        |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_users_b,
+        |  CAST(coalesce(nr.n, 0) AS BIGINT) AS returning_users,
+        |  CAST(coalesce(na.n, 0) - coalesce(nr.n, 0) AS BIGINT) AS churned_users,
+        |  CAST(coalesce(nb.n, 0) - coalesce(nr.n, 0) AS BIGINT) AS new_users
+        |FROM et
+        |LEFT JOIN na USING (event_type)
+        |LEFT JOIN nb USING (event_type)
+        |LEFT JOIN nr USING (event_type)
         |ORDER BY event_type""".stripMargin,
     "q15_auto_distinct" ->
       """SELECT l_returnflag,

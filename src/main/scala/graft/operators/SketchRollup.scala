@@ -112,6 +112,42 @@ object ExactRollup {
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     distinctUsersOverRange(cells, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
   }
+
+  /** q18: cohort SET ALGEBRA on the exact rollup — the retention /
+    * returning-user numbers (|A|, |B|, A∩B, A∖B, B∖A for period cohorts
+    * A and B) answered ENTIRELY from the stored per-day blobs: one pass
+    * over the cell table unions each period's sets per event type
+    * (conditional [[org.apache.spark.sql.graft.RoaringBlobUnionBlob]]
+    * aggregates — null cells skip, so both cohorts ride the same scan),
+    * then intersection and difference are scalar blob kernels on the
+    * k-row result. count(DISTINCT) can answer any ONE of these with a
+    * rescan of raw events per question; the rollup answers ALL of them,
+    * exactly, from O(days) small binaries — the roaring analog of what
+    * no HLL sketch can do at all (sketch intersection has no error
+    * bound worth shipping). Periods: first vs second half of the
+    * observed day range (bounded two-scalar probe, the q13 pattern).
+    */
+  def q18CohortSetops(spark: SparkSession, dir: String): DataFrame = {
+    val cells = buildDaily(spark, dir).localCheckpoint(true)
+    val r = cells.agg(min(col("day")), max(col("day"))).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2 // A = [lo, mid), B = [mid, hi]
+    cells
+      .groupBy(col("event_type"))
+      .agg(
+        RoaringAggregates.roaringBlobUnionBlob(
+          when(col("day") < mid, col("user_set"))).as("a"),
+        RoaringAggregates.roaringBlobUnionBlob(
+          when(col("day") >= mid, col("user_set"))).as("b"))
+      .select(
+        col("event_type"),
+        RoaringAggregates.roaringBlobCardinality(col("a")).as("n_users_a"),
+        RoaringAggregates.roaringBlobCardinality(col("b")).as("n_users_b"),
+        RoaringAggregates.roaringBlobAndCount(col("a"), col("b")).as("returning_users"))
+      .withColumn("churned_users", col("n_users_a") - col("returning_users"))
+      .withColumn("new_users", col("n_users_b") - col("returning_users"))
+      .orderBy("event_type")
+  }
 }
 
 /** EXACT quantiles from a mergeable frequency rollup — the third member

@@ -165,6 +165,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_roaring_union_blob"),
+        new ExpressionInfo(classOf[RoaringBlobUnionBlob].getName, "graft_roaring_union_blob"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_roaring_union_blob expects exactly 1 argument")
+          RoaringBlobUnionBlob(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_roaring_card"),
+        new ExpressionInfo(classOf[RoaringBlobCardinality].getName, "graft_roaring_card"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_roaring_card expects exactly 1 argument")
+          RoaringBlobCardinality(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_roaring_and"),
+        new ExpressionInfo(classOf[RoaringBlobAndCount].getName, "graft_roaring_and"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "graft_roaring_and expects exactly 2 arguments")
+          RoaringBlobAndCount(children.head, children(1))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_sorted_intersect"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "graft_sorted_intersect"),
         (children: Seq[Expression]) => {

@@ -2,8 +2,9 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType}
 
@@ -87,6 +88,40 @@ final class RoaringContainer {
       while (i < other.n) { add(other.arr(i) & 0xffff); i += 1 }
     }
 
+  /** Size of the intersection with `other`, without materializing it:
+    * bitmap×bitmap is a popcount of ANDed words, array×bitmap probes
+    * bits, array×array is a sorted merge-walk.
+    */
+  def intersectCount(other: RoaringContainer): Int =
+    if (bits != null && other.bits != null) {
+      var c = 0
+      var i = 0
+      while (i < 1024) { c += java.lang.Long.bitCount(bits(i) & other.bits(i)); i += 1 }
+      c
+    } else if (bits != null) other.intersectCount(this)
+    else if (other.bits != null) {
+      var c = 0
+      var i = 0
+      while (i < n) {
+        val v = arr(i) & 0xffff
+        if ((other.bits(v >>> 6) & (1L << (v & 63))) != 0L) c += 1
+        i += 1
+      }
+      c
+    } else {
+      var c = 0
+      var i = 0
+      var j = 0
+      while (i < n && j < other.n) {
+        val a = arr(i) & 0xffff
+        val b = other.arr(j) & 0xffff
+        if (a < b) i += 1
+        else if (a > b) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+
   def foreachSet(f: Int => Unit): Unit =
     if (bits != null) {
       var w = 0
@@ -148,6 +183,18 @@ final class RoaringSet {
   def cardinality: Long = {
     var total = 0L
     containers.foreachValue(total += _.n)
+    total
+  }
+
+  /** |this ∩ other| — container-wise, touching only shared keys. */
+  def intersectCardinality(other: RoaringSet): Long = {
+    val (small, big) =
+      if (containers.size <= other.containers.size) (this, other) else (other, this)
+    var total = 0L
+    small.containers.foreachEntry { (key, c) =>
+      val oc = big.containers.getOrNull(key)
+      if (oc != null) total += c.intersectCount(oc)
+    }
     total
   }
 
@@ -370,6 +417,110 @@ case class RoaringBlobUnionCount(
     copy(child = newChildren.head)
 }
 
+/** `graft_roaring_union_blob(blob)` — union of [[RoaringSetAgg]] blobs
+  * AS A BLOB: the rollup-maintenance sibling of [[RoaringBlobUnionCount]]
+  * (count out). Folding daily cells into weekly/monthly cells, or the two
+  * sides of a cohort comparison, stays inside the canonical serialized
+  * form — so set ALGEBRA (intersection, difference via [[RoaringOps]])
+  * can run on the unioned results without ever touching raw rows.
+  */
+case class RoaringBlobUnionBlob(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[RoaringSet] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_roaring_union_blob"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): RoaringSet = new RoaringSet
+
+  override def update(buffer: RoaringSet, input: InternalRow): RoaringSet = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(RoaringSet.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: RoaringSet, other: RoaringSet): RoaringSet = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: RoaringSet): Any = buffer.serialize()
+
+  override def serialize(buffer: RoaringSet): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): RoaringSet =
+    RoaringSet.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RoaringBlobUnionBlob =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RoaringBlobUnionBlob =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Static kernels for the scalar roaring expressions — public so
+  * generated code can call them by name.
+  */
+object RoaringOps {
+  def cardinality(blob: Array[Byte]): Long =
+    RoaringSet.deserialize(blob).cardinality
+
+  def andCount(a: Array[Byte], b: Array[Byte]): Long =
+    RoaringSet.deserialize(a).intersectCardinality(RoaringSet.deserialize(b))
+}
+
+/** `graft_roaring_card(blob)` — exact cardinality of one stored blob. */
+case class RoaringBlobCardinality(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_roaring_card"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RoaringOps.cardinality(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graft.RoaringOps.cardinality($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_roaring_and(a, b)` — EXACT |A ∩ B| of two stored blobs, the
+  * set-algebra query face of the exact rollup: returning-user /
+  * retention / overlap questions answered from two range-union blobs
+  * without rescanning raw rows. Difference needs no third kernel —
+  * |A ∖ B| = |A| − |A ∩ B| with both terms exact.
+  */
+case class RoaringBlobAndCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_roaring_and"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RoaringOps.andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.RoaringOps.andCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers for the roaring aggregates. */
 object RoaringAggregates {
   /** Exact distinct count of long keys; compressed-set buffer. */
@@ -386,4 +537,18 @@ object RoaringAggregates {
   def roaringBlobUnionCount(blob: Column): Column =
     ExpressionUtils.column(
       RoaringBlobUnionCount(ExpressionUtils.expression(blob)).toAggregateExpression())
+
+  /** Union of stored blobs as a blob (rollup maintenance / cohort side). */
+  def roaringBlobUnionBlob(blob: Column): Column =
+    ExpressionUtils.column(
+      RoaringBlobUnionBlob(ExpressionUtils.expression(blob)).toAggregateExpression())
+
+  /** Exact cardinality of one stored blob. */
+  def roaringBlobCardinality(blob: Column): Column =
+    ExpressionUtils.column(RoaringBlobCardinality(ExpressionUtils.expression(blob)))
+
+  /** Exact |A ∩ B| of two stored blobs. */
+  def roaringBlobAndCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      RoaringBlobAndCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -171,4 +171,56 @@ class RoaringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggs.length >= 2,
       s"expected partial+final ObjectHashAggregate, got:\n${physical(q12)}")
   }
+
+  test("roaring set: intersectCardinality matches Set semantics across container modes") {
+    val rng = new scala.util.Random(53)
+    (1 to 50).foreach { _ =>
+      // Overlapping ranges so intersections are non-trivial; sizes
+      // straddle the 4096 array→bitmap promotion on one or both sides.
+      val ka = randomKeys(rng, 1 + rng.nextInt(6000))
+      val kb = randomKeys(rng, 1 + rng.nextInt(6000)) ++ ka.take(rng.nextInt(ka.length))
+      val (a, b) = (new RoaringSet, new RoaringSet)
+      ka.foreach(a.add)
+      kb.foreach(b.add)
+      val expect = ka.toSet.intersect(kb.toSet).size.toLong
+      assert(a.intersectCardinality(b) === expect)
+      assert(b.intersectCardinality(a) === expect, "intersection must be symmetric")
+    }
+    // Forced pure-bitmap × pure-array corners.
+    val big = new RoaringSet
+    (0L until 5000L).foreach(big.add)
+    val small = new RoaringSet
+    Seq(3L, 4999L, 70000L).foreach(small.add)
+    assert(big.intersectCardinality(small) === 2L)
+  }
+
+  test("q18 cohort set-ops agree with a count-distinct recompute and are internally consistent") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = operators.ExactRollup.q18CohortSetops(spark, dir01).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users_a"), r.getAs[Long]("n_users_b"),
+          r.getAs[Long]("returning_users"), r.getAs[Long]("churned_users"),
+          r.getAs[Long]("new_users")))).toMap
+    assert(got.values.exists(_._3 > 0), "degenerate gate: no returning users anywhere")
+    got.values.foreach { case (na, nb, ret, churn, nw) =>
+      assert(ret <= math.min(na, nb) && churn === na - ret && nw === nb - ret)
+    }
+    // Independent recompute: distinct user sets per half straight off the
+    // events scan — no blobs, no roaring code.
+    val d = Tables(spark, dir01).events
+      .select(expr("ts DIV 86400000000000").cast("long").as("day"),
+        col("event_type"), col("user_id"))
+    val r = d.agg(min("day"), max("day")).collect()(0)
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val sets = d.collect()
+      .groupBy(x => (x.getAs[String]("event_type"), x.getAs[Long]("day") >= mid))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Long]("user_id")).toSet }
+    val expected = sets.keys.map(_._1).toSeq.distinct.map { et =>
+      val a = sets.getOrElse((et, false), Set.empty[Long])
+      val b = sets.getOrElse((et, true), Set.empty[Long])
+      val ret = a.intersect(b).size.toLong
+      et -> ((a.size.toLong, b.size.toLong, ret, a.size - ret, b.size - ret))
+    }.toMap
+    assert(got === expected)
+  }
 }

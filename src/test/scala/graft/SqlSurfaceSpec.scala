@@ -72,6 +72,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("roaring set algebra is reachable from SQL: store, union, intersect, cardinality") {
+    // The whole store→union→intersect path in one statement: per-flag
+    // daily-ish cells, two cohorts unioned as blobs, intersected exactly.
+    val got = spark.sql(
+      """WITH cells AS (
+        |  SELECT l_returnflag AS f, l_linenumber AS seg,
+        |    graft_roaring_set(l_suppkey) AS s
+        |  FROM lineitem GROUP BY 1, 2),
+        |coh AS (
+        |  SELECT f,
+        |    graft_roaring_union_blob(CASE WHEN seg <= 3 THEN s END) AS a,
+        |    graft_roaring_union_blob(CASE WHEN seg > 3 THEN s END) AS b
+        |  FROM cells GROUP BY f)
+        |SELECT f, graft_roaring_card(a) AS na, graft_roaring_card(b) AS nb,
+        |  graft_roaring_and(a, b) AS nab
+        |FROM coh ORDER BY f""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = spark.sql(
+      """SELECT l_returnflag AS f,
+        |  count(DISTINCT CASE WHEN l_linenumber <= 3 THEN l_suppkey END) AS na,
+        |  count(DISTINCT CASE WHEN l_linenumber > 3 THEN l_suppkey END) AS nb,
+        |  count(DISTINCT CASE WHEN l_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem i
+        |    WHERE i.l_returnflag = lineitem.l_returnflag AND i.l_linenumber > 3)
+        |    AND l_linenumber <= 3 THEN l_suppkey END) AS nab
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.exists(_._4 > 0), "degenerate gate: no overlap anywhere")
+  }
+
   test("graft_zvalue is reachable from SQL and matches the Layout column form") {
     import org.apache.spark.sql.functions._
     Tables(spark, dir).events.createOrReplaceTempView("events_z")
