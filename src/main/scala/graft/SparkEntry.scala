@@ -120,6 +120,7 @@ object SparkEntry {
     "t23_cluster_balance" -> ((s: SparkSession, d: String) => similarity.Cluster.t23ClusterBalance(s, d)),
     "t24_drift_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t24DriftTerms(s, d)),
     "t25_lm_buckets"     -> TextFuncs.t25LmBuckets _,
+    "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -1724,6 +1725,26 @@ object SparkEntry {
         |  CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup
         |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+    "h6_fk_audit" -> {
+      def one(name: String, childSel: String, parentSel: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  count(*) AS n_child,
+           |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  CAST(count(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT) AS n_orphan_keys
+           |FROM ($childSel) c LEFT JOIN (SELECT DISTINCT k FROM ($parentSel)) p ON c.k = p.k""".stripMargin
+      Seq(
+        one("lineitem->orders", "SELECT l_orderkey AS k FROM lineitem",
+          "SELECT o_orderkey AS k FROM orders"),
+        one("lineitem->part", "SELECT l_partkey AS k FROM lineitem",
+          "SELECT p_partkey AS k FROM part"),
+        one("lineitem->supplier", "SELECT l_suppkey AS k FROM lineitem",
+          "SELECT s_suppkey AS k FROM supplier"),
+        one("orders->customer", "SELECT o_custkey AS k FROM orders",
+          "SELECT c_custkey AS k FROM customer WHERE c_custkey % 50 <> 0"),
+        one("customer->nation", "SELECT c_nationkey AS k FROM customer",
+          "SELECT n_nationkey AS k FROM nation"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
     "h1_upsert_dim" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

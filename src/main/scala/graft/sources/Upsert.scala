@@ -295,4 +295,47 @@ object Upsert {
     scd2(existing.unionByName(incoming), Seq("custkey"), "version")
       .orderBy("custkey", "version")
   }
+
+  /** h6: referential-integrity AUDIT across the star schema — per FK
+    * relationship, how many child rows point at a parent that isn't
+    * there (and how many distinct such keys). This is the ingest gate
+    * between an upsert-maintained dimension store and a continuously
+    * landing fact stream: facts can reference dimension keys whose
+    * upsert batch hasn't arrived yet (the reference auto-creates such
+    * parents on first sight — MERGE on org_name, mysql2neo4j.py:740 —
+    * precisely because its fact feed outruns its dimension feed), and
+    * the audit is what tells an operator whether that's a trickle or a
+    * broken upstream. The in-flight condition is simulated
+    * deterministically: customers with `c_custkey % 50 == 0` haven't
+    * landed yet, so orders→customer shows real orphans while the other
+    * relationships audit clean (both branches non-vacuous).
+    *
+    * Shape per relationship: project both sides to the key, ONE left
+    * join (parent side distinct + broadcast-eligible; the fact side is
+    * the only big scan), and a fully partial-aggregable count/
+    * conditional-count — no row wider than a key ever moves. At 100 TB
+    * run the parent probe through [[graft.dedup.Dedup.d16BloomPrefilter]]'s
+    * filter expression first so only maybe-orphans reach the join.
+    */
+  def h6FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val arrived = t.customer.filter(pmod(col("c_custkey"), lit(50)) =!= 0)
+    def audit(name: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")).distinct().withColumn("present", lit(1)),
+          Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          countDistinct(when(col("present").isNull, col("k"))).as("n_orphan_keys"))
+        .select(lit(name).as("relationship"),
+          col("n_child"), col("n_orphans"), col("n_orphan_keys"))
+    audit("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      .unionByName(audit("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"))
+      .unionByName(audit("lineitem->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"))
+      .unionByName(audit("orders->customer", t.orders, "o_custkey", arrived, "c_custkey"))
+      .unionByName(audit("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"))
+      .orderBy("relationship")
+  }
 }

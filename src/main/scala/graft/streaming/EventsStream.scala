@@ -42,6 +42,14 @@ final case class AsofRow(
 /** Emitted closed session. */
 final case class SessionRow(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
+/** Exact-rollup cell state carried between micro-batches: the canonical
+  * roaring blob plus the event count.
+  */
+final case class RollupCellState(blob: Array[Byte], n_events: Long)
+
+/** Emitted maintained rollup cell (latest version per (day, type)). */
+final case class RollupCell(day: Long, event_type: String, user_set: Array[Byte], n_events: Long)
+
 /** Structured Streaming forms of the F-group operators.
   *
   * Each takes an unbounded DataFrame with schema
@@ -437,6 +445,41 @@ object EventsStream {
     * a budget never expires. The latch is monotone because per-call
     * costs are non-negative.
     */
+  /** Streaming maintenance of [[graft.operators.ExactRollup]]'s cell
+    * store: each micro-batch folds its events into the per-(day, type)
+    * roaring-blob state and emits the UPDATED cell — a live-maintained
+    * exact rollup, so q13/q18-style range-distinct and cohort-set-algebra
+    * queries run against cells that are current to the last micro-batch
+    * instead of the last batch rebuild. Because the blob serialization is
+    * CANONICAL (a pure function of the set), the maintained cell is
+    * bit-identical to a batch rebuild over the same events, whatever the
+    * arrival order or batch boundaries — spec-checked at the byte level.
+    *
+    * Unwatermarked BY DESIGN, like the cost meter: rollup cells never
+    * expire (a distinct count over January must absorb a February-arriving
+    * late event). State is bounded by days × event types — the CELL count
+    * — not by events; each cell holds one compressed set that is the
+    * rollup's actual product. Output mode: Update (the sink upserts cells
+    * by key, the [[graft.sources.Upsert]] contract).
+    */
+  def exactRollupStream(events: Dataset[RawEvent]): Dataset[RollupCell] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.graft.RoaringSet
+    events
+      .groupByKey(e => (e.ts / 86400000000000L, e.event_type))
+      .mapGroupsWithState[RollupCellState, RollupCell](GroupStateTimeout.NoTimeout) {
+        case ((day, et), rows, state) =>
+          val set = state.getOption
+            .map(s => RoaringSet.deserialize(s.blob))
+            .getOrElse(new RoaringSet)
+          var n = state.getOption.map(_.n_events).getOrElse(0L)
+          rows.foreach { e => set.add(e.user_id); n += 1 }
+          val blob = set.serialize()
+          state.update(RollupCellState(blob, n))
+          RollupCell(day, et, blob, n)
+      }
+  }
+
   def costMeterStream(events: DataFrame, costLimitMicro: Long = 2000000L): DataFrame =
     graft.functions.TextFuncs.costPerCall(events)
       .groupBy("model")

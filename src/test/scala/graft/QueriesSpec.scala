@@ -1038,6 +1038,27 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("h6 FK audit orphan counts match an independent anti-join recount") {
+    val t = Tables(spark, dir)
+    val got = sources.Upsert.h6FkAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("relationship") ->
+        ((r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"), r.getAs[Long]("n_orphan_keys"))))
+      .toMap
+    assert(got.size === 5)
+    // Clean relationships audit clean; the simulated in-flight dimension
+    // shows real orphans — both branches non-vacuous.
+    assert(got("lineitem->orders")._2 === 0L)
+    val oc = got("orders->customer")
+    assert(oc._2 > 0L && oc._3 > 0L, "degenerate gate: no orphans on the in-flight dimension")
+    // Independent recount via left_anti (a different join shape).
+    val orphans = t.orders.select(col("o_custkey"))
+      .join(t.customer.filter(pmod(col("c_custkey"), lit(50)) =!= 0)
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+    assert(oc._2 === orphans.count())
+    assert(oc._3 === orphans.distinct().count())
+    assert(oc._1 === t.orders.count())
+  }
+
   test("m8 cross-modal resolve equals a brute-force dual-modality union-find") {
     def bands(fp: Long): Seq[Long] = (0 until 4).map(i => (fp >> (i * 15)) & 32767L)
     val media = multimodal.Media.m5Phash(spark, dir).collect()

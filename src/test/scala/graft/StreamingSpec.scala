@@ -374,6 +374,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(matrix === Map((1L, 0L) -> 1L, (1L, 1L) -> 1L, (1L, 3L) -> 1L, (2L, 0L) -> 1L))
   }
 
+  test("streaming exact rollup maintains cells bit-identical to a batch rebuild") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val dayNs = 86400000000000L
+    val mem = MemoryStream[Ev]
+    // Latest emitted cell per key across batches (update semantics).
+    val acc = scala.collection.mutable.Map.empty[(Long, String), (Long, Seq[Byte], Long)]
+    val q = EventsStream.exactRollupStream(mem.toDF().as[graft.streaming.RawEvent])
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.RollupCell], bid: Long) =>
+        val rows = ds.collect()
+        acc.synchronized {
+          rows.foreach(c => acc((c.day, c.event_type)) = (bid, c.user_set.toSeq, c.n_events))
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val b1 = Seq(
+      Ev(1, 10, "view", 1 * dayNs + 1, 0.0),
+      Ev(2, 11, "view", 1 * dayNs + 2, 0.0),
+      Ev(3, 10, "view", 1 * dayNs + 3, 0.0), // repeat user same day
+      Ev(4, 10, "click", 1 * dayNs + 4, 0.0),
+      Ev(5, 12, "view", 2 * dayNs + 5, 0.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    // Batch 2 touches an EXISTING cell (day 1 view: new user + repeat)
+    // and opens a new one; day-1 arrival after day-2 exercises the
+    // no-expiry contract.
+    val b2 = Seq(
+      Ev(6, 13, "view", 1 * dayNs + 6, 0.0),
+      Ev(7, 11, "view", 1 * dayNs + 7, 0.0),
+      Ev(8, 12, "purchase", 2 * dayNs + 8, 0.0))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = b1 ++ b2
+    // Independent reference: the canonical blob straight off RoaringSet,
+    // and the real batch aggregate over one DataFrame — all three forms
+    // must agree at the BYTE level (canonical serialization).
+    val expected = all.groupBy(e => (e.ts / dayNs, e.event_type)).map { case (k, evs) =>
+      val rs = new org.apache.spark.sql.graft.RoaringSet
+      evs.foreach(e => rs.add(e.user_id))
+      k -> ((rs.serialize().toSeq, evs.length.toLong))
+    }
+    assert(acc.view.mapValues(v => (v._2, v._3)).toMap === expected)
+    val viaAgg = all.toDF()
+      .groupBy(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+      .agg(org.apache.spark.sql.graft.RoaringAggregates.roaringSetAgg(col("user_id")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Array[Byte]]("s").toSeq, r.getAs[Long]("n"))))
+      .toMap
+    assert(viaAgg === expected)
+  }
+
   test("streaming e9 window top-k ranks closed windows and matches the batch form") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
