@@ -58,6 +58,7 @@ object SparkEntry {
     "g16_closeness"      -> ((s: SparkSession, d: String) => GraphIter.g16Closeness(s, d)),
     "g17_harmonic"       -> ((s: SparkSession, d: String) => GraphIter.g17Harmonic(s, d)),
     "g18_clustering_coeff" -> GraphIter.g18ClusteringCoeff _,
+    "g19_butterfly_count" -> GraphOps.g19ButterflyCount _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "e8_retention_cohorts" -> Events.e8RetentionCohorts _,
     "e9_window_topk"     -> ((s: SparkSession, d: String) => Events.e9WindowTopk(s, d)),
     "e10_sliding_agg"    -> ((s: SparkSession, d: String) => Events.e10SlidingAgg(s, d)),
+    "e11_disorder_probe" -> ((s: SparkSession, d: String) => Events.e11DisorderProbe(s, d)),
     // H. sources / maintenance
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
     "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d)),
@@ -955,6 +957,17 @@ object SparkEntry {
         |SELECT s_suppkey AS suppkey, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
         |FROM supplier LEFT JOIN pn ON s_suppkey = pn.s
         |ORDER BY suppkey""".stripMargin,
+    "g19_butterfly_count" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (SELECT e1.s AS s1, e2.s AS s2, count(*) AS w
+        |      FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.s < e2.s GROUP BY 1, 2),
+        |b AS (SELECT s1, s2, w * (w - 1) // 2 AS bf FROM w WHERE w >= 2),
+        |pn AS (SELECT s, sum(bf) AS n
+        |       FROM (SELECT s1 AS s, bf FROM b UNION ALL SELECT s2, bf FROM b) GROUP BY s)
+        |SELECT s_suppkey AS suppkey, CAST(coalesce(n, 0) AS BIGINT) AS n_butterflies
+        |FROM supplier LEFT JOIN pn ON s_suppkey = pn.s
+        |ORDER BY suppkey""".stripMargin,
     "g18_clustering_coeff" ->
       s"""$triangleCtes,
         |deg AS (SELECT s, count(*) AS d
@@ -1725,6 +1738,26 @@ object SparkEntry {
         |  CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup
         |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+    "e11_disorder_probe" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ns(ts) AS t,
+        |    (event_id + list_reduce(list_transform(range(1, 13),
+        |       i -> strpos('0123456789abcdef',
+        |              substr(md5(CAST(event_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1),
+        |       (a, b) -> a * 16 + b) % 2001) // 1000 AS b
+        |  FROM events),
+        |bm AS (SELECT b, max(t) AS mt FROM e GROUP BY b),
+        |pm AS (SELECT b, max(mt) OVER (ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM bm),
+        |l AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN pm.prev IS NOT NULL AND pm.prev > e.t THEN pm.prev - e.t ELSE 0 END AS late
+        |  FROM e JOIN pm USING (b))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS late_ppm,
+        |  CAST(max(late) // 1000000 AS BIGINT) AS max_late_ms
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "h6_fk_audit" -> {
       def one(name: String, childSel: String, parentSel: String): String =
         s"""SELECT '$name' AS relationship,

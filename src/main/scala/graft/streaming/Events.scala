@@ -330,4 +330,54 @@ object Events {
       .join(broadcast(thresholds), Seq("event_type"))
       .filter(col("value_milli") > col("p99_milli"))
       .select(col("event_id"), col("event_type"), col("value_milli"), col("p99_milli"))
+
+  /** e11: event-time DISORDER probe — the measurement every watermark in
+    * the F-group is sized from. "How late do events actually arrive?" is
+    * an empirical property of the feed, yet watermarks are usually
+    * guessed; this operator measures it: events are grouped into ingest
+    * micro-batches by ARRIVAL order, an event is late by the amount the
+    * event-time high-water mark of PRECEDING batches exceeds its own
+    * event time, and the per-type rollup (late share in ppm, max lateness
+    * in ms) reads directly as "a watermark of `max_late_ms` would have
+    * admitted every event; one of 0 would have dropped `late_ppm`·1e-6 of
+    * them".
+    *
+    * Scale shape is the t16 two-level discipline: per-batch maxima are a
+    * map-side-combined aggregate, the running high-water mark is a window
+    * over THAT (rows = corpus/batchSize, never the corpus), and each
+    * event compares against its batch's bound through one broadcast join
+    * — no global sort, no corpus-wide window.
+    *
+    * The test feed is perfectly ordered (event_id correlates with ts), so
+    * arrival is simulated as creation order plus bounded deterministic
+    * jitter (md5-derived, 0..2000 positions — the md5 determinism
+    * discipline of t13/t17/t21); a real deployment feeds the actual
+    * arrival sequence and drops the jitter column. All arithmetic is
+    * non-negative integer ns (floor ≡ truncate, so Spark DIV and DuckDB
+    * `//` agree).
+    */
+  def e11DisorderProbe(spark: SparkSession, dir: String, batchSize: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("u",
+        conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("b", expr(s"(event_id + u % 2001) DIV $batchSize"))
+    val batchMax = e.groupBy(col("b")).agg(max(col("ts")).as("mt"))
+    // Unpartitioned window is deliberate and safe: batchMax has
+    // corpus/batchSize rows (the two-level contract), not corpus rows.
+    val wPrev = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val hwm = batchMax.withColumn("prev", max(col("mt")).over(wPrev)).select("b", "prev")
+    e.join(broadcast(hwm), Seq("b"))
+      .withColumn("late",
+        when(col("prev").isNotNull && col("prev") > col("ts"), col("prev") - col("ts"))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late") > 0, 1L).otherwise(0L)).as("n_late"),
+        expr("sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 1000000 DIV count(1)").as("late_ppm"),
+        expr("max(late) DIV 1000000").as("max_late_ms"))
+      .orderBy("event_type")
+  }
 }

@@ -1038,6 +1038,66 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("g19 butterfly counts equal a supplier-side neighbor-intersection recount") {
+    // Independent formulation: w(s1,s2) = |N(s1) ∩ N(s2)| off SUPPLIER
+    // neighbor sets (the operator enumerates customer-centered wedges —
+    // the transposed computation).
+    val sfDir = "/root/testdata/sf0.01"
+    val t = Tables(spark, sfDir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"), col("l_suppkey").cast("long").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = edges.groupBy(_._2).map { case (s, es) => s -> es.map(_._1).toSet }
+    val supps = bySupp.keys.toSeq.sorted
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- supps.indices; j <- (i + 1) until supps.length) {
+      val w = bySupp(supps(i)).intersect(bySupp(supps(j))).size.toLong
+      if (w >= 2) {
+        val bf = w * (w - 1) / 2
+        perNode(supps(i)) += bf
+        perNode(supps(j)) += bf
+      }
+    }
+    val expected = t.supplier.select("s_suppkey").collect()
+      .map(r => (r.getLong(0), perNode(r.getLong(0)))).toSet
+    assert(expected.exists(_._2 > 0), "degenerate gate: no butterflies in the graph")
+    val got = operators.GraphOps.g19ButterflyCount(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("suppkey"), r.getAs[Long]("n_butterflies"))).toSet
+    assert(got === expected)
+  }
+
+  test("e11 disorder probe equals a driver-side high-water-mark recount") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val evs = Tables(spark, dir).events
+      .select("event_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"), r.getAs[Long]("ts")))
+    val batched = evs.map { case (id, et, ts) =>
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
+      ((id + u % 2001) / 1000, et, ts)
+    }
+    val batchMax = batched.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._3).max }
+    val bs = batchMax.keys.toSeq.sorted
+    val prev = bs.zipWithIndex.map { case (b, i) =>
+      b -> (if (i == 0) None else Some(bs.take(i).map(batchMax).max))
+    }.toMap
+    val expected = batched.groupBy(_._2).map { case (et, rs) =>
+      val lates = rs.map { case (b, _, ts) =>
+        prev(b) match { case Some(p) if p > ts => p - ts; case _ => 0L }
+      }
+      val nLate = lates.count(_ > 0).toLong
+      et -> ((rs.length.toLong, nLate, nLate * 1000000L / rs.length, lates.max / 1000000L))
+    }
+    assert(expected.values.exists(_._2 > 0), "degenerate gate: no late events")
+    val got = streaming.Events.e11DisorderProbe(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+          r.getAs[Long]("late_ppm"), r.getAs[Long]("max_late_ms")))).toMap
+    assert(got === expected)
+  }
+
   test("h6 FK audit orphan counts match an independent anti-join recount") {
     val t = Tables(spark, dir)
     val got = sources.Upsert.h6FkAudit(spark, dir).collect()
