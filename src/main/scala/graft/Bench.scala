@@ -115,7 +115,11 @@ object Bench {
     // truncation of the captured stdout (the r7 lost-d-group failure mode).
     println(line)
     System.out.flush()
-    val benchFile = java.nio.file.Paths.get(s"bench_$sf.json")
+    // Subset runs (SPARK_GRAFT_BENCH_KEYS) persist to a _subset file: a
+    // session-effect bisection must never clobber the committed full-sweep
+    // artifact (it did, twice, before this guard).
+    val benchFile = java.nio.file.Paths.get(
+      if (only.isEmpty) s"bench_$sf.json" else s"bench_${sf}_subset.json")
     java.nio.file.Files.write(benchFile, line.getBytes("UTF-8"))
     spark.stop()
     // ...and AGAIN as the very last line of stdout: a driver that keeps only
