@@ -95,6 +95,7 @@ object SparkEntry {
     "m7_media_resolve"   -> Media.m7MediaResolve _,
     "m8_crossmodal_resolve" -> ((s: SparkSession, d: String) => Media.m8CrossModalResolve(s, d)),
     "m9_incremental_media_dedup" -> ((s: SparkSession, d: String) => Media.m9IncrementalMediaDedup(s, d)),
+    "m10_byte_drift"     -> ((s: SparkSession, d: String) => Media.m10ByteDrift(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -1297,6 +1298,25 @@ object SparkEntry {
          |  CAST(length(rhx) // 2 AS BIGINT) AS resized_bytes,
          |  md5(rhx) AS resized_hash
          |FROM r ORDER BY doc_id""".stripMargin,
+    "m10_byte_drift" ->
+      s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+         |bb AS (
+         |  SELECT doc_id % 2 AS slice,
+         |    unnest(list_transform(range(0, length(hx) // 2), i ->
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16 +
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INTEGER), 1)) - 1))) AS byte
+         |  FROM p),
+         |c AS (
+         |  SELECT byte,
+         |    sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         |    sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS cnt_b
+         |  FROM bb GROUP BY byte),
+         |tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM c)
+         |SELECT CAST(byte AS BIGINT) AS byte,
+         |  CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+         |  CAST(cnt_a * tb - cnt_b * ta AS BIGINT) AS drift
+         |FROM c, tot
+         |ORDER BY abs(cnt_a * tb - cnt_b * ta) DESC, byte LIMIT 32""".stripMargin,
     "m4_byte_stats" ->
       s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
          |b AS (

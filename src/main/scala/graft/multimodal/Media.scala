@@ -357,6 +357,41 @@ object Media {
     * the real thing — binary column in, case-class `Dataset` out, one
     * partition-granular pass, no shuffle.
     */
+  /** m10: byte-distribution DRIFT between two media slices — t24's
+    * pure-integer drift report on the perceptual tier: a re-encode,
+    * codec-default change, or corruption upstream shifts the byte-value
+    * distribution of a media crawl long before any per-item check fires,
+    * and the drift report names the shifted byte values. Slices here are
+    * the deterministic doc_id parity split (two "crawls" of the same
+    * corpus stand-in); per slice the 256-bin histogram comes from ONE
+    * pass per payload through the codegen'd [[org.apache.spark.sql.graft.ByteHistogram]]
+    * kernel (no per-byte explode of the payload — fan-out is the FIXED
+    * 256 bins per row, combined map-side), totals are a broadcast 1-row
+    * aggregate, and drift = cnt_a·tot_b − cnt_b·tot_a stays exact long
+    * arithmetic (= tot_a·tot_b·(p_a−p_b); bound holds to ~3·10⁹ bytes
+    * per slice — past that, rescale counts per-million as t24 does).
+    * Top-32 by |drift| lands as TakeOrdered, never a full sort.
+    */
+  def m10ByteDrift(spark: SparkSession, dir: String, topK: Int = 32): DataFrame = {
+    val hist = Tables(spark, dir).documents
+      .select(pmod(col("doc_id"), lit(2)).as("slice"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .byteHistogram(payload(col("doc_id"), col("text"))).as("h"))
+      .select(col("slice"), posexplode(col("h")).as(Seq("byte", "cnt")))
+      .groupBy(col("byte"))
+      .agg(
+        sum(when(col("slice") === 0, col("cnt")).otherwise(0L)).as("cnt_a"),
+        sum(when(col("slice") === 1, col("cnt")).otherwise(0L)).as("cnt_b"))
+      .filter(col("cnt_a") + col("cnt_b") > 0)
+    val tot = hist.agg(sum("cnt_a").as("ta"), sum("cnt_b").as("tb"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("byte").cast("long").as("byte"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a") * col("tb") - col("cnt_b") * col("ta")).as("drift"))
+      .orderBy(abs(col("drift")).desc, col("byte").asc)
+      .limit(topK)
+      .select("byte", "cnt_a", "cnt_b", "drift")
+  }
+
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
     import spark.implicits._
     Tables(spark, dir).documents

@@ -746,7 +746,7 @@ object GraphIter {
   /** Ordered (a < b) same-nation supplier co-purchase edges — g7's graph,
     * checkpointed for reuse by the wedge join and the degree aggregate.
     */
-  private def coPurchaseEdges(t: Tables): DataFrame = {
+  private[graft] def coPurchaseEdges(t: Tables): DataFrame = {
     val suppNation = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
     val orderSupp = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_suppkey").as("s"))
@@ -765,7 +765,7 @@ object GraphIter {
     * middle vertex + closing-edge semi-join (each triangle a<b<c found
     * exactly once), then one explode+count per corner.
     */
-  private def triangleCounts(edges: DataFrame): DataFrame = {
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))

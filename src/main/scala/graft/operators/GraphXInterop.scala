@@ -110,6 +110,23 @@ object GraphXInterop {
     spark.createDataFrame(comps).toDF("node", "component")
   }
 
+  /** Per-node triangle counts via GraphX's `TriangleCount` over an
+    * already-canonical (src < dst, distinct) edge list — the independent
+    * engine for the g7/g18 agreement spec (exact integer counts on both
+    * sides, so agreement is bit-for-bit).
+    */
+  def triangleCountGraphX(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgeRdd = edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 1)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = graph.triangleCount().vertices.map { case (v, c) => (v, c.toLong) }
+    spark.createDataFrame(tc).toDF("node", "n_triangles")
+  }
+
   /** Personalized PageRank via GraphX's `staticPersonalizedPageRank` over
     * the same symmetrized long-keyed edges
     * [[GraphIter.personalizedPageRankMicro]] iterates — the independent

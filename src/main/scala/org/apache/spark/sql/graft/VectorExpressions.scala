@@ -535,6 +535,44 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
   * no per-byte boxing, no intermediate arrays, stays inside whole-stage
   * codegen — a 100 TB payload scan is one map-only pass.
   */
+/** Full 256-bin byte-value histogram of a binary payload as one
+  * `array<long>` — the per-row input to corpus-level byte-distribution
+  * statistics ([[graft.multimodal.Media]] m10 drift): one pass, one
+  * allocation, whole-stage codegen. The sibling of [[ByteStats]] when the
+  * DISTRIBUTION is the feature, not its moments.
+  */
+case class ByteHistogram(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_byte_histogram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteHistogramKernel.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = org.apache.spark.sql.graft.ByteHistogramKernel.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Kernel for [[ByteHistogram]] (public so generated code can call it). */
+object ByteHistogramKernel {
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) {
+      h(bytes(i) & 0xff) += 1L
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+}
+
 case class ByteStats(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -830,6 +868,10 @@ object VectorExpressions {
   /** Column wrapper for [[KmeansAssignExact]]. */
   def kmeansAssignExact(qv: Column, cents: Seq[(Long, Seq[Long], Long)]): Column =
     ExpressionUtils.column(KmeansAssignExact(ExpressionUtils.expression(qv), cents))
+
+  /** Column wrapper for [[ByteHistogram]]. */
+  def byteHistogram(payload: Column): Column =
+    ExpressionUtils.column(ByteHistogram(ExpressionUtils.expression(payload)))
 
   /** Column wrapper for [[BloomMightContainLong]]. */
   def bloomMightContainLong(

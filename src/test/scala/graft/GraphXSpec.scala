@@ -104,6 +104,34 @@ class GraphXSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("GraphX TriangleCount and the DataFrame wedge pipeline agree exactly") {
+    val ss = spark
+    import ss.implicits._
+    // Two overlapping triangles + an isolated edge: per-node counts
+    // 1→1, 2→2, 3→2, 4→1, 5/6→0.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val df = operators.GraphIter.triangleCounts(edges)
+      .collect().map(r => r.getAs[Long]("suppkey") -> r.getAs[Long]("n_triangles")).toMap
+    assert(df === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    val gx = operators.GraphXInterop.triangleCountGraphX(edges)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+      .filter(_._2 > 0)
+    assert(gx === df)
+    // And on the real co-purchase graph (sf0.01 — the sf0.001 graph is
+    // empty): exact integer counts must match node-for-node.
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val real = operators.GraphIter.coPurchaseEdges(t)
+    val dfReal = operators.GraphIter.triangleCounts(real)
+      .collect().map(r => r.getAs[Long]("suppkey") -> r.getAs[Long]("n_triangles")).toMap
+    val gxReal = operators.GraphXInterop.triangleCountGraphX(real)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+      .filter(_._2 > 0)
+    real.unpersist()
+    assert(dfReal.nonEmpty, "degenerate gate: no triangles at sf0.01")
+    assert(gxReal === dfReal)
+  }
+
   test("labeled BFS agrees exactly with GraphX per-landmark ShortestPaths") {
     val ss = spark
     import ss.implicits._

@@ -158,6 +158,23 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte histogram kernel matches the obvious per-byte reference") {
+    val rng = new scala.util.Random(59)
+    (1 to Reps).foreach { _ =>
+      val bytes = Array.fill(rng.nextInt(300))(rng.nextInt(256).toByte)
+      val h = org.apache.spark.sql.graft.ByteHistogramKernel.compute(bytes)
+      assert(h.numElements() === 256)
+      val expect = bytes.map(_ & 0xff).groupBy(identity).view.mapValues(_.length.toLong)
+      (0 until 256).foreach { v =>
+        assert(h.getLong(v) === expect.getOrElse(v, 0L), s"byte $v")
+      }
+      assert((0 until 256).map(h.getLong).sum === bytes.length.toLong)
+    }
+    // Empty payload: all-zero bins, not a crash.
+    val empty = org.apache.spark.sql.graft.ByteHistogramKernel.compute(Array.emptyByteArray)
+    assert((0 until 256).forall(empty.getLong(_) == 0L))
+  }
+
   test("block-avg-hash kernel matches the obvious grouped-mean reference") {
     val rng = new scala.util.Random(43)
     (1 to Reps).foreach { _ =>
