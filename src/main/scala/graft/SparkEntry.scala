@@ -37,6 +37,7 @@ object SparkEntry {
     "q16_skew_probe"     -> Relational.q16SkewProbe _,
     "q17_histogram_quantiles" -> operators.HistogramQuantiles.q17HistogramQuantiles _,
     "q18_cohort_setops"  -> operators.ExactRollup.q18CohortSetops _,
+    "q19_delta_agg"      -> Relational.q19DeltaAgg _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -122,6 +123,7 @@ object SparkEntry {
     "t23_cluster_balance" -> ((s: SparkSession, d: String) => similarity.Cluster.t23ClusterBalance(s, d)),
     "t24_drift_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t24DriftTerms(s, d)),
     "t25_lm_buckets"     -> TextFuncs.t25LmBuckets _,
+    "t26_mix_plan"       -> TextFuncs.t26MixPlan _,
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
@@ -717,6 +719,36 @@ object SparkEntry {
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "t26_mix_plan" ->
+      """WITH avail AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a,
+        |    CAST(length(source) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(a) AS ta, sum(w) AS tw, sum(a) * 9 // 10 AS b FROM avail),
+        |s AS (
+        |  SELECT source, a, w,
+        |    sum(a) OVER (ORDER BY a * 1.0 / w, source) AS ap,
+        |    sum(w) OVER (ORDER BY a * 1.0 / w, source) AS wp,
+        |    row_number() OVER (ORDER BY a * 1.0 / w, source) AS rk
+        |  FROM avail),
+        |kk AS (SELECT coalesce(max(rk), 0) AS k FROM s, tot
+        |       WHERE a * (tw - wp + w) <= (b - ap + a) * w),
+        |fin AS (SELECT coalesce((SELECT ap FROM s, kk WHERE rk = k), 0) AS ak,
+        |               coalesce((SELECT wp FROM s, kk WHERE rk = k), 0) AS wk)
+        |SELECT s.source, s.a AS avail_tokens, s.w AS weight,
+        |  CAST(CASE WHEN s.rk <= kk.k THEN s.a
+        |       ELSE (tot.b - fin.ak) * s.w // (tot.tw - fin.wk) END AS BIGINT) AS take_tokens,
+        |  CAST(CASE WHEN s.rk <= kk.k THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM s, kk, fin, tot ORDER BY s.source""".stripMargin,
+    "q19_delta_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem WHERE l_quantity < 45
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q18_cohort_setops" ->
       """WITH d AS (
         |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,

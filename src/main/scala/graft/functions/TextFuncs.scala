@@ -849,4 +849,61 @@ object TextFuncs {
       .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
       .orderBy(abs(col("drift")).desc, col("term").asc)
   }
+
+  /** t26: training-MIX PLAN — deterministic water-filling allocation of a
+    * token budget across sources: each source s gets its weighted share
+    * of the budget unless it has fewer tokens than that share, in which
+    * case it contributes everything and its shortfall redistributes to
+    * the others (the step every "sample source X at temperature-weighted
+    * rate" recipe performs before t17's acceptance sampling can run).
+    * The sequential redistribution has a CLOSED FORM: sort sources by
+    * tokens-per-weight, a source is capped iff its availability is below
+    * its share of what remains at its sorted position — a prefix
+    * property, so prefix sums + one max(rank) scalar decide the water
+    * level and every take is pure integer arithmetic
+    * (`(B − A_K)·w DIV (W − W_K)` — cross-multiplied comparisons, no
+    * float in any VALUE; the sort key ratio is an IEEE double both
+    * engines compute identically). Output take ≤ avail per source and
+    * Σtake ≤ B exactly.
+    *
+    * Scale shape: availability is one map-side-combined aggregate over
+    * the corpus; everything after runs on |sources| rows (the mix table
+    * — bounded by construction), so the unpartitioned windows are
+    * windows over a dimension table, never the corpus. Budget here =
+    * 9/10 of corpus tokens, weights length-derived — both deterministic
+    * so the driver gate exercises capped AND uncapped branches (10/10
+    * split at sf0.01).
+    */
+  def t26MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avail = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(
+        sum(size(split(col("text"), " "))).cast("long").as("a"),
+        first(length(col("source")) % 3 + 1).cast("long").as("w"))
+    val tot = avail.agg(
+      sum(col("a")).as("ta"), sum(col("w")).as("tw"),
+      expr("sum(a) * 9 DIV 10").as("b"))
+    val wOrd = Window.orderBy((col("a").cast("double") / col("w")).asc, col("source").asc)
+    val s = avail
+      .withColumn("ap", sum(col("a")).over(wOrd))
+      .withColumn("wp", sum(col("w")).over(wOrd))
+      .withColumn("rk", row_number().over(wOrd))
+      .crossJoin(broadcast(tot))
+    val kk = s.filter(col("a") * (col("tw") - col("wp") + col("w")) <=
+        (col("b") - col("ap") + col("a")) * col("w"))
+      .agg(coalesce(max(col("rk")), lit(0)).as("k"))
+    val fin = s.crossJoin(broadcast(kk)).filter(col("rk") === col("k"))
+      .agg(coalesce(max(col("ap")), lit(0L)).as("ak"),
+        coalesce(max(col("wp")), lit(0L)).as("wk"))
+    s.crossJoin(broadcast(kk)).crossJoin(broadcast(fin))
+      .select(
+        col("source"),
+        col("a").as("avail_tokens"),
+        col("w").as("weight"),
+        when(col("rk") <= col("k"), col("a"))
+          .otherwise(expr("(b - ak) * w DIV (tw - wk)")).as("take_tokens"),
+        when(col("rk") <= col("k"), 1L).otherwise(0L).as("capped"))
+      .orderBy("source")
+  }
 }

@@ -36,6 +36,50 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q19: INCREMENTAL aggregate maintenance (materialized-view delta
+    * fold): the q1-style stat block maintained from a stored PARTIAL
+    * state plus a delta batch, never a rescan of history — the
+    * aggregation face of the SignatureIndex / incremental-CC /
+    * exactRollupStream ingest posture. All kept aggregates are additive
+    * (count + DECIMAL sums; avg derives at READ time from the sums — a
+    * stored avg would not merge), so fold = union the partial tables and
+    * sum per group, and the result is BIT-identical to a full recompute:
+    * decimal addition is exact and order-free, which is precisely why
+    * the state is DECIMAL partials and derived ratios are computed last
+    * (a double sum would drift by fold order and flap the driver hash).
+    *
+    * Here the split is ship-date < 1997 (the "stored" years) vs ≥ 1997
+    * (the delta batch); the oracle recomputes over the full table, so
+    * the driver hash-checks fold == rebuild end to end. Scale shape: the
+    * stored side is |groups| rows (not history), the delta pass is one
+    * map-side-combined aggregate over the batch, the merge a shuffle of
+    * 2·|groups| rows.
+    */
+  def q19DeltaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def partials(df: DataFrame): DataFrame = df
+      .filter(col("l_quantity") < 45)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec("l_quantity")).as("p_qty"),
+        sum(dec("l_extendedprice")).as("p_price"))
+    val stored = partials(t.lineitem.filter(col("l_shipdate") < lit("1997-01-01")))
+    val delta = partials(t.lineitem.filter(col("l_shipdate") >= lit("1997-01-01")))
+    stored.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("p_qty")).as("m_qty"),
+        sum(col("p_price")).as("m_price"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        col("m_qty").cast("double").as("sum_qty"),
+        col("m_price").cast("double").as("sum_price"),
+        (col("m_qty").cast("double") / col("cnt")).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** q2: fact ⋈ dims with aggregation; nation/region dims are broadcast
     * (reference: leader LEFT JOIN org for region, mysql2neo4j.py:110-121).
     */

@@ -1067,6 +1067,72 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("t26 mix plan equals a sequential water-filling recount and respects its invariants") {
+    val docs = Tables(spark, dir).documents
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val avail = docs.groupBy(_._1).map { case (src, rows) =>
+      (src, rows.map(_._2.split(" ").length.toLong).sum, (src.length % 3 + 1).toLong)
+    }.toSeq
+    val budget = avail.map(_._2).sum * 9 / 10
+    // SEQUENTIAL water-filling (the closed form under test computes the
+    // same allocation via prefix sums and one max-rank scalar): walk
+    // sources by tokens-per-weight; a source below its share of what
+    // remains is capped and removed, the rest split the residual.
+    var remB = budget
+    var remW = avail.map(_._3).sum
+    val sorted = avail.sortBy { case (src, a, w) => (a.toDouble / w, src) }
+    val takes = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var i = 0
+    var capping = true
+    sorted.foreach { case (src, a, w) =>
+      if (capping && a * remW <= remB * w) {
+        takes(src) = (a, 1L); remB -= a; remW -= w
+      } else {
+        capping = false // sorted order: once uncapped, all later uncapped
+        takes(src) = (remB * w / remW, 0L)
+      }
+      i += 1
+    }
+    val expected = avail.map { case (src, a, w) =>
+      (src, a, w, takes(src)._1, takes(src)._2)
+    }.toSet
+    assert(expected.exists(_._5 == 1L) && expected.exists(_._5 == 0L),
+      "degenerate gate: need both capped and uncapped sources")
+    val got = TextFuncs.t26MixPlan(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("avail_tokens"),
+        r.getAs[Long]("weight"), r.getAs[Long]("take_tokens"), r.getAs[Long]("capped"))).toSet
+    assert(got === expected)
+    // Feasibility invariants: takes never exceed availability, the plan
+    // never exceeds the budget, and flooring loses < 1 token per source.
+    got.foreach { case (_, a, _, take, _) => assert(take <= a) }
+    val takeSum = got.toSeq.map(_._4).sum
+    assert(takeSum <= budget && budget - takeSum < got.size)
+  }
+
+  test("q19 delta fold is bit-identical to the one-pass aggregate for any split") {
+    import org.apache.spark.sql.Row
+    val full = operators.Relational.q1PricingAgg(spark, dir)
+      .select("l_returnflag", "l_linestatus", "cnt", "sum_qty", "sum_price", "avg_qty")
+      .collect().toSeq
+    val folded = operators.Relational.q19DeltaAgg(spark, dir).collect().toSeq
+    def key(r: Row) = (r.getString(0), r.getString(1))
+    assert(folded.map(key) === full.map(key))
+    // Decimal partials make the fold exact: every numeric column must be
+    // BIT-identical to the unsplit aggregate, not merely close.
+    folded.zip(full).foreach { case (f, o) =>
+      assert(f.getLong(2) === o.getAs[Long]("cnt"))
+      assert(f.getDouble(3) === o.getAs[Double]("sum_qty"))
+      assert(f.getDouble(4) === o.getAs[Double]("sum_price"))
+      assert(f.getDouble(5) === o.getAs[Double]("avg_qty"))
+    }
+    // Both sides of the split must actually carry rows, else fold ==
+    // rebuild is vacuous.
+    val t = Tables(spark, dir)
+    assert(t.lineitem.filter(col("l_shipdate") < lit("1997-01-01")).limit(1).count() === 1)
+    assert(t.lineitem.filter(col("l_shipdate") >= lit("1997-01-01")).limit(1).count() === 1)
+  }
+
   test("e11 disorder probe equals a driver-side high-water-mark recount") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
