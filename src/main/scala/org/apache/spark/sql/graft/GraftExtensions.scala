@@ -125,6 +125,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_byte_histogram"),
+        new ExpressionInfo(classOf[ByteHistogram].getName, "graft_byte_histogram"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_byte_histogram expects exactly 1 argument")
+          ByteHistogram(children.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_block_avg_hash"),
         new ExpressionInfo(classOf[BlockAvgHash60].getName, "graft_block_avg_hash"),
         (children: Seq[Expression]) => {

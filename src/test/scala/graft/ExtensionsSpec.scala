@@ -31,6 +31,7 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  size(graft_gram_codes(t)) AS n_grams,
         |  graft_sorted_intersect(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS inter,
         |  graft_byte_stats(encode(t, 'UTF-8')).n_bytes AS nb,
+        |  aggregate(graft_byte_histogram(encode(t, 'UTF-8')), 0L, (a, x) -> a + x) AS hist_sum,
         |  graft_block_avg_hash(encode(t, 'UTF-8')) AS bah
         |FROM ext_t""".stripMargin).head()
     assert(row.getDouble(0) === 1.0)
@@ -39,7 +40,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(3) === 4) // 8 chars -> 4 distinct 5-grams
     assert(row.getInt(4) === 2)
     assert(row.getLong(5) === 8L)
-    assert(row.getLong(6) ===
+    assert(row.getLong(6) === 8L) // histogram bins sum to the byte count
+    assert(row.getLong(7) ===
       org.apache.spark.sql.graft.BlockAvgHashKernel.compute("abcdefgh".getBytes("UTF-8")))
     val agg = spark.sql(
       """SELECT graft_bitmap_or_count(bm) AS c FROM (
