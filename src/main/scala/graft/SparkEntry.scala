@@ -59,7 +59,7 @@ object SparkEntry {
     "g16_closeness"      -> ((s: SparkSession, d: String) => GraphIter.g16Closeness(s, d)),
     "g17_harmonic"       -> ((s: SparkSession, d: String) => GraphIter.g17Harmonic(s, d)),
     "g18_clustering_coeff" -> GraphIter.g18ClusteringCoeff _,
-    "g19_butterfly_count" -> GraphOps.g19ButterflyCount _,
+    "g19_butterfly_count" -> ((s: SparkSession, d: String) => GraphOps.g19ButterflyCount(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -209,7 +209,7 @@ object SparkEntry {
   }
 
   /** DuckDB re-derivation of [[graft.similarity.Pq]]: per-subspace exact
-    * integer k-means (k=16, 2 refinements) over sliced quantized vectors,
+    * integer k-means (k=64, 2 refinements) over sliced quantized vectors,
     * half-up rounding to integer codebooks
     * (`(2·(s+512·n)+n) // (2·n) − 512`, numerator non-negative so floor ≡
     * truncate), integer argmin encoding, pure-integer ADC scoring — the

@@ -44,7 +44,18 @@ object Verify {
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir)
+        // Canonical row order is applied HERE, at verification-dump time,
+        // not inside the operators: production query shapes must not end
+        // in a global sort of their (possibly quadratic) output just so a
+        // correctness dump is deterministic. Sort by every orderable
+        // column left-to-right (maps aren't orderable in Spark; skip them
+        // — the remaining columns key such rows deterministically).
+        val df = fn(spark, sfDir)
+        val sortCols = df.schema.fields.collect {
+          case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+            org.apache.spark.sql.functions.col(f.name)
+        }.toSeq
+        (if (sortCols.nonEmpty) df.orderBy(sortCols: _*) else df)
           .coalesce(1)
           .write
           .mode("overwrite")

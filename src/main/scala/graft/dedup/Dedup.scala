@@ -707,8 +707,10 @@ object Dedup {
     * newline-delimited corpus would chunk at paragraph boundaries through
     * the same plan) and the d3 machinery runs at chunk granularity:
     * one-pass native MinHash signatures per chunk, banded LSH candidates
-    * (with the shared salted skew escape), exact char-5-gram Jaccard
-    * verification. Cross-document pairs only (intra-document repetition
+    * (with the shared salted skew escape, and a candidate-volume probe
+    * that auto-widens the bands when the corpus's background similarity
+    * makes the default shape quadratic — see the routing note in the
+    * body), exact char-5-gram Jaccard verification. Cross-document pairs only (intra-document repetition
     * is t14/d14's domain). Output (doc_id1, chunk1, doc_id2, chunk2,
     * jaccard_micro), doc_id1 < doc_id2.
     *
@@ -727,8 +729,9 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      nBlocks: Int = 16,
+      autoBand: Boolean = true,
+      candFactor: Long = 20L): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val chunks = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
@@ -742,19 +745,64 @@ object Dedup {
       .filter(length(col("ct")) >= 5)
       .select((col("doc_id") * expr("CAST(1048576 AS BIGINT)") + col("cn")).as("cid"), col("ct"))
       .localCheckpoint(true)
-    val banded = chunks
+    // Signatures are computed ONCE and checkpointed: the band shape below
+    // may be re-derived at a different width, and re-slicing a stored
+    // signature is a projection while re-hashing the text is the whole
+    // MinHash kernel again.
+    val sigs = chunks
       .select(col("cid"),
         org.apache.spark.sql.graft.VectorExpressions
           .minhashSignature(col("ct"), 5, numHashes).as("sig"))
-      .select(col("cid"), explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
-      .select(col("cid"), col("band_id"),
-        hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("band_hash"))
-    val keyed = banded.select(
-      (col("band_id").cast("long").multiply(lit(4294967296L))
-        .plus(col("band_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))).as("grp"),
-      col("cid").as("id"))
       .localCheckpoint(true)
+    def keyedAt(b: Int): DataFrame = {
+      val rowsPerBand = numHashes / b
+      sigs
+        .select(col("cid"), explode(sequence(lit(0), lit(b - 1))).as("band_id"), col("sig"))
+        .select(col("cid"), col("band_id"),
+          hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("band_hash"))
+        .select(
+          (col("band_id").cast("long").multiply(lit(4294967296L))
+            .plus(col("band_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))).as("grp"),
+          col("cid").as("id"))
+    }
+    // Candidate-volume-routed band shape (the q16 skew probe applied to
+    // d15's own buckets): Σ_grp C(gsz,2) is EXACTLY the row count the
+    // band self-join would emit, measured by one aggregate over the
+    // checkpointed keys BEFORE that join runs. On real text at
+    // threshold 0.8 the default narrow bands (32×4) pass the probe
+    // untouched; on adversarial corpora (tiny vocabularies — background
+    // 5-gram Jaccard ~0.2 vs ~0.02-0.05 real text) candidates explode
+    // quadratically, and each halving of the band count doubles the rows
+    // per band, collapsing background collision probability (per-pair
+    // t^4 → t^8: 1.6e-3 → 2.6e-6 at t=0.2) while keeping ≥94% recall at
+    // the 0.8 threshold (1-(1-0.8^8)^16). The escalation trades that
+    // documented recall sliver for a candidate volume proportional to
+    // true near-dups — without it the verify join is quadratic in
+    // corpus size on exactly the corpora where near-dup mass is highest.
+    var b = bands
+    var keyed = keyedAt(b).localCheckpoint(true)
+    if (autoBand) {
+      def probe(k: DataFrame): (Long, Long) = {
+        val r = k.groupBy("grp").agg(count(lit(1)).as("gsz"))
+          .agg(
+            coalesce(sum(expr("gsz * (gsz - 1) DIV 2")), lit(0L)),
+            coalesce(sum(col("gsz")), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var (mass, rows) = probe(keyed)
+      val nChunks = math.max(rows / math.max(b, 1), 1L)
+      // Floor at the documented 16×8 shape: one more halving (8×16)
+      // costs real recall at the working threshold (1-(1-0.8^16)^8 ≈ 0.22
+      // vs ≈ 0.95 at 16×8) for marginal extra selectivity.
+      while (mass > candFactor * nChunks && b > 16) {
+        keyed.unpersist()
+        b = b / 2
+        keyed = keyedAt(b).localCheckpoint(true)
+        mass = probe(keyed)._1
+      }
+    }
     val candidates = graft.operators.GraphOps
       .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
       .select(col("id1").as("cid1"), col("id2").as("cid2"))
@@ -823,10 +871,15 @@ object Dedup {
           concat(col("text"), lit(" v2")).as("text")))
       .repartition(nPart)
     val existing = docs.repartition(nPart)
-    // Bounded scalar probe: sizes the filter to the actual corpus (the
-    // production form reads this from table stats / the previous epoch).
-    val exCount = math.max(existing.count(), 1L)
-    val bloom = existing.stat.bloomFilter(xxhash64(col("text")), exCount, fpp)
+    // ONE corpus text scan for the filter build: the 8-byte digest column
+    // is checkpointed, then both the filter-sizing count and the Bloom
+    // aggregate read the digest blocks — the corpus text is never scanned
+    // twice for one filter (it was: count + stat.bloomFilter were two full
+    // passes). The production form skips the count entirely, sizing from
+    // table statistics or the previous epoch's corpus count.
+    val dg = existing.select(xxhash64(col("text")).as("dg")).localCheckpoint(true)
+    val exCount = math.max(dg.count(), 1L)
+    val bloom = dg.stat.bloomFilter(col("dg"), exCount, fpp)
     val maybe = incoming.filter(
       org.apache.spark.sql.graft.VectorExpressions
         .bloomMightContainLong(xxhash64(col("text")), bloom))

@@ -794,7 +794,10 @@ object GraphIter {
     val deg = edges.select(explode(array(col("a"), col("b"))).as("suppkey"))
       .groupBy("suppkey")
       .agg(count(lit(1)).as("deg"))
-    edges.unpersist()
+    // No unpersist here: the lazy `deg` aggregate still reads `edges`, and
+    // a localCheckpoint's blocks are owned by the ContextCleaner anyway
+    // (Dataset.unpersist is a no-op for checkpoint-backed plans) — the
+    // session-level releaseCaches sweep reclaims them after the query.
     t.supplier.select(col("s_suppkey").as("suppkey"))
       .join(deg, Seq("suppkey"), "left")
       .join(perNode, Seq("suppkey"), "left")

@@ -38,11 +38,15 @@ object GraphOps {
     // mysql2neo4j.py:265; size-triggered blocking handles any hub without
     // a denylist).
     val c = t.customer.select(col("c_nationkey").as("grp"), col("c_custkey").as("id"))
+    // No terminal sort: the output is the quadratic pair set itself — a
+    // global order over it would dominate the whole job at scale (sf1: a
+    // total sort of ~450 M rows appended to an output-bound operator).
+    // Deterministic ordering for verification is applied by Verify at
+    // write time; production consumers get the unsorted pair stream.
     sameGroupPairsSkewSafe(c, blockThreshold, nBlocks)
       .join(broadcast(t.nation.select(col("n_nationkey").as("grp"), col("n_name"))), Seq("grp"))
       .select(col("n_name").as("nation_name"),
         col("id1").as("custkey1"), col("id2").as("custkey2"))
-      .orderBy("nation_name", "custkey1", "custkey2")
   }
 
   /** Group-size-triggered skew routing for within-group pair generation:
@@ -561,39 +565,75 @@ object GraphOps {
     * supplier pair (w = shared customers), then C(w, 2) butterflies per
     * pair fold back onto both suppliers. Side selection is THE
     * scale lever (Sanei-Mehri et al. 2018, "Butterfly Counting in
-    * Bipartite Networks", KDD — their wedge-side choice argmin Σ deg²);
-    * here the customer side is structurally the bounded one, and a hub
-    * cap on the center side (the g13 `hubCutoff` lever) bounds the
-    * residual worst case. Shuffles: the wedge explode keys by pair, the
-    * fold by supplier — never a 4-tuple anywhere.
+    * Bipartite Networks", KDD — their wedge-side choice argmin Σ deg²).
+    *
+    * The residual worst case — ONE mega-degree center (a customer on
+    * 10⁵ suppliers yields ~5×10⁹ wedges in a single key group) — is
+    * handled EXACTLY by routing wedge generation through
+    * [[sameGroupPairsSkewSafe]]: wedges ARE within-group pairs with
+    * (grp = center, id = supplier), so the same probe-then-route
+    * machinery applies verbatim — below `blockThreshold` everywhere the
+    * plain c-keyed self-equijoin runs with zero overhead; any hot center
+    * spreads over nBlocks·(nBlocks+1)/2 salted tasks. Counts are
+    * bit-identical either way (the forced-routing spec pins it). The
+    * wedge MASS is semantic — for a lossy cap there is `centerCap`
+    * (the g13 `hubCutoff` lever / GDS degreeCutoff analog): when set,
+    * centers with degree > cap are anti-joined out of wedge generation
+    * entirely, undercounting butterflies that ride only on mega-hubs —
+    * the documented exactness trade, OFF on the keyed/oracle path.
+    * Shuffles: the wedge stage keys by center (salted when routed), the
+    * count by supplier pair, the fold by supplier — never a 4-tuple
+    * anywhere.
     */
-  def g19ButterflyCount(spark: SparkSession, dir: String): DataFrame = {
+  def g19ButterflyCount(
+      spark: SparkSession,
+      dir: String,
+      blockThreshold: Int = 10000,
+      nBlocks: Int = 16,
+      centerCap: Option[Int] = None): DataFrame = {
     val t = Tables(spark, dir)
     val edges = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
-    // Per-customer supplier pairs via a c-keyed self-join: one shuffle of
-    // the edge list, pair generation inside the codegen'd join stage.
-    // (The g11 in-row HOF combination produces the same rows but
-    // interpreted — measured 2.4× slower here at sf0.1, where the center
-    // side has thousands of pairs per hot customer, vs g11's short
-    // per-item mention lists.)
-    val ec = edges.repartition(col("c")).localCheckpoint(true)
-    val wedges = ec.as("e1")
-      .join(ec.as("e2"), col("e1.c") === col("e2.c") && col("e1.s") < col("e2.s"))
-      .groupBy(col("e1.s").as("s1"), col("e2.s").as("s2"))
+    butterflyCount(edges, blockThreshold, nBlocks, centerCap)
+      .join(t.supplier.select(col("s_suppkey").as("suppkey")), Seq("suppkey"), "right")
+      .select(col("suppkey"), coalesce(col("n_butterflies"), lit(0L)).as("n_butterflies"))
+      .orderBy("suppkey")
+  }
+
+  /** Core of [[g19ButterflyCount]] over an arbitrary bipartite edge list
+    * `(c, s)` (c = wedge-center side): per-`s` butterfly counts, only for
+    * `s` nodes in ≥1 butterfly (callers zero-fill against their vertex
+    * table). Factored out for crafted-graph specs.
+    */
+  def butterflyCount(
+      edges: DataFrame,
+      blockThreshold: Int,
+      nBlocks: Int,
+      centerCap: Option[Int] = None): DataFrame = {
+    val kept = centerCap.fold(edges) { cap =>
+      val hot = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+        .filter(col("cd") > cap).select("c")
+      edges.join(hot, Seq("c"), "left_anti")
+    }
+    // Checkpointed + pre-partitioned on the center key so the routing
+    // probe inside sameGroupPairsSkewSafe and the join branches all read
+    // one materialization, exchange-free on the common (direct) path.
+    // (Pair generation via the c-keyed self-equijoin, not the g11 in-row
+    // HOF combination — measured 2.4× faster at sf0.1, where hot centers
+    // carry thousands of pairs vs g11's short per-item mention lists.)
+    val ec = kept.select(col("c").as("grp"), col("s").as("id"))
+      .repartition(col("grp")).localCheckpoint(true)
+    val wedges = sameGroupPairsSkewSafe(ec, blockThreshold, nBlocks)
+      .groupBy(col("id1").as("s1"), col("id2").as("s2"))
       .agg(count(lit(1)).as("w"))
     val perPair = wedges
       .filter(col("w") >= 2)
       .select(col("s1"), col("s2"), expr("w * (w - 1) DIV 2").as("bf"))
-    val perNode = perPair
+    perPair
       .select(explode(array(col("s1"), col("s2"))).as("suppkey"), col("bf"))
       .groupBy("suppkey")
       .agg(sum(col("bf")).as("n_butterflies"))
-    t.supplier.select(col("s_suppkey").as("suppkey"))
-      .join(perNode, Seq("suppkey"), "left")
-      .select(col("suppkey"), coalesce(col("n_butterflies"), lit(0L)).as("n_butterflies"))
-      .orderBy("suppkey")
   }
 }

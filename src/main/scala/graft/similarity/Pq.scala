@@ -103,10 +103,23 @@ object Pq {
     cents.map { case (code, s, n) => (code, roundCentroid(s, n)) }
   }
 
-  /** All M codebooks, trained independently per subspace. */
+  /** All M codebooks, trained independently per subspace. The ADC LUT is
+    * addressed positionally (`sub·K + code`), which requires every book to
+    * carry EXACTLY the contiguous codes 0..K−1 — guaranteed here because
+    * init centroids are the first K vec_ids and Lloyd cells never die
+    * (empty cells keep their previous state) — so a corpus with fewer than
+    * K vectors, or non-contiguous low vec_ids, must fail loudly rather
+    * than silently misaddress the LUT.
+    */
   def trainCodebooks(emb: DataFrame): Seq[Codebook] = {
     val q = quantized(emb)
-    (0 until M).map(trainSubspace(q, _))
+    val books = (0 until M).map(trainSubspace(q, _))
+    books.foreach { book =>
+      require(book.size == K && book.map(_._1).sorted == (0L until K.toLong),
+        s"codebook must carry exactly the contiguous codes 0..${K - 1} " +
+          s"(got ${book.size} codes; corpus smaller than K=$K, or init ids not 0..${K - 1}?)")
+    }
+    books
   }
 
   /** Encode the corpus: per subspace, argmin of the exact integer squared

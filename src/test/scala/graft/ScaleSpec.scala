@@ -460,6 +460,68 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joins.size === 1, s"expected exactly one shuffled join:\n$plan")
   }
 
+  test("g19: forced salted wedge routing emits exactly the direct butterfly counts") {
+    // Threshold 1 routes EVERY center through the blocked formulation —
+    // counts must be unchanged (the skew knob is a plan change, never a
+    // result change), on the driver data and on a crafted hub graph with
+    // hand-computed counts.
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val direct = operators.GraphOps.g19ButterflyCount(spark, dir).collect().map(key).toSet
+    val routed = operators.GraphOps
+      .g19ButterflyCount(spark, dir, blockThreshold = 1, nBlocks = 4)
+      .collect().map(key).toSet
+    assert(routed === direct)
+    assert(direct.exists(_._2 > 0))
+    // Crafted graph: centers 1..3 on suppliers {10,20}; hub center 4 on
+    // {10,20,30}. Wedge (10,20) has w=4 shared centers -> C(4,2)=6
+    // butterflies on each of 10 and 20; (10,30)/(20,30) have w=1 -> none.
+    val ss = spark
+    import ss.implicits._
+    val edges = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 20L), (4L, 30L)).toDF("c", "s")
+    val expected = Map(10L -> 6L, 20L -> 6L)
+    for (bt <- Seq(1, 1000)) {
+      val got = operators.GraphOps.butterflyCount(edges, blockThreshold = bt, nBlocks = 4)
+        .collect().map(key).toMap
+      assert(got === expected, s"blockThreshold=$bt")
+    }
+    // centerCap is the LOSSY lever (off on the keyed path): cap 2 drops
+    // hub center 4 from wedge generation, so w(10,20)=3 -> 3 butterflies.
+    val capped = operators.GraphOps
+      .butterflyCount(edges, blockThreshold = 1000, nBlocks = 4, centerCap = Some(2))
+      .collect().map(key).toMap
+    assert(capped === Map(10L -> 3L, 20L -> 3L))
+  }
+
+  test("d15: forced band escalation still finds every crafted near-dup chunk pair") {
+    // candFactor=0 forces the candidate-volume router to the widest band
+    // shape (16 bands x 8 rows) regardless of measured volume; the
+    // crafted ~0.9-Jaccard pairs must all survive — the escalation trades
+    // a bounded recall sliver at the 0.8 threshold, not wholesale misses
+    // of real near-dups.
+    val ss = spark
+    import ss.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d15-band").toString
+    def words(doc: Int) = (0 until 32).map(j => s"w${doc}q${j}xy").mkString(" ")
+    def edited(doc: Int) =
+      (0 until 32).map(j => if (j == 15) "zCHANGEDz" else s"w${doc}q${j}xy").mkString(" ")
+    val docs = (0 until 4).flatMap { i =>
+      Seq((i.toLong, words(i)), (i + 10L, edited(i)))
+    } :+ (50L -> (0 until 32).map(j => s"uniq${j}solo").mkString(" "))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val escalated = pairs(dedup.Dedup.d15ChunkNearDup(spark, tmp, candFactor = 0L))
+    val expected = (0 until 4).map(i => (i.toLong, i + 10L)).toSet
+    assert(escalated === expected)
+    // And the default (probe passes, narrow bands) finds the same set.
+    assert(pairs(dedup.Dedup.d15ChunkNearDup(spark, tmp)) === expected)
+  }
+
   test("e10: the sliding-window explode stays below the one aggregate exchange") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
