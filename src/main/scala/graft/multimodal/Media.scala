@@ -7,6 +7,24 @@ import graft.Tables
 /** Typed per-payload feature row produced by the decode seam. */
 final case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, std_byte: Double)
 
+/** Typed decode result of the REAL codec path ([[Media.decodePpmImages]]):
+  * `ok=false` rows carry the failure reason and null-ish zeros — a corrupt
+  * payload must yield a verdict row, never a task failure.
+  */
+final case class DecodedImage(
+    doc_id: Long, ok: Boolean, reason: String,
+    width: Int, height: Int,
+    mean_r_milli: Long, mean_g_milli: Long, mean_b_milli: Long)
+
+/** One average-pooled output image from [[Media.ppmAveragePool]]: real 2-D
+  * resize semantics (each output pixel = integer mean of its `factor`²
+  * input block, partial edge blocks averaged over their actual size).
+  */
+final case class PooledImage(
+    doc_id: Long, ok: Boolean,
+    width: Int, height: Int, out_width: Int, out_height: Int,
+    pixels: Array[Byte])
+
 /** Multimodal-column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata.
   *
@@ -88,8 +106,9 @@ object Media {
     * size is ⌈n/stride⌉, content is a deterministic function of the
     * input, and the metadata row (original size, resized size, resized
     * hash) is what a real thumbnailing pass would record. Runs on the hex
-    * view so the oracle derives the identical resample in SQL; a real
-    * resizer slots into the [[extractFeatures]] mapPartitions seam. One
+    * view so the oracle derives the identical resample in SQL; the REAL
+    * resizer is demonstrated in [[ppmAveragePool]] — an actual P6 decode
+    * + 2-D box-filter downscale through the same mapPartitions seam. One
     * shuffle-free projection — fan-out is 1:1, cost linear in payload
     * volume.
     */
@@ -350,13 +369,6 @@ object Media {
       .orderBy("doc_id")
   }
 
-  /** The decode seam as a typed `mapPartitions`: where a cluster with
-    * codecs would run the real image/audio decoder batch-wise per
-    * partition (the Scala analog of a Pandas-UDF `mapInPandas` stage),
-    * this deterministic stub computes byte-level moments. The plumbing is
-    * the real thing — binary column in, case-class `Dataset` out, one
-    * partition-granular pass, no shuffle.
-    */
   /** m10: byte-distribution DRIFT between two media slices — t24's
     * pure-integer drift report on the perceptual tier: a re-encode,
     * codec-default change, or corruption upstream shifts the byte-value
@@ -392,6 +404,146 @@ object Media {
       .select("byte", "cnt_a", "cnt_b", "drift")
   }
 
+  /** A REAL (if deliberately minimal) codec: binary NetPBM P6. The point
+    * is to demonstrate — not assert — that a codec slots into the decode
+    * seam: this is a complete, honest parser for a real published format
+    * (magic `P6`, whitespace/`#`-comment-tolerant header, width height
+    * maxval ≤ 255, then exactly width·height·3 RGB bytes), with every
+    * malformed shape (bad magic, truncated header, non-numeric or
+    * oversized fields, short payload) returning `Left(reason)` rather
+    * than throwing — at 100 TB some payloads WILL be corrupt, and a
+    * decoder that kills tasks is not a decoder. Returns (w, h, rgb).
+    */
+  private[multimodal] def decodePpm(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return Left("bad_magic")
+    var i = 2
+    // PPM token scanner: skip whitespace and '#'-to-EOL comments, then
+    // read one decimal token. Fields may be separated by ANY whitespace.
+    def nextInt(): Either[String, Int] = {
+      while (i < bytes.length &&
+          (bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\n' || bytes(i) == '\r' ||
+            bytes(i) == '#')) {
+        if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else i += 1
+      }
+      if (i >= bytes.length) return Left("truncated_header")
+      var v = 0L
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); any = true
+        if (v > Int.MaxValue) return Left("field_overflow")
+        i += 1
+      }
+      if (!any) Left("non_numeric_field") else Right(v.toInt)
+    }
+    for {
+      w <- nextInt()
+      h <- nextInt()
+      maxval <- nextInt()
+      _ <- if (w <= 0 || h <= 0) Left("bad_dimensions") else Right(())
+      _ <- if (maxval != 255) Left("unsupported_maxval") else Right(())
+      // Exactly ONE whitespace byte separates maxval from the raster.
+      _ <- if (i < bytes.length &&
+            (bytes(i) == '\n' || bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\r'))
+          Right(()) else Left("missing_raster_separator")
+      n = 3L * w * h
+      _ <- if (bytes.length - (i + 1) < n) Left("short_payload") else Right(())
+    } yield (w, h, java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + n.toInt))
+  }
+
+  /** The decode seam RUNNING a real codec: payloads in (any mix of
+    * formats), typed per-image verdict rows out, one partition-granular
+    * `mapPartitions` pass, no shuffle — exactly where m2/m3's scaladoc
+    * says a decoder slots in. Non-PPM payloads (the synthesized PNG/JPEG/
+    * WAV stand-ins, anything corrupt) come back `ok=false` with the parse
+    * failure named, so a 100 TB crawl's decode pass doubles as its
+    * corruption report. Channel means are exact integer millis.
+    */
+  def decodePpmImages(payloads: DataFrame): Dataset[DecodedImage] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePpm(bytes) match {
+            case Left(reason) => DecodedImage(id, ok = false, reason, 0, 0, 0L, 0L, 0L)
+            case Right((w, h, rgb)) =>
+              var r = 0L; var g = 0L; var b = 0L
+              var p = 0
+              while (p < rgb.length) {
+                r += rgb(p) & 0xff; g += rgb(p + 1) & 0xff; b += rgb(p + 2) & 0xff
+                p += 3
+              }
+              val n = w.toLong * h
+              DecodedImage(id, ok = true, "ok", w, h,
+                r * 1000 / n, g * 1000 / n, b * 1000 / n)
+          }
+        }
+      }
+  }
+
+  /** REAL resize through the seam — the codec-backed version of what
+    * [[m3Resize]] stands in for: decode P6, average-pool each channel
+    * over `factor`×`factor` blocks (integer mean, partial edge blocks
+    * averaged over their true size — the standard box-filter downscale),
+    * re-emit packed RGB. Same seam, same no-shuffle single pass; output
+    * pixel count is ⌈w/f⌉·⌈h/f⌉ so the stage shrinks data ~f² like a
+    * real thumbnailing pass.
+    */
+  def ppmAveragePool(payloads: DataFrame, factor: Int): Dataset[PooledImage] = {
+    require(factor >= 1, s"pool factor must be >= 1, got $factor")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePpm(bytes) match {
+            case Left(_) => PooledImage(id, ok = false, 0, 0, 0, 0, Array.emptyByteArray)
+            case Right((w, h, rgb)) =>
+              val ow = (w + factor - 1) / factor
+              val oh = (h + factor - 1) / factor
+              val out = new Array[Byte](ow * oh * 3)
+              var oy = 0
+              while (oy < oh) {
+                var ox = 0
+                while (ox < ow) {
+                  val x0 = ox * factor; val y0 = oy * factor
+                  val x1 = math.min(x0 + factor, w); val y1 = math.min(y0 + factor, h)
+                  var r = 0L; var g = 0L; var b = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val p = (y * w + x) * 3
+                      r += rgb(p) & 0xff; g += rgb(p + 1) & 0xff; b += rgb(p + 2) & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = (x1 - x0).toLong * (y1 - y0)
+                  val o = (oy * ow + ox) * 3
+                  out(o) = (r / n).toByte; out(o + 1) = (g / n).toByte; out(o + 2) = (b / n).toByte
+                  ox += 1
+                }
+                oy += 1
+              }
+              PooledImage(id, ok = true, w, h, ow, oh, out)
+          }
+        }
+      }
+  }
+
+  /** The decode seam as a typed `mapPartitions`: where a cluster with
+    * heavyweight codecs would run the real image/audio decoder batch-wise
+    * per partition (the Scala analog of a Pandas-UDF `mapInPandas`
+    * stage), this deterministic stub computes byte-level moments. The
+    * plumbing is the real thing — binary column in, case-class `Dataset`
+    * out, one partition-granular pass, no shuffle — and
+    * [[decodePpmImages]]/[[ppmAveragePool]] prove it by running an actual
+    * (P6 PPM) codec through the identical seam.
+    */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
     import spark.implicits._
     Tables(spark, dir).documents

@@ -150,6 +150,66 @@ object ExactRollup {
   }
 }
 
+/** The ENGINE-CHOSEN boundary between [[ExactRollup]] (roaring blobs,
+  * exact) and [[SketchRollup]] (HLL, ±rsd): until now the exact/approx
+  * choice was a calling convention — whichever object the caller named —
+  * which at 100 TB means a caller can ask for exact cells whose blobs
+  * outgrow every aggregation buffer. Here the engine measures first and
+  * routes (the g4 two-hop escalation made a rollup property): one
+  * fixed-state probe pass estimates the LARGEST cell's distinct
+  * cardinality (`approx_count_distinct`, ±5% rsd — the probe itself is a
+  * sketch, so its cost never depends on the answer), pads it by the
+  * probe's own error margin, and builds roaring cells only when the
+  * worst cell's exact state provably fits the budget; otherwise every
+  * cell degrades to the HLL sketch with its documented ~1.6% (lgK=12)
+  * error envelope. Whole-rollup routing, not per-cell: a range union
+  * over mixed representations cannot answer distinct-over-range without
+  * double-counting users shared across the exact and approx cell
+  * groups, so mixing would change ANSWERS — the boundary must move all
+  * cells at once, and the forced-escalation spec pins the envelope.
+  *
+  * `exactCellLimit` is in DISTINCT IDS per cell: a roaring set costs at
+  * most ~2 bytes per sparse id (sorted-array containers promote to an
+  * 8 KB bitmap at 4096 ids per 64 Ki range), so the 4M default bounds
+  * the worst single aggregation buffer near 8 MB — comfortably inside
+  * an executor's object-agg budget, far above sf-scale cells.
+  */
+object AdaptiveRollup {
+
+  /** (cells, exact?) — the probe-routed daily rollup. */
+  def buildDaily(
+      spark: SparkSession,
+      dir: String,
+      exactCellLimit: Long = 4L * 1024 * 1024,
+      lgK: Int = 12): (DataFrame, Boolean) = {
+    val maxEst = Tables(spark, dir).events
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("est"))
+      .agg(coalesce(max(col("est")), lit(0L))).head().getLong(0)
+    // 6/5 margin: the probe may under-estimate by its rsd; the routing
+    // decision must be safe against that, not just the point estimate.
+    val exact = maxEst * 6L / 5L <= exactCellLimit
+    val cells =
+      if (exact) ExactRollup.buildDaily(spark, dir)
+      else SketchRollup.buildDaily(spark, dir, lgK)
+    (cells, exact)
+  }
+
+  /** Distinct users per event type over a day range, from whichever
+    * representation the probe chose — same question, same column name,
+    * exact or enveloped answer.
+    */
+  def distinctUsersOverRange(
+      cells: DataFrame, exact: Boolean, fromDay: Long, toDay: Long): DataFrame =
+    if (exact)
+      ExactRollup.distinctUsersOverRange(cells, fromDay, toDay)
+        .select(col("event_type"), col("n_users").cast("double").as("n_users"))
+    else
+      SketchRollup.distinctUsersOverRange(cells, fromDay, toDay)
+        .select(col("event_type"), col("n_users_est").cast("double").as("n_users"))
+}
+
 /** EXACT quantiles from a mergeable frequency rollup — the third member
   * of the rollup family (HLL ≈ distinct, roaring = exact distinct, this
   * = exact quantiles): for value columns whose DISTINCT DOMAIN is

@@ -104,6 +104,30 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Write Avro — the ROW-oriented interchange format of the Kafka/
+    * schema-registry world (columnar parquet/ORC serve scans; Avro
+    * serves record streams and schema-evolving log compaction, and is
+    * what a CDC feed or event-bus archive hands over). Spark 4 compiles
+    * the source into spark-sql but this distribution does not register
+    * the `avro` short name in its DataSourceRegister services file, so
+    * the provider is addressed by class — same engine code either way.
+    */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroProvider).save(path)
+
+  /** Read Avro (schema from the container-file header — self-describing
+    * like the columnar formats, unlike JSONL/CSV). Row-oriented storage
+    * means column PRUNING saves decode work but never I/O bytes, and
+    * filters evaluate post-read — Avro is a boundary format here:
+    * anything queried repeatedly gets rewritten columnar first (the
+    * FormatsSpec round-trip pins values; no pushdown assertion, because
+    * the format genuinely has none to offer).
+    */
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
+
   /** Read a parquet dataset written under EVOLVING schemas: files from
     * before a column existed merge with files from after it
     * (`mergeSchema` reconciles footers by name; rows from older files

@@ -77,6 +77,25 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === docs.filter(col("n_chars") >= 1000).count())
   }
 
+  test("avro round-trips values exactly and keeps the boundary-format posture") {
+    val docs = Tables(spark, dir).documents
+    Formats.writeAvro(docs, s"$tmp/docs_avro")
+    val back = Formats.readAvro(spark, s"$tmp/docs_avro")
+    // Self-describing: the reader recovers the schema (names + types)
+    // from the container header, no inference pass.
+    assert(back.schema.fieldNames.toSet === docs.schema.fieldNames.toSet)
+    val before = docs.collect().map(_.toString).sorted.toSeq
+    val after = back.collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // Row-oriented: filters still evaluate correctly (post-read), and a
+    // projection narrows the decoded schema even though bytes are row-major.
+    val filtered = back.filter(col("n_chars") >= 1000).select("doc_id", "n_chars")
+    assert(filtered.count() === docs.filter(col("n_chars") >= 1000).count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("text:string"),
+      s"projection should narrow the avro read schema:\n$plan")
+  }
+
   test("dynamic partition pruning fires when the partition filter only exists at runtime") {
     // The filter lives on the DIM side, so planning-time pruning can't
     // see it — the scan must carry a dynamicpruning subquery that prunes

@@ -471,6 +471,38 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the decode seam runs a real codec: P6 PPM decodes, pools, and reports corruption") {
+    val ss = spark
+    import ss.implicits._
+    def ppm(header: String, rgb: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ rgb
+    // 4x2 image, pixel (x,y) = (10x, 100+y, x+y): channel means are exact.
+    val rgb = (for (y <- 0 until 2; x <- 0 until 4)
+      yield Seq((10 * x).toByte, (100 + y).toByte, (x + y).toByte)).flatten.toArray
+    val payloads = Seq(
+      1L -> ppm("P6\n4 2\n255\n", rgb),
+      2L -> ppm("P6 # crafted\n# full-line comment\n 4\t2 255\n", rgb), // whitespace/comment-tolerant header
+      3L -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte),         // JPEG magic -> not ours
+      4L -> ppm("P6\n4 2\n255\n", rgb.take(10)),                        // truncated raster
+      5L -> ppm("P6\n4 2\n65535\n", rgb)                                // 16-bit maxval unsupported
+    ).toDF("doc_id", "payload")
+    val out = multimodal.Media.decodePpmImages(payloads)
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(1L, 2L)) {
+      val d = out(id)
+      assert(d.ok && d.width === 4 && d.height === 2, s"doc $id: $d")
+      assert(d.mean_r_milli === 15000L && d.mean_g_milli === 100500L && d.mean_b_milli === 2000L)
+    }
+    assert(!out(3L).ok && out(3L).reason === "bad_magic")
+    assert(!out(4L).ok && out(4L).reason === "short_payload")
+    assert(!out(5L).ok && out(5L).reason === "unsupported_maxval")
+    // Real resize semantics: factor-2 box filter of the 4x2 image is 2x1
+    // with each output pixel the integer mean of its 2x2 block.
+    val pooled = multimodal.Media.ppmAveragePool(payloads.filter($"doc_id" === 1L), 2).head()
+    assert(pooled.ok && pooled.out_width === 2 && pooled.out_height === 1)
+    assert(pooled.pixels.map(_ & 0xff).toSeq === Seq(5, 100, 1, 25, 100, 3))
+  }
+
   test("m2 frame offsets follow the stride") {
     val rows = multimodal.Media.m2FrameSample(spark, dir).collect()
     rows.foreach { r =>

@@ -67,6 +67,35 @@ class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("adaptive rollup: probe picks exact at sf cells; forced escalation stays in the HLL envelope") {
+    import graft.operators.AdaptiveRollup
+    val (lo, hi) = dayBounds
+    // Default budget: sf0.001 cells are tiny, so the probe must choose the
+    // exact representation and the answer must EQUAL count(DISTINCT).
+    val (cells, exact) = AdaptiveRollup.buildDaily(spark, dir)
+    assert(exact, "probe should choose roaring at sf-scale cell cardinalities")
+    val got = AdaptiveRollup.distinctUsersOverRange(cells, exact, lo, hi)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = rawWithDay
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (tpe, n) => assert(got(tpe) === n.toDouble, tpe) }
+    // Forced escalation (budget 0): every cell degrades to HLL; answers
+    // must sit inside the documented envelope of the exact path — the
+    // boundary changes cost and error bars, never the question.
+    val (cellsF, exactF) = AdaptiveRollup.buildDaily(spark, dir, exactCellLimit = 0L)
+    assert(!exactF)
+    val est = AdaptiveRollup.distinctUsersOverRange(cellsF, exactF, lo, hi)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === truth.keySet)
+    truth.foreach { case (tpe, n) =>
+      assert(math.abs(est(tpe) - n) <= math.max(5.0, 0.08 * n),
+        s"$tpe: escalated estimate ${est(tpe)} too far from exact $n")
+    }
+  }
+
   test("appending one day's sketches == full rebuild for the extended range") {
     val (lo, hi) = dayBounds
     assert(hi > lo, "need at least two days of events")
