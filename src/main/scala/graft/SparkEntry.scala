@@ -38,6 +38,7 @@ object SparkEntry {
     "q17_histogram_quantiles" -> operators.HistogramQuantiles.q17HistogramQuantiles _,
     "q18_cohort_setops"  -> operators.ExactRollup.q18CohortSetops _,
     "q19_delta_agg"      -> Relational.q19DeltaAgg _,
+    "q20_adaptive_distinct" -> operators.AdaptiveRollup.q20AdaptiveDistinct _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -97,6 +98,7 @@ object SparkEntry {
     "m8_crossmodal_resolve" -> ((s: SparkSession, d: String) => Media.m8CrossModalResolve(s, d)),
     "m9_incremental_media_dedup" -> ((s: SparkSession, d: String) => Media.m9IncrementalMediaDedup(s, d)),
     "m10_byte_drift"     -> ((s: SparkSession, d: String) => Media.m10ByteDrift(s, d)),
+    "m11_ppm_decode"     -> Media.m11PpmDecode _,
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -125,6 +127,7 @@ object SparkEntry {
     "t25_lm_buckets"     -> TextFuncs.t25LmBuckets _,
     "t26_mix_plan"       -> TextFuncs.t26MixPlan _,
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
+    "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -715,6 +718,18 @@ object SparkEntry {
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
         |SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d, b
+        |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q20_adaptive_distinct" ->
+      """WITH d AS (
+        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |    event_type, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
         |FROM d, b
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
@@ -1330,6 +1345,27 @@ object SparkEntry {
          |  CAST(length(rhx) // 2 AS BIGINT) AS resized_bytes,
          |  md5(rhx) AS resized_hash
          |FROM r ORDER BY doc_id""".stripMargin,
+    "m11_ppm_decode" ->
+      """WITH j AS (SELECT unnest(generate_series(0, 23)) AS j),
+        |m AS (
+        |  SELECT d.doc_id,
+        |    sum(CASE WHEN j.j % 3 = 0 THEN (d.doc_id * 31 + j.j * 7) % 256 ELSE 0 END) AS sr,
+        |    sum(CASE WHEN j.j % 3 = 1 THEN (d.doc_id * 31 + j.j * 7) % 256 ELSE 0 END) AS sg,
+        |    sum(CASE WHEN j.j % 3 = 2 THEN (d.doc_id * 31 + j.j * 7) % 256 ELSE 0 END) AS sb
+        |  FROM documents d, j GROUP BY d.doc_id),
+        |v AS (SELECT doc_id, sr, sg, sb,
+        |    CASE WHEN doc_id % 7 = 0 THEN 0 WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS okf
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(okf AS BIGINT) AS ok,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'short_payload'
+        |       WHEN doc_id % 13 = 0 THEN 'bad_magic' ELSE 'ok' END AS reason,
+        |  CAST(okf * 4 AS BIGINT) AS width,
+        |  CAST(okf * 2 AS BIGINT) AS height,
+        |  CAST(okf * (sr * 1000 // 8) AS BIGINT) AS mean_r_milli,
+        |  CAST(okf * (sg * 1000 // 8) AS BIGINT) AS mean_g_milli,
+        |  CAST(okf * (sb * 1000 // 8) AS BIGINT) AS mean_b_milli
+        |FROM v ORDER BY doc_id""".stripMargin,
     "m10_byte_drift" ->
       s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
          |bb AS (
@@ -1849,6 +1885,14 @@ object SparkEntry {
         |FROM unioned
         |QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY version DESC) = 1
         |ORDER BY custkey""".stripMargin,
+    "h7_avro_interchange" ->
+      """SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "h2_scd2_dim" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

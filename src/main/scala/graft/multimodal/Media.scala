@@ -535,6 +535,42 @@ object Media {
       }
   }
 
+  /** m11: the REAL codec on the correctness gate — P6 payloads
+    * synthesized from doc_id arithmetic alone (raster byte j of doc d is
+    * `(d·31 + j·7) mod 256`, a 4×2 image), so a SQL oracle can derive the
+    * exact channel means the decoder must report, with two corruption
+    * classes injected by residue (`doc_id % 7` → truncated raster,
+    * `% 13` → P5 magic) so BOTH verdict branches are non-vacuous and the
+    * per-reason classification is hash-checked, not just row-counted.
+    * The decode itself runs the honest byte-level parser through the
+    * `mapPartitions` seam ([[decodePpmImages]]) — the one stage here that
+    * is deliberately outside codegen, because that is what a codec is.
+    * Everything is integer (means in exact millis, floor division), so
+    * the driver hash must match bit-for-bit.
+    */
+  def m11PpmDecode(spark: SparkSession, dir: String): DataFrame = {
+    val hdrOk  = encode(lit("P6\n4 2\n255\n"), "UTF-8")
+    val hdrBad = encode(lit("P5\n4 2\n255\n"), "UTF-8")
+    def rasterHex(n: Int) = array_join(
+      transform(sequence(lit(0), lit(n - 1)),
+        j => lpad(hex(pmod(col("doc_id") * 31 + j * 7, lit(256))), 2, "0")), "")
+    val payload =
+      when(pmod(col("doc_id"), lit(7)) === 0, concat(hdrOk, unhex(rasterHex(10))))
+        .when(pmod(col("doc_id"), lit(13)) === 0, concat(hdrBad, unhex(rasterHex(24))))
+        .otherwise(concat(hdrOk, unhex(rasterHex(24))))
+    decodePpmImages(
+      Tables(spark, dir).documents
+        .select(col("doc_id"), payload.as("payload")))
+      .select(
+        col("doc_id"),
+        when(col("ok"), 1L).otherwise(0L).as("ok"),
+        col("reason"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_r_milli"), col("mean_g_milli"), col("mean_b_milli"))
+      .orderBy("doc_id")
+  }
+
   /** The decode seam as a typed `mapPartitions`: where a cluster with
     * heavyweight codecs would run the real image/audio decoder batch-wise
     * per partition (the Scala analog of a Pandas-UDF `mapInPandas`

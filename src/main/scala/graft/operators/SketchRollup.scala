@@ -208,6 +208,24 @@ object AdaptiveRollup {
     else
       SketchRollup.distinctUsersOverRange(cells, fromDay, toDay)
         .select(col("event_type"), col("n_users_est").cast("double").as("n_users"))
+
+  /** q20: the engine-chosen boundary ON the correctness gate — probe,
+    * route, build, and answer the q13 middle-half range question through
+    * whichever representation the probe picked. At every test/driver
+    * scale the worst cell sits far inside the default budget, so the
+    * probe MUST choose exact and the driver hash-checks the full
+    * probe→route→roaring path against count(DISTINCT) — the adaptive
+    * boundary becomes a verified engine property, not a spec-only claim
+    * (forced escalation is spec-covered separately, where an oracle
+    * cannot follow an estimate).
+    */
+  def q20AdaptiveDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val (raw, exact) = buildDaily(spark, dir)
+    val cells = raw.localCheckpoint(eager = true)
+    val r = cells.agg(min(col("day")), max(col("day"))).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    distinctUsersOverRange(cells, exact, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+  }
 }
 
 /** EXACT quantiles from a mergeable frequency rollup — the third member

@@ -3,6 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+import graft.Tables
+
 /** Interchange-format ingest/egress — the boundary a production pipeline
   * actually has (upstream dumps arrive as CSV/JSONL, curated data leaves
   * as partitioned parquet).
@@ -127,6 +129,31 @@ object Formats {
     */
   def readAvro(spark: SparkSession, path: String): DataFrame =
     spark.read.format(AvroProvider).load(path)
+
+  /** h7: the Avro interchange ON the correctness gate — the corpus exits
+    * through the row-oriented boundary format and re-enters, and a
+    * downstream aggregate over the re-read copy must hash-match the
+    * oracle computed on the ORIGINAL parquet: the round-trip preserves
+    * every value (longs, UTF-8 text lengths, group keys) bit-for-bit or
+    * the driver's gate fails. This is the CDC-handoff contract — what an
+    * event-bus archive or cross-team export actually needs from a
+    * format surface, verified end-to-end rather than asserted per-type.
+    * The egress write is part of the measured operator (a handoff that
+    * only benches its read half isn't a handoff).
+    */
+  def h7AvroInterchange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir).documents
+    val path = s"/tmp/graft_avro/${new java.io.File(dir).getName}/documents"
+    writeAvro(docs, path)
+    readAvro(spark, path)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy("lang", "source")
+  }
 
   /** Read a parquet dataset written under EVOLVING schemas: files from
     * before a column existed merge with files from after it

@@ -503,6 +503,29 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pooled.pixels.map(_ & 0xff).toSeq === Seq(5, 100, 1, 25, 100, 3))
   }
 
+  test("m11 decodes every synthesized payload and classifies both corruption residues") {
+    val rows = multimodal.Media.m11PpmDecode(spark, dir).collect()
+    val docs = Tables(spark, dir).documents.count()
+    assert(rows.length.toLong === docs, "one verdict row per document, corrupt or not")
+    val byReason = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byReason.keySet === Set("ok", "short_payload", "bad_magic"))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected =
+        if (id % 7 == 0) "short_payload" else if (id % 13 == 0) "bad_magic" else "ok"
+      assert(r.getString(2) === expected, s"doc $id")
+      if (expected == "ok") {
+        // Hand recount of the arithmetic raster for this doc.
+        def mean(ch: Int) =
+          (0 until 24).filter(_ % 3 == ch).map(j => (id * 31 + j * 7) % 256).sum * 1000 / 8
+        assert(r.getLong(5) === mean(0) && r.getLong(6) === mean(1) && r.getLong(7) === mean(2),
+          s"doc $id channel means")
+      } else {
+        assert(r.getLong(1) === 0L && r.getLong(3) === 0L && r.getLong(5) === 0L)
+      }
+    }
+  }
+
   test("m2 frame offsets follow the stride") {
     val rows = multimodal.Media.m2FrameSample(spark, dir).collect()
     rows.foreach { r =>

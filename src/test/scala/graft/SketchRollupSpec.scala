@@ -96,6 +96,21 @@ class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q20 keyed form answers the middle-half range exactly via the probe-chosen path") {
+    import graft.operators.AdaptiveRollup
+    val (lo, hi) = dayBounds
+    val (from, to) = (lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+    val got = AdaptiveRollup.q20AdaptiveDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = rawWithDay
+      .filter(col("day").between(from, to))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (tpe, n) => assert(got(tpe) === n.toDouble, tpe) }
+  }
+
   test("appending one day's sketches == full rebuild for the extended range") {
     val (lo, hi) = dayBounds
     assert(hi > lo, "need at least two days of events")
