@@ -14,7 +14,14 @@ object GraftSession {
       .builder()
       .appName(appName)
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
+      // 32 suits local[32] at test SFs, but AQE only COALESCES — it never
+      // raises a shuffle above this ceiling, so the ceiling must scale
+      // with data (the sf10 sweep measured g6/g19 going super-linear
+      // purely from 32 partitions carrying 100× sf0.1 volume). On a
+      // cluster this is the one number sized per deployment; here the
+      // env knob is that sizing.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -87,6 +87,7 @@ object SparkEntry {
     "s5_range_search"    -> ((s: SparkSession, d: String) => Ann.s5RangeSearch(s, d)),
     "s6_kmeans_cluster"  -> ((s: SparkSession, d: String) => similarity.Cluster.s6KmeansCluster(s, d)),
     "s7_pq_search"       -> ((s: SparkSession, d: String) => similarity.Pq.s7PqSearch(s, d)),
+    "s8_bm25_topk"       -> ((s: SparkSession, d: String) => functions.Retrieval.s8Bm25TopK(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -1275,6 +1276,40 @@ object SparkEntry {
     "s6_kmeans_cluster" ->
       s"""$kmeansCtes
          |SELECT vec_id, cell AS cluster FROM a2f ORDER BY vec_id""".stripMargin,
+    "s8_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.token
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |  WHERE length(t.token) >= 5),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |dfs AS (SELECT token, count(*) AS df, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |sc AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |              (SELECT sum(dl) FROM dl) AS tl),
+        |scm AS (SELECT n, tl, tl * 1000 // n AS avgdl_milli FROM sc),
+        |ranked AS (
+        |  SELECT token, df, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+        |  FROM dfs QUALIFY rn <= 8),
+        |qt AS (SELECT CAST((rn - 1) // 2 AS BIGINT) AS qid, token, df FROM ranked),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    sum(((2 * (scm.n - qt.df) + 1) * 1000 // (2 * qt.df + 1))
+        |        * (22000000 * tf.tf //
+        |           (10000 * tf.tf + 3000 + 9 * (dl.dl * 1000000 // scm.avgdl_milli)))
+        |        // 1000) AS score_micro,
+        |    count(*) AS n_terms
+        |  FROM tf
+        |  JOIN qt USING (token)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN scm
+        |  GROUP BY 1, 2)
+        |SELECT qid, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+        |  CAST(n_terms AS BIGINT) AS n_terms, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "s7_pq_search" -> {
       val encJoins = (1 until 8).map(s => s"JOIN encx$s e$s USING (vec_id)").mkString("\n    ")
       val qdJoins = (1 until 8)

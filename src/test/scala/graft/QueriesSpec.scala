@@ -503,6 +503,39 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pooled.pixels.map(_ & 0xff).toSeq === Seq(5, 100, 1, 25, 100, 3))
   }
 
+  test("s8 BM25 top-k matches a single-machine integer recount") {
+    val got = functions.Retrieval.s8Bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // Reference: replicate the exact fixed-point scoring on collected rows.
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.length >= 5))
+    val n = Tables(spark, dir).documents.count()
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val tl = dl.values.sum
+    val avgdlMilli = tl * 1000 / n
+    val tf = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTok = tf.keys.toSeq.groupBy(_._1)
+    val dfm = byTok.view.mapValues(_.size.toLong).toMap
+    val cnt = byTok.view.mapValues(_.map(tf).sum).toMap
+    val terms = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(8).map(_._1)
+    val expected = terms.zipWithIndex.groupBy(_._2 / 2).toSeq.flatMap { case (qid, qts) =>
+      val perDoc = qts.map(_._1).flatMap { t =>
+        byTok(t).map { case (_, d) =>
+          val idf = (2 * (n - dfm(t)) + 1) * 1000 / (2 * dfm(t) + 1)
+          val rM = dl(d) * 1000000 / avgdlMilli
+          val tp = 22000000 * tf((t, d)) / (10000 * tf((t, d)) + 3000 + 9 * rM)
+          d -> idf * tp / 1000
+        }
+      }.groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.size.toLong)).toSeq
+      perDoc.sortBy { case (d, (s, _)) => (-s, d) }.take(5).zipWithIndex.map {
+        case ((d, (s, nt)), i) => (qid.toLong, d, s, nt, i + 1L)
+      }
+    }.sortBy(r => (r._1, r._5))
+    assert(got.toSeq === expected)
+  }
+
   test("m11 decodes every synthesized payload and classifies both corruption residues") {
     val rows = multimodal.Media.m11PpmDecode(spark, dir).collect()
     val docs = Tables(spark, dir).documents.count()
