@@ -414,7 +414,7 @@ object Media {
     * than throwing — at 100 TB some payloads WILL be corrupt, and a
     * decoder that kills tasks is not a decoder. Returns (w, h, rgb).
     */
-  private[multimodal] def decodePpm(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] = {
+  private[graft] def decodePpm(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return Left("bad_magic")
     var i = 2
     // PPM token scanner: skip whitespace and '#'-to-EOL comments, then

@@ -536,6 +536,40 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === expected)
   }
 
+  test("s8 plans the retrieval shape: map-side top-k and broadcast query terms") {
+    val plan = functions.Retrieval.s8Bm25TopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Per-query top-k must run as WindowGroupLimit with a PARTIAL pass
+    // before the qid shuffle — a term matching every document must never
+    // materialize a full sorted partition on the reduce side.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial WindowGroupLimit in:\n$plan")
+    // The query-term table rides a broadcast into the postings join —
+    // the corpus-sized side must never shuffle on the scoring join.
+    assert(plan.contains("BroadcastExchange"),
+      s"expected broadcast query terms in:\n$plan")
+  }
+
+  test("the PPM decoder never throws: any byte soup yields a verdict row") {
+    val rnd = new scala.util.Random(0xBEEF)
+    // Adversarial corpus: random bytes, random-length truncations of a
+    // VALID image, valid headers with mutated interiors — every shape a
+    // 100 TB crawl will eventually feed a decoder.
+    val valid = ("P6\n4 2\n255\n").getBytes("US-ASCII") ++ Array.fill(24)(rnd.nextInt.toByte)
+    val payloads: Seq[Array[Byte]] =
+      (1 to 200).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)) ++
+      (0 until valid.length).map(n => valid.take(n)) ++
+      (1 to 100).map { _ =>
+        val b = valid.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt.toByte; b
+      }
+    payloads.foreach { b =>
+      multimodal.Media.decodePpm(b) match {
+        case Right((w, h, rgb)) => assert(rgb.length === 3 * w * h && w > 0 && h > 0)
+        case Left(reason) => assert(reason.nonEmpty)
+      }
+    }
+  }
+
   test("m11 decodes every synthesized payload and classifies both corruption residues") {
     val rows = multimodal.Media.m11PpmDecode(spark, dir).collect()
     val docs = Tables(spark, dir).documents.count()
