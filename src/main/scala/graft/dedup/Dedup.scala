@@ -108,8 +108,11 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame =
-    verifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks)
+      nBlocks: Int = 16,
+      autoBand: Boolean = true,
+      candFactor: Long = 20L): DataFrame =
+    verifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks,
+        autoBand, candFactor)
       .orderBy("doc_id1", "doc_id2")
 
   /** Memoized verified near-dup pairs — the shared detection product of
@@ -122,7 +125,7 @@ object Dedup {
     * d3-run-twice, not clustering.
     */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Double, Int, Int, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Double, Int, Int, Int, Int, Boolean, Long), DataFrame]()
 
   private def verifiedPairs(
       spark: SparkSession,
@@ -131,15 +134,18 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 16,
+      autoBand: Boolean = true,
+      candFactor: Long = 20L): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // Entries of stopped applications are unusable; purge them so the
     // cache holds at most the live session's handful of DataFrames.
     pairsCache.keySet.removeIf(_._1 != appId)
     pairsCache.computeIfAbsent(
-      (appId, dir, threshold, numHashes, bands, blockThreshold, nBlocks),
+      (appId, dir, threshold, numHashes, bands, blockThreshold, nBlocks, autoBand, candFactor),
       _ => graft.GraftSession.retainCheckpoint(
-        computeVerifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks)))
+        computeVerifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks,
+          autoBand, candFactor)))
   }
 
   private def computeVerifiedPairs(
@@ -149,8 +155,9 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       blockThreshold: Int,
-      nBlocks: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      nBlocks: Int,
+      autoBand: Boolean = true,
+      candFactor: Long = 20L): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // One small shuffle spreads the corpus across the cores BEFORE the
     // heavy kernel projections: a single parquet file arrives as ONE
@@ -174,17 +181,25 @@ object Dedup {
     // which at 100 TB is the difference between the dedup pass being
     // scan-bound and shuffle-bound. Duplicate grams don't matter (min is
     // idempotent); only the verification join needs distinct shingle sets.
-    val sigs = base
+    val sigs0 = base
       .select(
         col("doc_id"),
         org.apache.spark.sql.graft.VectorExpressions
           .minhashSignature(col("text"), 5, numHashes).as("sig"))
-    val banded = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
-      .select(
-        col("doc_id"), col("band_id"),
-        hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("band_hash"))
+    // When the candidate-volume router is armed, the signatures are
+    // checkpointed so a re-band is a projection over stored integers —
+    // never a second run of the MinHash kernel over the corpus text
+    // (the d15 discipline applied to the doc tier).
+    val sigs = if (autoBand) sigs0.localCheckpoint(true) else sigs0
+    def bandedAt(b: Int): DataFrame = {
+      val rowsPerBand = numHashes / b
+      sigs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(b - 1))).as("band_id"), col("sig"))
+        .select(
+          col("doc_id"), col("band_id"),
+          hash(col("band_id"), slice(col("sig"), col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("band_hash"))
+    }
     // The candidate table is tiny (two longs per row) so AQE coalesces its
     // shuffle to one partition — but each candidate then pays an
     // array_intersect over the gram sets, which AQE's size-based coalescing
@@ -196,17 +211,23 @@ object Dedup {
     // all hashing to one band value) spreads over the salted blocked
     // formulation instead of one reducer. grp is the EXACT
     // (band_id, band_hash) struct, so candidate semantics are unchanged.
-    // The banded table is materialized ONCE first: the routing consumes
-    // it in several plan branches (probe, small, big), and without the
-    // checkpoint each branch would re-run the minhash kernel over the
-    // corpus. 16 bytes/row of block storage vs k re-scans of the text.
+    // The keyed table is materialized ONCE at its chosen band width: the
+    // routing consumes it in several plan branches (probe, small, big),
+    // and without the checkpoint each branch would re-run the banding
+    // over the corpus. 16 bytes/row of block storage vs k re-scans.
     // grp packs the exact (band_id, band_hash) pair into one long —
     // single-word join keys, identical candidate semantics.
-    val keyed = banded.select(
+    def keyedAt(b: Int): DataFrame = bandedAt(b).select(
       (col("band_id").cast("long").multiply(lit(4294967296L))
         .plus(col("band_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))).as("grp"),
       col("doc_id").as("id"))
-      .localCheckpoint(true)
+    // Band shape chosen by the measured candidate volume (the shared
+    // [[autoWidenBands]] router): on this corpus the default 32×4 passes
+    // the probe; an adversarial low-vocabulary corpus auto-widens toward
+    // 16×8 before the candidate join can go quadratic.
+    val keyed =
+      if (autoBand) autoWidenBands(keyedAt, bands, candFactor)
+      else keyedAt(bands).localCheckpoint(true)
     val candidates = graft.operators.GraphOps
       .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
       .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"))
@@ -721,6 +742,56 @@ object Dedup {
     * doc_id·2^20+chunk_no so every stage moves 8-byte keys (up to ~1M
     * chunks = 32M words per document before aliasing, and ids to 2^43).
     */
+  /** Candidate-volume-routed band shape, shared by the doc-level (d3)
+    * and chunk-level (d15) LSH tiers — the q16 skew probe applied to the
+    * banding's own buckets: Σ_grp C(gsz,2) is EXACTLY the row count the
+    * band self-join would emit, measured by one aggregate over the
+    * checkpointed keys BEFORE that join runs. On real text at
+    * threshold 0.8 the default narrow bands (32×4 of 128 hashes) pass
+    * the probe untouched; on adversarial corpora (tiny vocabularies —
+    * background 5-gram Jaccard ~0.2 vs ~0.02-0.05 real text) candidates
+    * explode quadratically, and each halving of the band count doubles
+    * the rows per band, collapsing background collision probability
+    * (per-pair t^4 → t^8: 1.6e-3 → 2.6e-6 at t=0.2) while keeping ≥94%
+    * recall at the 0.8 threshold (1-(1-0.8^8)^16). The escalation trades
+    * that documented recall sliver for a candidate volume proportional
+    * to true near-dups — without it the verify join is quadratic in
+    * corpus size on exactly the corpora where near-dup mass is highest.
+    * Floor at the 16×8 shape: one more halving (8×16) costs real recall
+    * at the working threshold (1-(1-0.8^16)^8 ≈ 0.22 vs ≈ 0.95 at 16×8)
+    * for marginal extra selectivity. `keyedAt` must re-slice a STORED
+    * signature table (re-banding is a projection, never a re-run of the
+    * MinHash kernel over text). Returns the checkpointed keyed table at
+    * the chosen width.
+    */
+  private def autoWidenBands(
+      keyedAt: Int => DataFrame,
+      startBands: Int,
+      candFactor: Long,
+      minBands: Int = 16): DataFrame = {
+    var b = startBands
+    var keyed = keyedAt(b).localCheckpoint(true)
+    def probe(k: DataFrame): (Long, Long) = {
+      val r = k.groupBy("grp").agg(count(lit(1)).as("gsz"))
+        .agg(
+          coalesce(sum(expr("gsz * (gsz - 1) DIV 2")), lit(0L)),
+          coalesce(sum(col("gsz")), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (mass, rows) = probe(keyed)
+    // Items being banded is band-width-invariant; take it from the first
+    // probe so later iterations only re-measure the candidate mass.
+    val nItems = math.max(rows / math.max(b, 1), 1L)
+    while (mass > candFactor * nItems && b > minBands) {
+      keyed.unpersist()
+      b = b / 2
+      keyed = keyedAt(b).localCheckpoint(true)
+      mass = probe(keyed)._1
+    }
+    keyed
+  }
+
   def d15ChunkNearDup(
       spark: SparkSession,
       dir: String,
@@ -766,43 +837,9 @@ object Dedup {
             .plus(col("band_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))).as("grp"),
           col("cid").as("id"))
     }
-    // Candidate-volume-routed band shape (the q16 skew probe applied to
-    // d15's own buckets): Σ_grp C(gsz,2) is EXACTLY the row count the
-    // band self-join would emit, measured by one aggregate over the
-    // checkpointed keys BEFORE that join runs. On real text at
-    // threshold 0.8 the default narrow bands (32×4) pass the probe
-    // untouched; on adversarial corpora (tiny vocabularies — background
-    // 5-gram Jaccard ~0.2 vs ~0.02-0.05 real text) candidates explode
-    // quadratically, and each halving of the band count doubles the rows
-    // per band, collapsing background collision probability (per-pair
-    // t^4 → t^8: 1.6e-3 → 2.6e-6 at t=0.2) while keeping ≥94% recall at
-    // the 0.8 threshold (1-(1-0.8^8)^16). The escalation trades that
-    // documented recall sliver for a candidate volume proportional to
-    // true near-dups — without it the verify join is quadratic in
-    // corpus size on exactly the corpora where near-dup mass is highest.
-    var b = bands
-    var keyed = keyedAt(b).localCheckpoint(true)
-    if (autoBand) {
-      def probe(k: DataFrame): (Long, Long) = {
-        val r = k.groupBy("grp").agg(count(lit(1)).as("gsz"))
-          .agg(
-            coalesce(sum(expr("gsz * (gsz - 1) DIV 2")), lit(0L)),
-            coalesce(sum(col("gsz")), lit(0L)))
-          .head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var (mass, rows) = probe(keyed)
-      val nChunks = math.max(rows / math.max(b, 1), 1L)
-      // Floor at the documented 16×8 shape: one more halving (8×16)
-      // costs real recall at the working threshold (1-(1-0.8^16)^8 ≈ 0.22
-      // vs ≈ 0.95 at 16×8) for marginal extra selectivity.
-      while (mass > candFactor * nChunks && b > 16) {
-        keyed.unpersist()
-        b = b / 2
-        keyed = keyedAt(b).localCheckpoint(true)
-        mass = probe(keyed)._1
-      }
-    }
+    val keyed =
+      if (autoBand) autoWidenBands(keyedAt, bands, candFactor)
+      else keyedAt(bands).localCheckpoint(true)
     val candidates = graft.operators.GraphOps
       .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
       .select(col("id1").as("cid1"), col("id2").as("cid2"))

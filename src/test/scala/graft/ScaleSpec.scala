@@ -522,6 +522,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(dedup.Dedup.d15ChunkNearDup(spark, tmp)) === expected)
   }
 
+  test("d3: forced band escalation still finds every crafted near-dup doc pair") {
+    // The doc-level twin of the d15 band-escalation spec: candFactor=0
+    // forces the shared candidate-volume router to the widest (16×8)
+    // shape; the crafted ~0.97-Jaccard document pairs must all survive,
+    // and the default probe (which passes on this corpus) must agree.
+    val ss = spark
+    import ss.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d3-band").toString
+    def words(doc: Int) = (0 until 64).map(j => s"w${doc}q${j}xy").mkString(" ")
+    def edited(doc: Int) =
+      (0 until 64).map(j => if (j == 31) "zCHANGEDz" else s"w${doc}q${j}xy").mkString(" ")
+    val docs = (0 until 4).flatMap { i =>
+      Seq((i.toLong, words(i)), (i + 10L, edited(i)))
+    } :+ (50L -> (0 until 64).map(j => s"uniq${j}solo").mkString(" "))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 4).map(i => (i.toLong, i + 10L)).toSet
+    val escalated = pairs(dedup.Dedup.d3MinHashLsh(spark, tmp, candFactor = 0L))
+    assert(escalated === expected)
+    assert(pairs(dedup.Dedup.d3MinHashLsh(spark, tmp)) === expected)
+  }
+
   test("e10: the sliding-window explode stays below the one aggregate exchange") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
