@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "print ONE parseable JSON line": with the
+// default LoggedOutput strategy sbt re-tags the forked JVM's stdout as
+// "[info] {...}" and stderr as "[error] ...", so a line-oriented JSON
+// parser over the captured stdout never matches (ten rounds of
+// BENCH_r*.json "parsed": null). StdoutOutput passes the forked process's
+// stdout/stderr through verbatim; showSuccess drops the trailing
+// "[success] Total time ..." footer so the compact JSON summary printed
+// by graft.Bench is literally the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command loop, not a task — exempt it from
+// the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,6 +39,7 @@ object SparkEntry {
     "q18_cohort_setops"  -> operators.ExactRollup.q18CohortSetops _,
     "q19_delta_agg"      -> Relational.q19DeltaAgg _,
     "q20_adaptive_distinct" -> operators.AdaptiveRollup.q20AdaptiveDistinct _,
+    "q21_incremental_quantiles" -> operators.HistogramQuantiles.q21IncrementalQuantiles _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -88,6 +89,7 @@ object SparkEntry {
     "s6_kmeans_cluster"  -> ((s: SparkSession, d: String) => similarity.Cluster.s6KmeansCluster(s, d)),
     "s7_pq_search"       -> ((s: SparkSession, d: String) => similarity.Pq.s7PqSearch(s, d)),
     "s8_bm25_topk"       -> ((s: SparkSession, d: String) => functions.Retrieval.s8Bm25TopK(s, d)),
+    "s9_ann_auto"        -> ((s: SparkSession, d: String) => Ann.s9AnnAuto(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -735,6 +737,18 @@ object SparkEntry {
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // The oracle computes quantiles over the FULL table: matching it
+    // proves the stored-cells + delta-batch fold is identical to a
+    // rebuild from all history, end to end through the quantile windows.
+    "q21_incremental_quantiles" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(CAST(l_quantity AS BIGINT), [0.25, 0.5, 0.75, 0.95]) AS vs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST([25, 50, 75, 95][i] AS INTEGER) AS p,
+        |  CAST(vs[i] AS BIGINT) AS value
+        |FROM a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        |ORDER BY l_returnflag, p""".stripMargin,
     "t26_mix_plan" ->
       """WITH avail AS (
         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a,
@@ -1517,6 +1531,25 @@ object SparkEntry {
         |  AND list_cosine_similarity(qe, ne) >= 0.35
         |ORDER BY query_id, neighbor_id""".stripMargin,
     "s1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ne) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s9 routes to the exact tier at every driver scale (the corpus sits
+    // far inside exactScanLimit), so the exact top-k oracle checks the
+    // whole probe→route→scan path; the forced IVF escalation is
+    // spec-covered with a recall floor instead (an exact oracle cannot
+    // follow an approximate answer).
+    "s9_ann_auto" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (

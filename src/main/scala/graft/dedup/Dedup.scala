@@ -226,7 +226,7 @@ object Dedup {
     // the probe; an adversarial low-vocabulary corpus auto-widens toward
     // 16×8 before the candidate join can go quadratic.
     val keyed =
-      if (autoBand) autoWidenBands(keyedAt, bands, candFactor)
+      if (autoBand) autoWidenBands(keyedAt, bands, candFactor, numHashes)
       else keyedAt(bands).localCheckpoint(true)
     val candidates = graft.operators.GraphOps
       .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
@@ -768,7 +768,19 @@ object Dedup {
       keyedAt: Int => DataFrame,
       startBands: Int,
       candFactor: Long,
+      numHashes: Int,
       minBands: Int = 16): DataFrame = {
+    // Every band width this router can choose must slice the signature
+    // EXACTLY (numHashes % b == 0): a non-divisor silently drops the
+    // high hash indices from banding (128/12 = 10 covers only 120 of
+    // 128), which quietly changes recall. Checked up front for both
+    // endpoints, and each halving below clamps to minBands (a plain b/2
+    // from a non-power-of-two start, e.g. 24 → 12, would undershoot the
+    // documented recall floor).
+    require(startBands >= minBands,
+      s"startBands=$startBands below the recall floor minBands=$minBands")
+    require(numHashes % startBands == 0 && numHashes % minBands == 0,
+      s"band widths must divide numHashes=$numHashes: startBands=$startBands minBands=$minBands")
     var b = startBands
     var keyed = keyedAt(b).localCheckpoint(true)
     def probe(k: DataFrame): (Long, Long) = {
@@ -785,7 +797,11 @@ object Dedup {
     val nItems = math.max(rows / math.max(b, 1), 1L)
     while (mass > candFactor * nItems && b > minBands) {
       keyed.unpersist()
-      b = b / 2
+      // Clamp at the recall floor; if the clamped halving doesn't divide
+      // numHashes (possible only from a non-power-of-two start), jump
+      // straight to minBands, which the entry check proved divides.
+      val next = math.max(b / 2, minBands)
+      b = if (numHashes % next == 0) next else minBands
       keyed = keyedAt(b).localCheckpoint(true)
       mass = probe(keyed)._1
     }
@@ -838,7 +854,7 @@ object Dedup {
           col("cid").as("id"))
     }
     val keyed =
-      if (autoBand) autoWidenBands(keyedAt, bands, candFactor)
+      if (autoBand) autoWidenBands(keyedAt, bands, candFactor, numHashes)
       else keyedAt(bands).localCheckpoint(true)
     val candidates = graft.operators.GraphOps
       .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)

@@ -223,6 +223,9 @@ object AdaptiveRollup {
     val (raw, exact) = buildDaily(spark, dir)
     val cells = raw.localCheckpoint(eager = true)
     val r = cells.agg(min(col("day")), max(col("day"))).collect()(0)
+    // Empty corpus: min/max are null — answer with the (empty) result of
+    // a degenerate range rather than NPE-ing on getLong.
+    if (r.isNullAt(0)) return distinctUsersOverRange(cells, exact, 0L, 0L)
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     distinctUsersOverRange(cells, exact, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
   }
@@ -263,19 +266,52 @@ object HistogramQuantiles {
 
   /** Mergeable per-(ship month, returnflag, quantity) frequency cells. */
   def buildMonthly(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .select(
-        date_trunc("month", col("l_shipdate")).as("seg"),
-        col("l_returnflag"),
-        col("l_quantity").cast("long").as("v"))
-      .groupBy("seg", "l_returnflag", "v")
-      .agg(count(lit(1)).as("cnt"))
+    cellsOf(Tables(spark, dir).lineitem)
 
   /** q17: p25/p50/p75/p95 of quantity per returnflag, answered entirely
     * from the merged frequency cells.
     */
   def q17HistogramQuantiles(spark: SparkSession, dir: String): DataFrame =
     quantilesOf(buildMonthly(spark, dir), Seq(25, 50, 75, 95))
+
+  /** Frequency cells of an arbitrary lineitem slice — the mergeable unit
+    * [[q21IncrementalQuantiles]] folds.
+    */
+  def cellsOf(df: DataFrame): DataFrame = df
+    .select(
+      date_trunc("month", col("l_shipdate")).as("seg"),
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("v"))
+    .groupBy("seg", "l_returnflag", "v")
+    .agg(count(lit(1)).as("cnt"))
+
+  /** q21: INCREMENTAL maintenance of the frequency rollup — q19's
+    * delta-fold posture applied to the exact-quantile cells. Counts are
+    * additive integers, so folding a delta batch into the stored cells
+    * (union + sum per (seg, group, value)) is BIT-identical to rebuilding
+    * the rollup from all history — no convention drift, no float, and the
+    * driver hash-checks fold == rebuild end to end because the oracle
+    * computes quantiles over the FULL table. The split key (orderkey mod
+    * 10 — the "new batch" slice) is deliberately ORTHOGONAL to the cell
+    * segment, so stored and delta populate the SAME (seg, flag, value)
+    * cells and the fold genuinely merges counts rather than
+    * concatenating disjoint segments (a shipdate split would make the
+    * union vacuously identical to the rebuild).
+    *
+    * Scale shape: the stored side is |cells| rows (never history), the
+    * delta pass is one map-side-combined aggregate over the batch, the
+    * fold a shuffle of 2·|cells| rows — the quantile windows then run on
+    * the merged histogram exactly as q17.
+    */
+  def q21IncrementalQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val stored = cellsOf(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = cellsOf(li.filter(col("l_orderkey") % 10 === 0))
+    val folded = stored.unionByName(delta)
+      .groupBy("seg", "l_returnflag", "v")
+      .agg(sum("cnt").as("cnt"))
+    quantilesOf(folded, Seq(25, 50, 75, 95))
+  }
 
   /** Exact quantiles from (seg, l_returnflag, v, cnt) cells. */
   def quantilesOf(cells: DataFrame, ps: Seq[Int]): DataFrame = {

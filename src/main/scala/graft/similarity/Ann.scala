@@ -470,4 +470,40 @@ object Ann {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
+
+  /** s9: PROBE-ROUTED ANN — the q15/q20 adaptive boundary generalized to
+    * the similarity family: a fixed-cost probe (the corpus cardinality,
+    * one parquet-metadata-cheap count whose cost never depends on the
+    * answer) decides whether the exact brute-force scan is affordable,
+    * and only when it provably is does the engine promise recall 1.0;
+    * otherwise the WHOLE query batch routes to the trained-IVF tier
+    * (assignment stays a broadcast-centroid scan, the search join is a
+    * cell equijoin) with the s3 recall envelope. Whole-batch routing, not
+    * per-query: the two tiers rank by the same score but guarantee
+    * different recall, and a mixed answer set would make per-query
+    * quality non-uniform in a way no caller can reason about — the same
+    * all-cells-at-once argument as q20's rollup boundary.
+    *
+    * `exactScanLimit` is in CORPUS VECTORS per broadcast query batch: the
+    * brute-force tier costs |corpus|·|queries| cosine kernels with no
+    * shuffle before the top-k, so the limit is the scan mass one batch is
+    * allowed to spend; past it the IVF tier reads ~nProbe/nCells of the
+    * corpus per query plus a bounded training pass. At every test/driver
+    * scale the probe chooses exact, so the driver hash-checks the whole
+    * probe→route→scan path against the oracle's exact top-k; the forced
+    * escalation (limit 0) is spec-covered with a recall floor, where an
+    * exact oracle cannot follow an approximate answer.
+    */
+  def s9AnnAuto(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      exactScanLimit: Long = 4L * 1024 * 1024,
+      nCells: Int = 8,
+      iters: Int = 3,
+      nProbe: Int = 2): DataFrame = {
+    val n = Tables(spark, dir).embeddings.count()
+    if (n <= exactScanLimit) s1CosineTopK(spark, dir, k)
+    else s3CentroidIvfTrained(spark, dir, k, nCells, iters, nProbe)
+  }
 }

@@ -144,7 +144,12 @@ object Formats {
   def h7AvroInterchange(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir).documents
-    val path = s"/tmp/graft_avro/${new java.io.File(dir).getName}/documents"
+    // Egress path keyed on the application run AND the full dataset dir:
+    // two datasets sharing a basename (.../a/sf0.1 vs .../b/sf0.1) or two
+    // concurrent runs against the same dataset must never collide on the
+    // staging directory.
+    val path = f"/tmp/graft_avro/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/documents"
     writeAvro(docs, path)
     readAvro(spark, path)
       .groupBy(col("lang"), col("source"))

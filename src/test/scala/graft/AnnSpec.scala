@@ -82,6 +82,22 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.7, f"s3 trained recall@10 = $r%.3f")
   }
 
+  test("s9 probe routes under the scan limit to the exact tier: answer == brute force") {
+    val got = Ann.s9AnnAuto(spark, dir).collect().map(_.toSeq).toSeq
+    val exact = Ann.s1CosineTopK(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === exact)
+  }
+
+  test("s9 forced escalation (limit 0) takes the trained-IVF tier and holds the recall floor") {
+    val escalated = Ann.s9AnnAuto(spark, dir, exactScanLimit = 0L)
+    val r = recallAt10(topkSets(escalated), truth)
+    assert(r >= 0.7, f"s9 escalated recall@10 = $r%.3f")
+    // And it genuinely routed: row-identical to the s3 trained path, not a
+    // silently-exact answer wearing the escalation flag.
+    assert(escalated.collect().map(_.toSeq).toSeq ===
+      Ann.s3CentroidIvfTrained(spark, dir).collect().map(_.toSeq).toSeq)
+  }
+
   test("k-means training is deterministic: identical centroids across runs") {
     def snap() = Ann.trainedCentroids(spark, dir)
       .collect()

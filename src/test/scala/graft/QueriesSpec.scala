@@ -542,8 +542,12 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Per-query top-k must run as WindowGroupLimit with a PARTIAL pass
     // before the qid shuffle — a term matching every document must never
     // materialize a full sorted partition on the reduce side.
-    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
-      s"expected partial WindowGroupLimit in:\n$plan")
+    // The mode must be on the WindowGroupLimit node's OWN line — a bare
+    // plan.contains("Partial") would also match partial HashAggregates
+    // anywhere in the plan and pin nothing about this operator.
+    assert(plan.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial-mode WindowGroupLimit node in:\n$plan")
     // The query-term table rides a broadcast into the postings join —
     // the corpus-sized side must never shuffle on the scoring join.
     assert(plan.contains("BroadcastExchange"),

@@ -111,6 +111,36 @@ class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
     truth.foreach { case (tpe, n) => assert(got(tpe) === n.toDouble, tpe) }
   }
 
+  test("q21 delta fold is bit-identical to a rebuild, and the split genuinely merges cells") {
+    import graft.operators.HistogramQuantiles
+    val li = Tables(spark, dir).lineitem
+    val stored = HistogramQuantiles.cellsOf(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = HistogramQuantiles.cellsOf(li.filter(col("l_orderkey") % 10 === 0))
+    assert(stored.count() > 0 && delta.count() > 0, "vacuous split")
+    // The orderkey split must hit the SAME (seg, flag, value) cells from
+    // both sides — otherwise the fold degenerates to concatenation and
+    // proves nothing about count merging.
+    val overlap = stored.select("seg", "l_returnflag", "v")
+      .intersect(delta.select("seg", "l_returnflag", "v")).count()
+    assert(overlap > 0, "stored and delta populate disjoint cells — fold is vacuous")
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val folded = stored.unionByName(delta)
+      .groupBy("seg", "l_returnflag", "v").agg(sum("cnt").as("cnt"))
+    assert(cellMap(folded) === cellMap(HistogramQuantiles.cellsOf(li)))
+    // End to end: the folded quantiles equal the single-pass q17 answer.
+    assert(HistogramQuantiles.q21IncrementalQuantiles(spark, dir).collect().map(_.toSeq).toSeq
+      === HistogramQuantiles.q17HistogramQuantiles(spark, dir).collect().map(_.toSeq).toSeq)
+  }
+
+  test("q20 answers an EMPTY corpus with an empty result, not an NPE") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q20_empty").toString
+    Tables(spark, dir).events.limit(0).write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.AdaptiveRollup.q20AdaptiveDistinct(spark, tmp)
+    assert(got.columns.toSeq === Seq("event_type", "n_users"))
+    assert(got.collect().isEmpty)
+  }
+
   test("appending one day's sketches == full rebuild for the extended range") {
     val (lo, hi) = dayBounds
     assert(hi > lo, "need at least two days of events")
