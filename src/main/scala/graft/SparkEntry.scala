@@ -62,6 +62,7 @@ object SparkEntry {
     "g17_harmonic"       -> ((s: SparkSession, d: String) => GraphIter.g17Harmonic(s, d)),
     "g18_clustering_coeff" -> GraphIter.g18ClusteringCoeff _,
     "g19_butterfly_count" -> ((s: SparkSession, d: String) => GraphOps.g19ButterflyCount(s, d)),
+    "g20_link_prediction" -> ((s: SparkSession, d: String) => GraphOps.g20LinkPrediction(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -596,6 +597,25 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY s1
         |    ORDER BY jaccard_micro DESC, s2) AS BIGINT) AS rank
         |FROM sc
+        |QUALIFY rank <= 5
+        |ORDER BY node, rank""".stripMargin,
+    "g20_link_prediction" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cd AS (SELECT c, count(*) AS cd FROM e GROUP BY 1),
+        |pe AS (SELECT s, e.c, cd FROM e JOIN cd ON e.c = cd.c WHERE cd <= 50),
+        |com AS (
+        |  SELECT a.s AS s1, b.s AS s2,
+        |    sum(1000000000 // a.cd) AS ra_nano, count(*) AS common
+        |  FROM pe a JOIN pe b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+        |sym AS (SELECT s1, s2, ra_nano, common FROM com
+        |        UNION ALL SELECT s2, s1, ra_nano, common FROM com)
+        |SELECT s1 AS node, s2 AS neighbor, CAST(common AS BIGINT) AS common,
+        |  CAST(ra_nano AS BIGINT) AS ra_nano,
+        |  CAST(row_number() OVER (PARTITION BY s1
+        |    ORDER BY ra_nano DESC, s2) AS BIGINT) AS rank
+        |FROM sym
         |QUALIFY rank <= 5
         |ORDER BY node, rank""".stripMargin,
     "g12_kcore" ->

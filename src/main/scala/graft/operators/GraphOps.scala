@@ -476,10 +476,17 @@ object GraphOps {
     val hubs = edges.groupBy("c").agg(count(lit(1)).as("cd"))
       .filter(col("cd") > hubCutoff).select("c")
     val pruned = edges.join(hubs, Seq("c"), "left_anti")
+    // Materialize the pair aggregate BEFORE symmetrization: Spark does
+    // not share common subexpressions across union branches, so without
+    // this the shared-neighbor join + aggregate run TWICE (plan-audited —
+    // two mirrored SMJ/agg subtrees). The pair table is result-sized
+    // (bounded by Σ C(cd,2) over non-hub neighbors), far smaller than
+    // re-running its parent join.
     val pairs = pruned.select(col("s").as("s1"), col("c"))
       .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
     val sym = pairs.unionByName(
       pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("common")))
     val w = Window.partitionBy(col("s1"))
@@ -493,6 +500,73 @@ object GraphOps {
       .filter(col("rank") <= k)
       .select(col("s1").as("node"), col("s2").as("neighbor"),
         col("common"), col("jaccard_micro"), col("rank"))
+      .orderBy("node", "rank")
+  }
+
+  /** g20: LINK PREDICTION by the Resource-Allocation index (Zhou, Lü &
+    * Zhang 2009; the GDS linkPrediction family's strongest local measure)
+    * over the same bipartite graph as g13: candidate supplier pairs are
+    * those sharing at least one customer, scored
+    * ra_nano = Σ_{shared c} 10⁹ DIV deg(c) — each shared neighbor
+    * contributes resource INVERSELY to its fan-out, so a promiscuous
+    * shared customer says almost nothing about a specific tie while an
+    * exclusive one says a lot (the reference's hub-exclusion intuition,
+    * mysql2neo4j.py:265, as a weighting instead of a filter). Exact
+    * integer fixed-point, so the ranking never flaps across engines.
+    *
+    * Same candidate machinery as g13 (shared-neighbor equijoin — never
+    * all-pairs; hub customers above `hubCutoff` dropped from pair
+    * generation), but for RA the cutoff is PRINCIPLED rather than only
+    * operational: a dropped hub contributes at most 10⁹/(hubCutoff+1)
+    * per pair — the score mass the cutoff can remove is bounded by
+    * construction, which is exactly why RA tolerates the skew-safety
+    * lever better than raw common-neighbor counts (a dropped hub costs
+    * CN a full unit). Degrees come from the FULL edge set (exact);
+    * pruning and degree-attach share ONE join because the inner join on
+    * the filtered degree table does both. Top-k per node rides the same
+    * WindowGroupLimit shape as g13/q3.
+    */
+  def g20LinkPrediction(
+      spark: SparkSession, dir: String, k: Int = 5, hubCutoff: Int = 50): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct()
+      .localCheckpoint(true)
+    linkPrediction(edges, k, hubCutoff)
+  }
+
+  /** Core of [[g20LinkPrediction]] over an arbitrary deduplicated
+    * bipartite edge list `(s, c)`. Factored out for crafted-graph specs.
+    */
+  def linkPrediction(edges: DataFrame, k: Int, hubCutoff: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+    // One join prunes hubs AND attaches the shared neighbor's exact
+    // degree to every surviving edge — the pair aggregate below then
+    // folds 10⁹ DIV cd without a third join.
+    val pruned = edges.join(cdeg.filter(col("cd") <= hubCutoff), Seq("c"))
+    // Materialized before symmetrization for the same reason as g13's
+    // pair table: the union's two branches would otherwise each re-run
+    // the shared-neighbor join + aggregate (plan-audited).
+    val pairs = pruned.select(col("s").as("s1"), col("c"), col("cd"))
+      .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(
+        sum(expr("CAST(1000000000 AS BIGINT) DIV cd")).as("ra_nano"),
+        count(lit(1)).as("common"))
+      .localCheckpoint(true)
+    val sym = pairs.unionByName(
+      pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("ra_nano"), col("common")))
+    val w = Window.partitionBy(col("s1"))
+      .orderBy(col("ra_nano").desc, col("s2").asc)
+    sym
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("s1").as("node"), col("s2").as("neighbor"),
+        col("common"), col("ra_nano"), col("rank"))
       .orderBy("node", "rank")
   }
 

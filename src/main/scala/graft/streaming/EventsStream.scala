@@ -50,6 +50,9 @@ final case class RollupCellState(blob: Array[Byte], n_events: Long)
 /** Emitted maintained rollup cell (latest version per (day, type)). */
 final case class RollupCell(day: Long, event_type: String, user_set: Array[Byte], n_events: Long)
 
+/** One exact frequency-rollup cell (see [[EventsStream.freqRollupStream]]). */
+final case class FreqCell(day: Long, event_type: String, v: Long, cnt: Long)
+
 /** Structured Streaming forms of the F-group operators.
   *
   * Each takes an unbounded DataFrame with schema
@@ -477,6 +480,36 @@ object EventsStream {
           val blob = set.serialize()
           state.update(RollupCellState(blob, n))
           RollupCell(day, et, blob, n)
+      }
+  }
+
+  /** Streaming maintenance of the exact FREQUENCY rollup — the quantile
+    * member of the rollup family gets its stream twin, completing the
+    * trio ([[exactRollupStream]] maintains the roaring distinct cells,
+    * SketchRollup's HLL cells merge by algebra, this maintains the
+    * (day, event_type, value) count cells that
+    * [[graft.operators.HistogramQuantiles.quantilesOf]] answers exact
+    * quantiles from). Counts are additive integers, so the emitted cell
+    * after every micro-batch equals a batch recount over all rows seen so
+    * far — whatever the arrival order or batch boundaries (q21's
+    * fold==rebuild contract, maintained continuously).
+    *
+    * Unwatermarked by design like the roaring twin: cells never expire
+    * (a January histogram must absorb a February-arriving late event);
+    * state is ONE long per live cell, bounded by days × types × the
+    * bounded value domain — the precondition the batch member documents.
+    * Values quantize by floor to the long grid (the bounded-domain
+    * contract); Update output mode, upsert-by-key sink.
+    */
+  def freqRollupStream(events: Dataset[RawEvent]): Dataset[FreqCell] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.ts / 86400000000000L, e.event_type, math.floor(e.value).toLong))
+      .mapGroupsWithState[Long, FreqCell](GroupStateTimeout.NoTimeout) {
+        case ((day, et, v), rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          FreqCell(day, et, v, n)
       }
   }
 

@@ -692,6 +692,44 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L) -> (1L, 200000L), (3L, 1L) -> (1L, 200000L)))
   }
 
+  test("g20 link prediction: RA values, symmetry, and the bounded hub-cutoff trade") {
+    val ss = spark
+    import ss.implicits._
+    // s1~{c1,c2,c3}, s2~{c2,c3,c4}, s3~{c1}. Customer degrees: c1→2,
+    // c2→2, c3→2, c4→1. RA(s1,s2) = 1/2 + 1/2 over shared {c2,c3};
+    // RA(s1,s3) = 1/2 over shared {c1}.
+    val edges = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (3L, 1L)).toDF("s", "c")
+    val got = operators.GraphOps.linkPrediction(edges, k = 5, hubCutoff = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("neighbor")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("ra_nano"))).toMap
+    assert(got === Map(
+      (1L, 2L) -> (2L, 1000000000L), (2L, 1L) -> (2L, 1000000000L),
+      (1L, 3L) -> (1L, 500000000L), (3L, 1L) -> (1L, 500000000L)))
+    // Hub cutoff: a customer shared by all three suppliers (degree 3 >
+    // cutoff 2) is dropped from pair generation; surviving contributions
+    // are unchanged (degrees of the remaining shared customers don't
+    // move), and each DROPPED term was bounded by 1e9/(cutoff+1).
+    val withHub = edges.union(Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("s", "c"))
+    val cut = operators.GraphOps.linkPrediction(withHub, k = 5, hubCutoff = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("neighbor")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("ra_nano"))).toMap
+    assert(cut === got, "non-hub contributions must be untouched by the cutoff")
+    val full = operators.GraphOps.linkPrediction(withHub, k = 5, hubCutoff = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Long]("ra_nano")).toMap
+    // Uncut, the hub adds exactly 1e9 DIV 3 to every pair — and that per-
+    // pair delta is <= 1e9/(cutoff+1), the documented bounded-error trade.
+    full.foreach { case (pair, ra) =>
+      val delta = ra - cut.get(pair).map(_._2).getOrElse(0L)
+      assert(delta === 333333333L, s"pair $pair hub contribution")
+      assert(delta <= 1000000000L / (2 + 1))
+    }
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -431,6 +431,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg === expected)
   }
 
+  test("streaming frequency rollup maintains count cells identical to a batch recount") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val dayNs = 86400000000000L
+    val mem = MemoryStream[Ev]
+    // Latest emitted cell per (day, type, value) across batches.
+    val acc = scala.collection.mutable.Map.empty[(Long, String, Long), Long]
+    val q = EventsStream.freqRollupStream(mem.toDF().as[graft.streaming.RawEvent])
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.FreqCell], _: Long) =>
+        val rows = ds.collect()
+        acc.synchronized { rows.foreach(c => acc((c.day, c.event_type, c.v)) = c.cnt) }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val b1 = Seq(
+      Ev(1, 10, "view", 1 * dayNs + 1, 3.7),   // floors to 3
+      Ev(2, 11, "view", 1 * dayNs + 2, 3.1),   // same cell
+      Ev(3, 10, "view", 1 * dayNs + 3, 4.0),
+      Ev(4, 10, "click", 1 * dayNs + 4, 3.9),
+      Ev(5, 12, "view", 2 * dayNs + 5, 3.2))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    // Batch 2 increments an EXISTING cell (day 1, view, v=3) after a
+    // later-day cell opened — the no-expiry contract.
+    val b2 = Seq(
+      Ev(6, 13, "view", 1 * dayNs + 6, 3.0),
+      Ev(7, 12, "purchase", 2 * dayNs + 8, 4.5))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = b1 ++ b2
+    val expected = all
+      .groupBy(e => (e.ts / dayNs, e.event_type, math.floor(e.value).toLong))
+      .view.mapValues(_.length.toLong).toMap
+    assert(acc.toMap === expected)
+    assert(expected((1L, "view", 3L)) === 3L, "the merged cell saw both batches")
+  }
+
   test("streaming e9 window top-k ranks closed windows and matches the batch form") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
