@@ -91,6 +91,7 @@ object SparkEntry {
     "s7_pq_search"       -> ((s: SparkSession, d: String) => similarity.Pq.s7PqSearch(s, d)),
     "s8_bm25_topk"       -> ((s: SparkSession, d: String) => functions.Retrieval.s8Bm25TopK(s, d)),
     "s9_ann_auto"        -> ((s: SparkSession, d: String) => Ann.s9AnnAuto(s, d)),
+    "s10_ivfpq"          -> ((s: SparkSession, d: String) => similarity.IvfPq.s10IvfPq(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -1360,6 +1361,65 @@ object SparkEntry {
          |    FROM encx0 e0
          |    $encJoins
          |    JOIN qdx0 q0 ON q0.code = e0.code
+         |    $qdJoins
+         |    WHERE e0.vec_id <> q0.query_id)
+         |  WHERE arn <= 100),
+         |rr AS (
+         |  SELECT sl.query_id, sl.neighbor_id, CAST($exact AS BIGINT) AS dist
+         |  FROM sl JOIN qz nv ON nv.vec_id = sl.neighbor_id
+         |          JOIN qz qq ON qq.vec_id = sl.query_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, dist FROM (
+         |  SELECT query_id, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+         |  FROM rr)
+         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // s10: the s7 re-derivation EXTENDED by the coarse tier — the same
+    // PQ chains ($pqCtes), plus the 64-dim exact k-means over qz (the
+    // kmeansCtes recurrence re-based on the shared qz), a per-query
+    // nProbe=2 probe set, and a cell equijoin pruning the shortlist's
+    // candidate set before ADC ranking. Refine is s7's exact stage.
+    "s10_ivfpq" -> {
+      val encJoins = (1 until 8).map(s => s"JOIN encx$s e$s USING (vec_id)").mkString("\n    ")
+      val qdJoins = (1 until 8)
+        .map(s => s"JOIN qdx$s q$s ON q$s.query_id = q0.query_id AND q$s.code = e$s.code")
+        .mkString("\n    ")
+      val adcSum = (0 until 8).map(s => s"q$s.d").mkString(" + ")
+      val exact = (1 to 64).map(i => s"(qq.qv[$i]-nv.qv[$i])*(qq.qv[$i]-nv.qv[$i])").mkString(" + ")
+      val gDist = (1 to 64)
+        .map(i => s"(c.n*q.qv[$i]-c.s[$i])*(c.n*q.qv[$i]-c.s[$i])")
+        .mkString(" + ")
+      val gSums = (1 to 64).map(i => s"CAST(SUM(qv[$i]) AS BIGINT)").mkString("[", ", ", "]")
+      def gAssign(name: String, cPrev: String, filter: String, rnBound: String): String =
+        s"""$name AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |  SELECT q.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      CAST($gDist AS DOUBLE)/CAST(c.n*c.n AS DOUBLE), c.cell) AS rn
+           |  FROM qz q CROSS JOIN $cPrev c$filter) WHERE rn $rnBound)""".stripMargin
+      def gUpdate(name: String, aPrev: String, cPrev: String): String =
+        s"""${name}u AS MATERIALIZED (SELECT cell, $gSums AS s, COUNT(*) AS n
+           |  FROM $aPrev JOIN qz USING (vec_id) GROUP BY cell),
+           |$name AS MATERIALIZED (SELECT $cPrev.cell, COALESCE(${name}u.s, $cPrev.s) AS s,
+           |            COALESCE(${name}u.n, $cPrev.n) AS n
+           |          FROM $cPrev LEFT JOIN ${name}u USING (cell))""".stripMargin
+      s"""$pqCtes,
+         |cg0 AS MATERIALIZED (SELECT vec_id AS cell, qv AS s, CAST(1 AS BIGINT) AS n FROM qz WHERE vec_id < 8),
+         |${gAssign("ag1", "cg0", "", "= 1")},
+         |${gUpdate("cg1", "ag1", "cg0")},
+         |${gAssign("ag2", "cg1", "", "= 1")},
+         |${gUpdate("cg2", "ag2", "cg1")},
+         |${gAssign("agf", "cg2", "", "= 1")},
+         |${gAssign("probe", "cg2", " WHERE q.vec_id < 10", "<= 2")},
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q0.query_id, e0.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q0.query_id
+         |        ORDER BY $adcSum, e0.vec_id) AS arn
+         |    FROM encx0 e0
+         |    $encJoins
+         |    JOIN agf ON agf.vec_id = e0.vec_id
+         |    JOIN probe p ON p.cell = agf.cell
+         |    JOIN qdx0 q0 ON q0.query_id = p.vec_id AND q0.code = e0.code
          |    $qdJoins
          |    WHERE e0.vec_id <> q0.query_id)
          |  WHERE arn <= 100),

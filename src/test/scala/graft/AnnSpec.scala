@@ -324,4 +324,33 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = recallAt10(got, truth)
     assert(r >= 0.85, f"s7 PQ recall@10 = $r%.3f")
   }
+
+  test("s10 probing ALL cells degenerates exactly to s7: the IVF tier only prunes") {
+    // With nProbe = kCells no cell is skipped, so the candidate set is the
+    // full code table and the ADC ranking, shortlist, and refine must be
+    // row-identical to the pure-PQ path — pinning that the composition
+    // changes WHICH rows are scanned, never how they are scored.
+    val all = similarity.IvfPq.s10IvfPq(spark, dir, nProbe = 8, kCells = 8)
+      .collect().map(_.toSeq).toSeq
+    val s7 = similarity.Pq.s7PqSearch(spark, dir).collect().map(_.toSeq).toSeq
+    assert(all === s7)
+  }
+
+  test("s10 IVF+PQ at nProbe=2 holds a recall floor and exact refine distances") {
+    val out = similarity.IvfPq.s10IvfPq(spark, dir).collect()
+    assert(out.nonEmpty)
+    // Refine distances are the exact integer L2 on the quantized grid.
+    val qv: Map[Long, Array[Long]] = Tables(spark, dir).embeddings.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 512.0 + 0.5).toLong).toArray
+    }.toMap
+    out.foreach { r =>
+      val (q, n, d) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("dist"))
+      val expect = qv(q).zip(qv(n)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(d === expect, s"exact dist mismatch for ($q,$n)")
+    }
+    val got = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val r = recallAt10(got, truth)
+    assert(r >= 0.6, f"s10 IVF+PQ recall@10 = $r%.3f")
+  }
 }
