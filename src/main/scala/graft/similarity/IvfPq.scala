@@ -84,14 +84,24 @@ object IvfPq {
     val cents = Cluster.trainExact(emb, kCells, cellIters)
     val books = Pq.trainCodebooks(emb)
 
-    // Corpus side: one assignment scan + one encode scan, joined into the
-    // cell-tagged code table — (neighbor_id, cell, codes), 4-byte payload.
-    // The embedding column is never read past this point except by the
+    // Corpus side: ONE fused scan emits the cell-tagged code table —
+    // (neighbor_id, cell, codes). Cell assignment and all M code argmins
+    // are zero-shuffle codegen projections over the same quantized row,
+    // so computing them in one select costs one corpus read where an
+    // encode ⋈ assign join would cost two scans plus a shuffle. The
+    // embedding column is never read past this point except by the
     // bounded refine join.
     val q = Cluster.quantized(emb).localCheckpoint(true)
-    val corpus = Pq.encode(emb, books)
-      .join(Cluster.assignFrozen(emb, cents), Seq("vec_id"))
-      .select(col("vec_id").as("neighbor_id"), col("cluster").as("cell"), col("codes"))
+    val codeCols = books.zipWithIndex.map { case (book, sub) =>
+      org.apache.spark.sql.graft.VectorExpressions.kmeansAssignExact(
+        slice(col("qv"), sub * Pq.SubDim + 1, Pq.SubDim),
+        book.map { case (code, c) => (code, c, 1L) })
+    }
+    val corpus = q.select(
+        col("vec_id").as("neighbor_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .kmeansAssignExact(col("qv"), cents).as("cell"),
+        array(codeCols: _*).as("codes"))
       .repartition(nPart)
 
     // Query side: bounded set, each carrying its probe cells and ADC LUT.
