@@ -336,6 +336,18 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all === s7)
   }
 
+  test("s10 serving plan: cell-pruned broadcast equijoin, no cartesian anywhere") {
+    val plan = similarity.IvfPq.s10IvfPq(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The probe set rides a broadcast into the cell equijoin — the
+    // corpus-sized code table must never shuffle for the probe join, and
+    // nothing in the serving path may degenerate to an all-pairs scan.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe-cell equijoin in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected all-pairs join in the s10 serving plan:\n$plan")
+  }
+
   test("s10 IVF+PQ at nProbe=2 holds a recall floor and exact refine distances") {
     val out = similarity.IvfPq.s10IvfPq(spark, dir).collect()
     assert(out.nonEmpty)
