@@ -66,7 +66,7 @@ object Pq {
     * non-negative (|s_i| ≤ 512·n by construction of the quantization
     * grid), where truncating (JVM) and flooring (SQL) division coincide.
     */
-  private[similarity] def roundCentroid(s: Seq[Long], n: Long): Seq[Long] =
+  private[graft] def roundCentroid(s: Seq[Long], n: Long): Seq[Long] =
     s.map(si => (2L * (si + Offset * n) + n) / (2L * n) - Offset)
 
   /** Train one subspace's codebook with the exact Lloyd loop over the

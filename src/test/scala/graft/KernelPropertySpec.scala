@@ -304,4 +304,26 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("roundCentroid: exact floor(s/n + 1/2) rounding across the full grid range") {
+    // The PQ codebook claims `(2·(s + off·n) + n) / (2·n) − off` (JVM
+    // TRUNCATING division after the non-negative shift) equals
+    // floor(s/n + 1/2) — round-half-toward-+∞, the one convention a JVM
+    // truncating form and a SQL flooring form (`(2*(v+512*n)+n) //
+    // (2*n) - 512` in the oracle) can both reproduce exactly. Reference =
+    // Math.floorDiv WITHOUT the shift, so the offset trick itself is what
+    // the property exercises; exact-half cases pinned on both signs.
+    def ref(s: Long, n: Long): Long = Math.floorDiv(2 * s + n, 2 * n)
+    val rng = new scala.util.Random(11)
+    (1 to Reps).foreach { _ =>
+      val n = 1L + rng.nextInt(10000)
+      val s = Seq.fill(8)(rng.nextLong() % (512L * n + 1))
+      assert(similarity.Pq.roundCentroid(s, n) === s.map(ref(_, n)))
+    }
+    // Exact halves round toward +∞ on BOTH signs: -3/2 → -1, not -2.
+    Seq((3L, 2L, 2L), (-3L, 2L, -1L), (1L, 2L, 1L), (-1L, 2L, 0L), (5L, 2L, 3L))
+      .foreach { case (s, n, want) =>
+        assert(similarity.Pq.roundCentroid(Seq(s), n) === Seq(want), s"$s/$n")
+      }
+  }
 }
