@@ -131,6 +131,7 @@ object SparkEntry {
     "t24_drift_terms"    -> ((s: SparkSession, d: String) => TextFuncs.t24DriftTerms(s, d)),
     "t25_lm_buckets"     -> TextFuncs.t25LmBuckets _,
     "t26_mix_plan"       -> TextFuncs.t26MixPlan _,
+    "t27_curation_pipeline" -> functions.CurationPipeline.t27CurationPipeline _,
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     // F. events
@@ -770,6 +771,81 @@ object SparkEntry {
         |  CAST(vs[i] AS BIGINT) AS value
         |FROM a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
         |ORDER BY l_returnflag, p""".stripMargin,
+    // t27: the staged attrition CASE re-derived end to end — t22's keep
+    // verdict, keep-min exact dedup, the EXACT near-dup join over stage-2
+    // survivors (sound stand-in for the banded path: recall 1 − 5e-8 at
+    // the 0.8 threshold, the d3 argument), and d8's 7-gram holdout
+    // screen over stage-3 survivors. Stage sets must match the Spark
+    // side's sequential semantics exactly or the counts drift.
+    "t27_curation_pipeline" ->
+      """WITH corpus AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |f AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) AS n_chars FROM corpus),
+        |h AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|and|of)\b')) AS hits_en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS hits_de,
+        |    len(regexp_extract_all(text, '\b(el|los|las|una)\b')) AS hits_es,
+        |    len(regexp_extract_all(text, '\b(le|les|une|est)\b')) AS hits_fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS hits_zh
+        |  FROM corpus),
+        |b AS (SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |  greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN best > 0 AND hits_en = best THEN 'en'
+        |       WHEN best > 0 AND hits_de = best THEN 'de'
+        |       WHEN best > 0 AND hits_es = best THEN 'es'
+        |       WHEN best > 0 AND hits_fr = best THEN 'fr'
+        |       WHEN best > 0 AND hits_zh = best THEN 'zh'
+        |       ELSE 'und' END AS pred_lang FROM b),
+        |toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM corpus WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        |st AS (SELECT doc_id, sum(c) AS n_words, count(*) AS nd, max(c) AS best FROM wc GROUP BY doc_id),
+        |rep AS (SELECT doc_id,
+        |  CAST(best * 1000000 // n_words >= 100000
+        |    OR (n_words - nd) * 1000000 // n_words >= 600000 AS INTEGER) AS repetition_flag
+        |  FROM st),
+        |keepf AS MATERIALIZED (SELECT f.doc_id,
+        |  CASE WHEN (f.n_chars >= 100 AND f.n_chars <= 20000 AND f.n_tokens >= 20)
+        |        AND coalesce(r.repetition_flag, 0) = 0 AND l.pred_lang <> 'und'
+        |       THEN 1 ELSE 0 END AS keep
+        |  FROM f JOIN lang l USING (doc_id) LEFT JOIN rep r USING (doc_id)),
+        |q1 AS MATERIALIZED (SELECT c.doc_id, c.text FROM corpus c JOIN keepf k USING (doc_id) WHERE k.keep = 1),
+        |ex AS MATERIALIZED (SELECT doc_id, text,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM q1),
+        |s2 AS MATERIALIZED (SELECT doc_id, text FROM ex WHERE doc_id = min_id),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM s2 WHERE length(text) >= 5),
+        |nd3 AS MATERIALIZED (SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+        |s3 AS MATERIALIZED (SELECT doc_id, text FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nd3)),
+        |eg AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, length(text) - 5), i -> substr(text, CAST(i AS INTEGER), 7)))) AS g
+        |  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 7),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 5), i -> substr(text, CAST(i AS INTEGER), 7)))) AS g
+        |  FROM s3 WHERE length(text) >= 7),
+        |hsh AS (SELECT doc_id, count(*) AS shared FROM tg JOIN eg USING (g) GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |    len(list_distinct(list_transform(range(1, length(text) - 5), i -> substr(text, CAST(i AS INTEGER), 7)))) AS n_grams
+        |  FROM s3 WHERE length(text) >= 7),
+        |nd4 AS MATERIALIZED (SELECT t.doc_id FROM tot t JOIN hsh h2 ON t.doc_id = h2.doc_id
+        |  WHERE h2.shared * 1000000 // t.n_grams >= 500000),
+        |labels AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN k.keep = 0 THEN 1
+        |         WHEN c.doc_id IN (SELECT doc_id FROM ex WHERE doc_id <> min_id) THEN 2
+        |         WHEN c.doc_id IN (SELECT doc_id FROM nd3) THEN 3
+        |         WHEN c.doc_id IN (SELECT doc_id FROM nd4) THEN 4
+        |         ELSE 5 END AS stage_no
+        |  FROM corpus c JOIN keepf k USING (doc_id))
+        |SELECT CAST(stage_no AS BIGINT) AS stage_no,
+        |  CASE stage_no WHEN 1 THEN 'quality' WHEN 2 THEN 'exact_dup' WHEN 3 THEN 'near_dup'
+        |       WHEN 4 THEN 'contaminated' ELSE 'kept' END AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM labels GROUP BY stage_no ORDER BY stage_no""".stripMargin,
     "t26_mix_plan" ->
       """WITH avail AS (
         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a,

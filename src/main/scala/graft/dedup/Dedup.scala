@@ -157,14 +157,34 @@ object Dedup {
       blockThreshold: Int,
       nBlocks: Int,
       autoBand: Boolean = true,
+      candFactor: Long = 20L): DataFrame =
+    verifiedPairsOf(Tables(spark, dir).documents, threshold, numHashes, bands,
+      blockThreshold, nBlocks, autoBand, candFactor)
+
+  /** The d3 detection pipeline parametrized by its corpus: banded-LSH
+    * verified near-dup pairs over an ARBITRARY (doc_id, text, ...) frame,
+    * so staged consumers (e.g. the curation pipeline's survivor set, t27)
+    * run the exact same machinery on an intermediate population instead
+    * of the raw table. Unordered output; not memoized (frame identity is
+    * not a cache key — the dir-keyed [[verifiedPairs]] wrapper caches).
+    */
+  def verifiedPairsOf(
+      source: DataFrame,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16,
+      autoBand: Boolean = true,
       candFactor: Long = 20L): DataFrame = {
+    val spark = source.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // One small shuffle spreads the corpus across the cores BEFORE the
     // heavy kernel projections: a single parquet file arrives as ONE
     // input split, which would serialize the signature and gram-code
     // computation into a single task (identical subtrees below both
     // projections, so the exchange is planned once and reused).
-    val base = Tables(spark, dir).documents
+    val base = source
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("text"))
       .repartition(nPart)

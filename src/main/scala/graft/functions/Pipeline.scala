@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The curation pipeline END TO END — the composition a user of the
+  * reference actually runs (validate → skip-already-fetched → dedup →
+  * filter: content_validator.py + data_processor.py:91-143 generalized
+  * to the RefinedWeb-shaped corpus build), expressed as ONE declarative
+  * attrition plan over the document corpus:
+  *
+  *   1. `quality`       — t22's verdict (length/repetition/language
+  *                        gates, every signal a per-row projection);
+  *   2. `exact_dup`     — d1's keep-min-id over md5(text) groups, among
+  *                        quality survivors;
+  *   3. `near_dup`      — d3's banded-LSH verified pairs RUN ON THE
+  *                        SURVIVOR SET ([[graft.dedup.Dedup.verifiedPairsOf]]),
+  *                        greedy min-id convention (the d10 rule: drop a
+  *                        doc iff some smaller-id survivor is ≥ 0.8
+  *                        similar — pairwise, order-free, no transitive
+  *                        chase);
+  *   4. `contaminated`  — d8's n-gram holdout screen (share of 7-grams
+  *                        with the doc_id % 97 == 0 benchmark slice
+  *                        ≥ 0.5), among near-dup survivors.
+  *
+  * Output is the per-stage attrition report — one row per terminal
+  * label (the stage that removed the doc, or `kept`), with exact counts:
+  * the number a pipeline owner actually watches release over release.
+  * Stages are genuinely SEQUENTIAL (each screens only the previous
+  * stage's survivors — a near-dup pair against a quality-dropped doc
+  * must NOT drop anything), which is what the driver's oracle pins: the
+  * same four-stage CASE evaluated by DuckDB over the raw table.
+  *
+  * Scale shape: quality is a scan-bound projection; exact dedup one
+  * hash shuffle on the digest; near-dup the d3 band equijoin (never
+  * all-pairs — the oracle uses the exact join only because sf0.01 makes
+  * it feasible; recall 1 − 5e-8 at the 0.8 threshold makes the exact
+  * oracle sound, the d3 argument); contamination one gram equijoin
+  * against the benchmark gram set. Survivor frames are id+text
+  * projections checkpointed between stages so no stage re-runs its
+  * predecessors' kernels.
+  */
+object CurationPipeline {
+
+  def t27CurationPipeline(spark: SparkSession, dir: String): DataFrame =
+    pipelineReport(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+
+  /** The staged report over an arbitrary (doc_id, text) frame — factored
+    * so the all-stages-fire spec can run on a crafted corpus (the sf0.01
+    * gate data happens to contain no exact duplicate among quality
+    * survivors, so stage 2's branch needs the crafted cover).
+    */
+  def pipelineReport(all: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The % 97 slice is the held-out benchmark (d8's convention): it
+    // supplies the contamination grams and is not part of the corpus
+    // under curation.
+    val corpus = all.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+
+    // Stage 1: quality verdict (shared core with t22 and the streaming
+    // classify stage — batch/stream/pipeline parity by definition).
+    val base = TextFuncs.curationVerdictCore(corpus)
+      .select(col("doc_id"), col("keep"))
+      .join(corpus, Seq("doc_id"))
+      .localCheckpoint(true)
+    val q = base.filter(col("keep") === 1)
+
+    // Stage 2: exact dedup, keep-min over the digest among survivors.
+    val s2src = q.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val s2 = s2src.filter(col("doc_id") === col("min_id"))
+      .select("doc_id", "text")
+      .localCheckpoint(true)
+
+    // Stage 3: near-dup screen over the survivor set — the full banded
+    // machinery, pairs consumed as "drop the larger id".
+    val dropped3 = graft.dedup.Dedup.verifiedPairsOf(s2)
+      .select(col("doc_id2").as("doc_id")).distinct()
+    val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // Stage 4: contamination screen vs the benchmark slice's 7-grams.
+    val evalGrams = all
+      .filter(pmod(col("doc_id"), lit(97)) === 0 && length(col("text")) >= 7)
+      .select(explode(graft.dedup.Dedup.gramCodes(col("text"), 7)).as("g"))
+      .distinct()
+    val tg = s3.filter(length(col("text")) >= 7)
+      .select(col("doc_id"), graft.dedup.Dedup.gramCodes(col("text"), 7).as("gs"))
+    val shared = tg.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(evalGrams, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    val dropped4 = tg.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"))
+      .filter(expr("shared * 1000000 DIV n_grams") >= 500000L)
+      .select("doc_id")
+
+    // Terminal label per doc → exact attrition counts. The five id sets
+    // are disjoint and cover the corpus by construction.
+    def lbl(no: Int, name: String, ids: DataFrame) = ids
+      .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"))
+    lbl(1, "quality", base.filter(col("keep") === 0))
+      .unionByName(lbl(2, "exact_dup", s2src.filter(col("doc_id") =!= col("min_id"))))
+      .unionByName(lbl(3, "near_dup", dropped3))
+      .unionByName(lbl(4, "contaminated", dropped4))
+      .unionByName(lbl(5, "kept", s3.join(dropped4, Seq("doc_id"), "left_anti")))
+      .groupBy("stage_no", "stage")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage_no")
+  }
+}

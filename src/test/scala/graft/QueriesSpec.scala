@@ -730,6 +730,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t27 attrition: every stage fires on a crafted corpus, counts hand-computed") {
+    val ss = spark
+    import ss.implicits._
+    def passage(stem: String): String =
+      "the and of " + (1 to 40).map(i => s"$stem$i").mkString(" ")
+    val p = passage("alpha")
+    val docs = Seq(
+      1L -> p,                        // kept
+      2L -> p,                        // exact duplicate of 1 → stage 2
+      3L -> (p + " omega1 omega2"),   // ≥0.8 5-gram near-dup of 1 → stage 3
+      4L -> "tiny",                   // fails the length gate → stage 1
+      5L -> passage("beta"),          // kept
+      6L -> passage("gamma"),         // byte-equal to the benchmark → stage 4
+      97L -> passage("gamma")         // % 97 == 0: the held-out benchmark slice
+    ).toDF("doc_id", "text")
+    val got = functions.CurationPipeline.pipelineReport(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, "quality") -> 1L,        // doc 4
+      (2L, "exact_dup") -> 1L,      // doc 2 (min-id 1 survives)
+      (3L, "near_dup") -> 1L,       // doc 3 (similar to surviving doc 1)
+      (4L, "contaminated") -> 1L,   // doc 6 (shares every 7-gram with doc 97)
+      (5L, "kept") -> 2L))          // docs 1 and 5; doc 97 is not corpus
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)
