@@ -67,16 +67,22 @@ object CurationPipeline {
     val q = base.filter(col("keep") === 1)
 
     // Stage 2: exact dedup, keep-min over the digest among survivors.
+    // Checkpointed because BOTH the survivor set and the exact_dup label
+    // row consume it — without this the digest window runs twice.
     val s2src = q.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
       .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .localCheckpoint(true)
     val s2 = s2src.filter(col("doc_id") === col("min_id"))
       .select("doc_id", "text")
       .localCheckpoint(true)
 
     // Stage 3: near-dup screen over the survivor set — the full banded
-    // machinery, pairs consumed as "drop the larger id".
+    // machinery, pairs consumed as "drop the larger id". The dropped-id
+    // frame is tiny and consumed twice (survivor anti-join + label row):
+    // checkpoint it so the band/verify pipeline runs ONCE.
     val dropped3 = graft.dedup.Dedup.verifiedPairsOf(s2)
       .select(col("doc_id2").as("doc_id")).distinct()
+      .localCheckpoint(true)
     val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
@@ -90,10 +96,12 @@ object CurationPipeline {
     val shared = tg.select(col("doc_id"), explode(col("gs")).as("g"))
       .join(evalGrams, Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    // Same two-consumer shape as dropped3 (kept anti-join + label row).
     val dropped4 = tg.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
       .join(shared, Seq("doc_id"))
       .filter(expr("shared * 1000000 DIV n_grams") >= 500000L)
       .select("doc_id")
+      .localCheckpoint(true)
 
     // Terminal label per doc → exact attrition counts. The five id sets
     // are disjoint and cover the corpus by construction.
