@@ -92,6 +92,7 @@ object SparkEntry {
     "s8_bm25_topk"       -> ((s: SparkSession, d: String) => functions.Retrieval.s8Bm25TopK(s, d)),
     "s9_ann_auto"        -> ((s: SparkSession, d: String) => Ann.s9AnnAuto(s, d)),
     "s10_ivfpq"          -> ((s: SparkSession, d: String) => similarity.IvfPq.s10IvfPq(s, d)),
+    "s11_bm25_indexed"   -> ((s: SparkSession, d: String) => functions.TermIndex.s11Bm25Indexed(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -224,6 +225,45 @@ object SparkEntry {
     * truncate), integer argmin encoding, pure-integer ADC scoring — the
     * whole PQ pipeline re-derived so Spark and DuckDB agree bit-for-bit.
     */
+  /** Exact integer BM25 re-derivation, shared by the recompute form (s8)
+    * and the persisted-index form (s11) — identical output contract, so
+    * one oracle pins both: the index is storage, never semantics.
+    */
+  private val bm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t.token
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      |  WHERE length(t.token) >= 5),
+      |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |dfs AS (SELECT token, count(*) AS df, sum(tf) AS cnt FROM tf GROUP BY 1),
+      |sc AS (SELECT (SELECT count(*) FROM documents) AS n,
+      |              (SELECT sum(dl) FROM dl) AS tl),
+      |scm AS (SELECT n, tl, tl * 1000 // n AS avgdl_milli FROM sc),
+      |ranked AS (
+      |  SELECT token, df, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+      |  FROM dfs QUALIFY rn <= 8),
+      |qt AS (SELECT CAST((rn - 1) // 2 AS BIGINT) AS qid, token, df FROM ranked),
+      |scored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    sum(((2 * (scm.n - qt.df) + 1) * 1000 // (2 * qt.df + 1))
+      |        * (22000000 * tf.tf //
+      |           (10000 * tf.tf + 3000 + 9 * (dl.dl * 1000000 // scm.avgdl_milli)))
+      |        // 1000) AS score_micro,
+      |    count(*) AS n_terms
+      |  FROM tf
+      |  JOIN qt USING (token)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN scm
+      |  GROUP BY 1, 2)
+      |SELECT qid, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+      |  CAST(n_terms AS BIGINT) AS n_terms, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   private val pqCtes: String = {
     val subDim = 8
     val m = 8
@@ -1387,40 +1427,11 @@ object SparkEntry {
     "s6_kmeans_cluster" ->
       s"""$kmeansCtes
          |SELECT vec_id, cell AS cluster FROM a2f ORDER BY vec_id""".stripMargin,
-    "s8_bm25_topk" ->
-      """WITH tok AS (
-        |  SELECT doc_id, t.token
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
-        |  WHERE length(t.token) >= 5),
-        |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        |dfs AS (SELECT token, count(*) AS df, sum(tf) AS cnt FROM tf GROUP BY 1),
-        |sc AS (SELECT (SELECT count(*) FROM documents) AS n,
-        |              (SELECT sum(dl) FROM dl) AS tl),
-        |scm AS (SELECT n, tl, tl * 1000 // n AS avgdl_milli FROM sc),
-        |ranked AS (
-        |  SELECT token, df, row_number() OVER (ORDER BY cnt DESC, token) AS rn
-        |  FROM dfs QUALIFY rn <= 8),
-        |qt AS (SELECT CAST((rn - 1) // 2 AS BIGINT) AS qid, token, df FROM ranked),
-        |scored AS (
-        |  SELECT qt.qid, tf.doc_id,
-        |    sum(((2 * (scm.n - qt.df) + 1) * 1000 // (2 * qt.df + 1))
-        |        * (22000000 * tf.tf //
-        |           (10000 * tf.tf + 3000 + 9 * (dl.dl * 1000000 // scm.avgdl_milli)))
-        |        // 1000) AS score_micro,
-        |    count(*) AS n_terms
-        |  FROM tf
-        |  JOIN qt USING (token)
-        |  JOIN dl USING (doc_id)
-        |  CROSS JOIN scm
-        |  GROUP BY 1, 2)
-        |SELECT qid, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
-        |  CAST(n_terms AS BIGINT) AS n_terms, CAST(rnk AS BIGINT) AS rnk
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rnk
-        |      FROM scored)
-        |WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+    "s8_bm25_topk" -> bm25Sql,
+    // s11 answers the SAME question from the persisted bucketed index
+    // (TermIndex) — identical output contract, so the oracle is shared:
+    // matching it proves the index layout is storage, never semantics.
+    "s11_bm25_indexed" -> bm25Sql,
     "s7_pq_search" -> {
       val encJoins = (1 until 8).map(s => s"JOIN encx$s e$s USING (vec_id)").mkString("\n    ")
       val qdJoins = (1 until 8)

@@ -554,6 +554,39 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast query terms in:\n$plan")
   }
 
+  test("s11 persisted index answers row-identically to s8's recompute form") {
+    val viaIndex = functions.TermIndex.s11Bm25Indexed(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val recompute = functions.Retrieval.s8Bm25TopK(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex.nonEmpty && viaIndex === recompute)
+  }
+
+  test("s11 index: append-then-query equals rebuild-then-query; scan is bucket-pruned") {
+    import functions.TermIndex
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-termidx").toString
+    // Build on the even half, append the odd half — postings, doc
+    // lengths, and corpus scalars must all end up equal to a one-shot
+    // build, because df/cf are derived from postings at query time and
+    // the scalars are additive.
+    TermIndex.build(spark, docs.filter(col("doc_id") % 2 === 0), s"$tmp/inc")
+    TermIndex.append(spark, docs.filter(col("doc_id") % 2 =!= 0), s"$tmp/inc")
+    TermIndex.build(spark, docs, s"$tmp/full")
+    val q = TermIndex.synthesizedQueries(spark, s"$tmp/full")
+    val inc = TermIndex.query(spark, q, s"$tmp/inc").collect().map(_.toSeq).toSeq
+    val full = TermIndex.query(spark, q, s"$tmp/full").collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty && inc === full)
+    // The bounded query-term set prunes BUCKETS at scan time: the
+    // postings scan must read a strict subset of the layout.
+    val plan = TermIndex.query(spark, q, s"$tmp/full")
+      .queryExecution.executedPlan.toString
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"expected a bucket-pruned postings scan in:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"query terms should select a strict subset of buckets: ${sel.get.matched}")
+  }
+
   test("the PPM decoder never throws: any byte soup yields a verdict row") {
     val rnd = new scala.util.Random(0xBEEF)
     // Adversarial corpus: random bytes, random-length truncations of a
