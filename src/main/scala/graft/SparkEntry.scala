@@ -135,6 +135,7 @@ object SparkEntry {
     "t27_curation_pipeline" -> functions.CurationPipeline.t27CurationPipeline _,
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
+    "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
     // F. events
     "e1_tumbling_agg"    -> Events.e1TumblingAgg _,
     "e2_sessionize"      -> Events.e2Sessionize _,
@@ -2128,6 +2129,22 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // h8: the oracle computes the corrected aggregate from the RAW
+    // table; matching it proves the dynamic overwrite replaced exactly
+    // the republished partition (no doubled rows, no dropped siblings).
+    "h8_dynamic_overwrite" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) + (max(day) - min(day)) // 2 AS mid FROM d)
+        |SELECT day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM d, b
+        |WHERE NOT (day = mid AND event_type = 'click')
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
     "h2_scd2_dim" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

@@ -64,6 +64,55 @@ object Formats {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Overwrite ONLY the partitions present in `df`, leaving every other
+    * partition's files untouched — Spark's dynamic partitionOverwriteMode,
+    * the incremental-egress contract: a corrected day (or language, or
+    * source) re-publishes atomically per partition without rewriting the
+    * landing zone, and downstream readers of unaffected partitions never
+    * see churn. STATIC mode (the default) would instead drop EVERY
+    * partition before writing the batch — the difference between "replace
+    * day D" and "replace the dataset", which is why the mode is set
+    * explicitly per write rather than session-wide.
+    */
+  def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** h8: the incremental-egress round trip ON the correctness gate — the
+    * events table leaves partitioned by day, a RETRACTION batch for the
+    * middle day (its click rows removed) dynamically overwrites just that
+    * partition, and the re-read landing zone must aggregate to exactly
+    * "all events except day-D clicks": day D's old files really gone
+    * (no doubled rows), every other day byte-untouched. The oracle
+    * computes the same corrected aggregate from the raw table, so the
+    * driver hash-checks the write-side semantics end to end — the same
+    * posture as h7's format round trip, applied to partition lifecycle.
+    */
+  def h8DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = f"/tmp/graft_dynover/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x/events"
+    val ev = Tables(spark, dir).events
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .select(col("day"), col("event_type"), col("user_id"))
+    val b = ev.agg(min(col("day")), max(col("day"))).collect()(0)
+    val midDay = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    writePartitioned(ev, path, "day")
+    // The retraction batch: day D republished without its click rows.
+    overwritePartitions(
+      ev.filter(col("day") === midDay && col("event_type") =!= "click"),
+      path, "day")
+    // Partition-directory columns read back as INT; restore the LONG the
+    // writer had so the output schema is stable across the round trip.
+    readPartitioned(spark, path)
+      .groupBy(col("day").cast("long").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_users"))
+      .orderBy("day", "event_type")
+  }
+
   /** Read a partitioned parquet dataset (schema from footers — parquet is
     * self-describing, unlike the text formats).
     */

@@ -279,4 +279,29 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val none = Formats.readBinaryFiles(spark, crawl.toString, glob = "*.bin", maxLength = 1L)
     assert(none.count() === 0L)
   }
+
+  test("dynamic partition overwrite replaces only the republished partition") {
+    val ss = spark
+    import ss.implicits._
+    val out = s"$tmp/dynover"
+    Seq((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 12L), (4L, "c", 13L))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(out)
+    def files(p: String): Set[(String, Long)] =
+      new java.io.File(s"$out/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+    val aBefore = files("a")
+    val bBefore = files("b")
+    // Republish ONLY partition c (a retraction batch): dynamic mode must
+    // leave a and b byte-untouched and fully replace c (no doubled rows).
+    Formats.overwritePartitions(
+      Seq((9L, "c", 99L)).toDF("id", "part", "v"), out, "part")
+    assert(files("a") === aBefore && files("b") === bBefore,
+      "sibling partitions must not churn under a dynamic overwrite")
+    val got = Formats.readPartitioned(spark, out)
+      .select(col("id"), col("part"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 12L), (9L, "c", 99L)))
+  }
 }
