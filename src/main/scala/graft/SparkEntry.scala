@@ -40,6 +40,7 @@ object SparkEntry {
     "q19_delta_agg"      -> Relational.q19DeltaAgg _,
     "q20_adaptive_distinct" -> operators.AdaptiveRollup.q20AdaptiveDistinct _,
     "q21_incremental_quantiles" -> operators.HistogramQuantiles.q21IncrementalQuantiles _,
+    "q22_pivot"          -> Relational.q22Pivot _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -93,6 +94,7 @@ object SparkEntry {
     "s9_ann_auto"        -> ((s: SparkSession, d: String) => Ann.s9AnnAuto(s, d)),
     "s10_ivfpq"          -> ((s: SparkSession, d: String) => similarity.IvfPq.s10IvfPq(s, d)),
     "s11_bm25_indexed"   -> ((s: SparkSession, d: String) => functions.TermIndex.s11Bm25Indexed(s, d)),
+    "s12_hybrid_rrf"     -> ((s: SparkSession, d: String) => functions.Hybrid.s12HybridRrf(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -148,6 +150,7 @@ object SparkEntry {
     "e9_window_topk"     -> ((s: SparkSession, d: String) => Events.e9WindowTopk(s, d)),
     "e10_sliding_agg"    -> ((s: SparkSession, d: String) => Events.e10SlidingAgg(s, d)),
     "e11_disorder_probe" -> ((s: SparkSession, d: String) => Events.e11DisorderProbe(s, d)),
+    "e12_changelog_compact" -> Events.e12ChangelogCompact _,
     // H. sources / maintenance
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
     "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d)),
@@ -230,7 +233,7 @@ object SparkEntry {
     * and the persisted-index form (s11) — identical output contract, so
     * one oracle pins both: the index is storage, never semantics.
     */
-  private val bm25Sql: String =
+  private val bm25Ctes: String =
     """WITH tok AS (
       |  SELECT doc_id, t.token
       |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
@@ -256,13 +259,54 @@ object SparkEntry {
       |  JOIN qt USING (token)
       |  JOIN dl USING (doc_id)
       |  CROSS JOIN scm
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val bm25Sql: String =
+    s"""$bm25Ctes
       |SELECT qid, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
       |  CAST(n_terms AS BIGINT) AS n_terms, CAST(rnk AS BIGINT) AS rnk
       |FROM (SELECT *, row_number() OVER (
       |        PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rnk
       |      FROM scored)
       |WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  /** s12's oracle re-derives BOTH legs (the bm25 chain above at kLeg=10
+    * plus the s1-shaped cosine ranking) and fuses by exact integer RRF —
+    * rank algebra only, so the fused scores are engine-independent.
+    */
+  private val hybridRrfSql: String =
+    s"""$bm25Ctes,
+      |lexr AS (
+      |  SELECT qid, doc_id, rnk AS r FROM (
+      |    SELECT qid, doc_id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rnk
+      |    FROM scored)
+      |  WHERE rnk <= 10),
+      |sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |       FROM embeddings WHERE vec_id < 4),
+      |sco AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ne
+      |        FROM embeddings),
+      |semscored AS (
+      |  SELECT qid, doc_id, list_cosine_similarity(qe, ne) AS sim
+      |  FROM sq CROSS JOIN sco),
+      |semr AS (
+      |  SELECT qid, doc_id, rnk AS r FROM (
+      |    SELECT qid, doc_id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY sim DESC, doc_id) AS rnk
+      |    FROM semscored)
+      |  WHERE rnk <= 10),
+      |legs AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr),
+      |fused AS (
+      |  SELECT qid, doc_id,
+      |    CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micro,
+      |    CAST(count(*) AS BIGINT) AS n_legs
+      |  FROM legs GROUP BY 1, 2)
+      |SELECT qid, doc_id, rrf_micro, n_legs, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS rnk
+      |      FROM fused)
+      |WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
 
   private val pqCtes: String = {
@@ -1433,6 +1477,33 @@ object SparkEntry {
     // (TermIndex) — identical output contract, so the oracle is shared:
     // matching it proves the index layout is storage, never semantics.
     "s11_bm25_indexed" -> bm25Sql,
+    "s12_hybrid_rrf" -> hybridRrfSql,
+    "q22_pivot" ->
+      """SELECT n_name,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS a_qty,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS n_qty,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS r_qty
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "e12_changelog_compact" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events),
+        |w AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+        |  event_type AS last_type, value_milli AS last_value_milli
+        |FROM w WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "s7_pq_search" -> {
       val encJoins = (1 until 8).map(s => s"JOIN encx$s e$s USING (vec_id)").mkString("\n    ")
       val qdJoins = (1 until 8)

@@ -401,6 +401,46 @@ object Relational {
       .orderBy("relation", "key", "bucket_log2")
   }
 
+  /** q22: wide reshape — quantities per supplier nation PIVOTED over the
+    * return-flag domain (one column per flag), the report-table shape
+    * every BI boundary eventually asks of a long fact table (the
+    * reference renders exactly this rotation when it tabulates per-org
+    * counts by category for its import summaries, mysql2neo4j.py:248-263
+    * — rows per (org, type) turned into one row per org with a column
+    * per type).
+    *
+    * The scale contract is in the EXPLICIT value list: `pivot(col,
+    * values)` with the domain stated compiles to ONE two-phase hash
+    * aggregate over (nation) with a conditional-sum per flag — map-side
+    * partials, a single shuffle of |nations|×4 cells, no second job.
+    * The values-less overload would first run a DISTINCT job over the
+    * fact column to discover the domain (a full extra scan at 100 TB)
+    * and would let one unexpected value silently widen the schema;
+    * pinning {A,N,R} makes the plan static and schema drift a loud
+    * failure (a new flag lands in no column — caught by the q14/t6
+    * profile gates, not by a surprise column). Dimension hops are
+    * broadcast; sums carry DECIMAL(18,2) exactness until the final
+    * double projection (the q1/q11 convention).
+    */
+  def q22Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_suppkey"), col("l_returnflag"), dec("l_quantity").as("qty"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("qty")).cast("double"))
+      .select(
+        col("n_name"),
+        coalesce(col("A"), lit(0.0)).as("a_qty"),
+        coalesce(col("N"), lit(0.0)).as("n_qty"),
+        coalesce(col("R"), lit(0.0)).as("r_qty"))
+      .orderBy("n_name")
+  }
+
   /** Core of [[q14ColumnProfile]] over any frame. */
   def columnProfile(df: DataFrame): DataFrame = {
     val melted = df.select(explode(array(df.columns.toSeq.map(c =>

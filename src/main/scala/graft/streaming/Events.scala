@@ -380,4 +380,55 @@ object Events {
         expr("max(late) DIV 1000000").as("max_late_ms"))
       .orderBy("event_type")
   }
+
+  /** e12: changelog compaction — CDC apply as ONE aggregate. The event
+    * stream is read as a change log on per-user state (each event
+    * upserts its user's row; an `error` event is the tombstone — the
+    * Debezium/Kafka-compaction delete marker), and the compacted table
+    * is "the latest surviving record per key".
+    *
+    * The naive plan is a per-key window sort (`row_number() OVER
+    * (PARTITION BY user ORDER BY ts DESC) = 1`): it shuffles EVERY
+    * change record and sorts each key's full history just to keep one
+    * row. Compaction here is a plain `max(struct(seq, payload))`
+    * aggregate instead: argmax-by-sequence is associative, so map-side
+    * partial aggregation folds each input partition to ≤1 row per key
+    * BEFORE the exchange — the shuffle carries |keys|·|partitions|
+    * records at worst, not the 100 TB change history, and no sort ever
+    * runs. That partial-fold is exactly why log-compacted stores never
+    * sort segments: merging "latest wins" states needs only the pairwise
+    * max. The tombstone filter runs AFTER the argmax (a key whose latest
+    * record is a delete must vanish, but a delete followed by a
+    *  reinsert must survive) — order-free and single-pass, the same
+    * greedy stage discipline as t27.
+    *
+    * Sequence = (event-time µs, event_id): event ids are unique, so the
+    * argmax is total and deterministic; comparing at the µs grain keeps
+    * Spark's ns-normalized `ts` and an engine reading the raw parquet
+    * timestamps bit-agreed (the e5 convention). `value` is carried in
+    * exact milli fixed-point (the e7 convention).
+    */
+  def e12ChangelogCompact(spark: SparkSession, dir: String): DataFrame =
+    compactChangelog(Tables(spark, dir).events).orderBy("user_id")
+
+  /** Core of [[e12ChangelogCompact]] over an arbitrary events frame
+    * (ts in epoch ns) — also the batch contract its streaming twin in
+    * [[EventsStream]] must agree with. */
+  def compactChangelog(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(
+          expr("ts DIV 1000").as("ts_us"),
+          col("event_id"),
+          col("event_type"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("value_milli")).as("rec"))
+      .groupBy(col("user_id"))
+      .agg(max(col("rec")).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(
+        col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value_milli").as("last_value_milli"))
 }

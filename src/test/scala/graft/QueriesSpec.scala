@@ -1642,4 +1642,108 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(viaCounts === got)
   }
+
+  test("q22 pivot equals the long-form conditional aggregation and stays one aggregate") {
+    val t = Tables(spark, dir)
+    val want = t.lineitem
+      .select(col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        coalesce(sum(when(col("l_returnflag") === "A", col("qty"))).cast("double"), lit(0.0)).as("a_qty"),
+        coalesce(sum(when(col("l_returnflag") === "N", col("qty"))).cast("double"), lit(0.0)).as("n_qty"),
+        coalesce(sum(when(col("l_returnflag") === "R", col("qty"))).cast("double"), lit(0.0)).as("r_qty"))
+      .collect().map(_.toSeq).toSet
+    val dfP = operators.Relational.q22Pivot(spark, dir)
+    assert(dfP.collect().map(_.toSeq).toSet === want)
+    assert(dfP.collect().nonEmpty)
+    // The explicit value list must keep the reshape a single two-phase
+    // aggregate: no DISTINCT discovery job, no Expand, no extra shuffle
+    // beyond the one group-by exchange (plus the verification sort).
+    val plan = dfP.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"pivot expanded rows:\n$plan")
+  }
+
+  test("e12 changelog compaction: tombstone/reinsert semantics, window-free plan, recount agreement") {
+    val sp = spark
+    import sp.implicits._
+    // Crafted log: user 1 ends on a tombstone (must vanish), user 2 has a
+    // tombstone FOLLOWED by a reinsert (must survive with the later row),
+    // user 3 is a single plain upsert.
+    val crafted = Seq(
+      (1L, 10L, 1000L * 1000, "view", 1.0),
+      (1L, 11L, 2000L * 1000, "error", 2.0),
+      (2L, 20L, 1000L * 1000, "error", 3.0),
+      (2L, 21L, 3000L * 1000, "click", 4.5),
+      (3L, 30L, 1500L * 1000, "view", 7.25)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = streaming.Events.compactChangelog(crafted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (2L, 21L, 3000L, "click", 4500L),
+      (3L, 30L, 1500L, "view", 7250L)))
+    // Full-table agreement with the window-latest formulation.
+    val events = Tables(spark, dir).events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(expr("ts DIV 1000").desc, col("event_id").desc)
+    val want = events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000"),
+        col("event_type"), expr("CAST(floor(value * 1000) AS BIGINT)"))
+      .collect().map(_.toSeq).toSet
+    val full = streaming.Events.e12ChangelogCompact(spark, dir)
+    assert(full.collect().map(_.toSeq).toSet === want)
+    // The point of the aggregate form: compaction must never window-sort
+    // the change history — argmax folds map-side instead.
+    val plan = full.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"compaction plans a window sort:\n$plan")
+    assert(plan.contains("partial_max") || plan.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation in:\n$plan")
+  }
+
+  test("s12 hybrid RRF equals a driver-side fusion of its two legs") {
+    import graft.functions.{Hybrid, Retrieval}
+    import graft.similarity.Ann
+    val kLeg = 10
+    val lex = Retrieval.s8Bm25TopK(spark, dir, nQueries = 4, k = kLeg)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")))
+    // Semantic leg recount through the HOF cosine (spec-proven identical
+    // to the native kernel) and a driver-side sort.
+    val emb = Tables(spark, dir).embeddings
+    val semScored = emb.select(col("vec_id").as("doc_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))))
+      .withColumn("sim", Ann.cosineHof(col("q_emb"), col("n_emb")))
+      .select("qid", "doc_id", "sim")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"), r.getAs[Double]("sim")))
+    val sem = semScored.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(kLeg).zipWithIndex
+        .map { case ((_, d, _), i) => (q, d, (i + 1).toLong) }
+    }
+    val fused = (lex.toSeq ++ sem)
+      .map { case (q, d, r) => ((q, d), 1000000L / (60L + r)) }
+      .groupBy(_._1)
+      .map { case ((q, d), cs) => (q, d, cs.map(_._2).sum, cs.size.toLong) }
+    val want = fused.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.toSeq.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((_, d, s, n), i) => (q, d, s, n, (i + 1).toLong) }
+    }.toSet
+    val got = Hybrid.s12HybridRrf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // Non-degenerate fusion: at least one doc must be carried by each leg
+    // shape somewhere in the result (all-lexical or all-semantic output
+    // would mean a leg silently dropped out).
+    val lexSet = lex.map(t => (t._1, t._2)).toSet
+    val semSet = sem.map(t => (t._1, t._2)).toSet
+    assert(got.exists(t => lexSet.contains((t._1, t._2))), "no lexical doc survived fusion")
+    assert(got.exists(t => semSet.contains((t._1, t._2))), "no semantic doc survived fusion")
+  }
 }
