@@ -41,6 +41,7 @@ object SparkEntry {
     "q20_adaptive_distinct" -> operators.AdaptiveRollup.q20AdaptiveDistinct _,
     "q21_incremental_quantiles" -> operators.HistogramQuantiles.q21IncrementalQuantiles _,
     "q22_pivot"          -> Relational.q22Pivot _,
+    "q23_routed_join"    -> ((s: SparkSession, d: String) => Relational.q23RoutedJoin(s, d)),
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -151,12 +152,15 @@ object SparkEntry {
     "e10_sliding_agg"    -> ((s: SparkSession, d: String) => Events.e10SlidingAgg(s, d)),
     "e11_disorder_probe" -> ((s: SparkSession, d: String) => Events.e11DisorderProbe(s, d)),
     "e12_changelog_compact" -> Events.e12ChangelogCompact _,
+    "e13_path_analysis"  -> ((s: SparkSession, d: String) => Events.e13PathAnalysis(s, d)),
     // H. sources / maintenance
     "h1_upsert_dim"      -> ((s: SparkSession, d: String) => sources.Upsert.h1UpsertDim(s, d)),
     "h2_scd2_dim"        -> ((s: SparkSession, d: String) => sources.Upsert.h2Scd2Dim(s, d)),
     "h3_snapshot_diff"   -> ((s: SparkSession, d: String) => sources.Upsert.h3SnapshotDiff(s, d)),
     "h4_scd_asof_join"   -> ((s: SparkSession, d: String) => sources.Upsert.h4ScdAsofJoin(s, d)),
-    "h5_zorder_key"      -> ((s: SparkSession, d: String) => sources.Layout.h5ZorderKey(s, d))
+    "h5_zorder_key"      -> ((s: SparkSession, d: String) => sources.Layout.h5ZorderKey(s, d)),
+    "h9_manifest_prune"  -> ((s: SparkSession, d: String) => sources.Manifest.h9ManifestPrune(s, d)),
+    "t28_shuffle_export" -> ((s: SparkSession, d: String) => functions.Export.t28ShuffleExport(s, d))
   )
 
   /** Shared t19 LM-score CTE chain, ending in `lm(doc_id, n_bigrams,
@@ -1504,6 +1508,47 @@ object SparkEntry {
         |  event_type AS last_type, value_milli AS last_value_milli
         |FROM w WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+    "q23_routed_join" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum($decPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1995-07-01'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "h9_manifest_prune" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "e13_path_analysis" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    array_to_string((list(event_type ORDER BY ts_us, event_id))[1:8],
+        |      '>') AS path
+        |  FROM ev GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin,
+    "t28_shuffle_export" ->
+      """SELECT doc_id, shard, h, CAST(pos AS BIGINT) AS pos FROM (
+        |  SELECT doc_id, h, substr(h, 1, 1) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id) AS pos
+        |  FROM (SELECT doc_id,
+        |          md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents))
+        |ORDER BY shard, pos""".stripMargin,
     "s7_pq_search" -> {
       val encJoins = (1 until 8).map(s => s"JOIN encx$s e$s USING (vec_id)").mkString("\n    ")
       val qdJoins = (1 until 8)

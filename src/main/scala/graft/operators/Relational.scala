@@ -441,6 +441,59 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q23: driver-side COST-BASED join routing — the g4/q15/q20/s9 probe
+    * discipline applied to join-STRATEGY choice (the R12 survey item).
+    * The query is revenue per order priority for orders in a narrow date
+    * window: fact (lineitem) ⋈ filtered dimension (orders). What static
+    * planning cannot see is the FILTER's selectivity — at 100 TB the
+    * orders relation is terabytes, so Catalyst's size estimate (table
+    * stats × a fixed selectivity guess) keeps the dimension side above
+    * `autoBroadcastJoinThreshold` and plans a sort-merge join that
+    * shuffles the ENTIRE fact table, even when the date window keeps
+    * only a few hundred MB of orders. AQE can only rescue that after a
+    * shuffle of the dimension side materializes; the probe here decides
+    * BEFORE any fact-side work is scheduled.
+    *
+    * Probe = a count of the filtered dimension: predicate and column
+    * pruning reach the parquet scan, so its cost is proportional to the
+    * dimension and the window — independent of the fact table, the same
+    * fixed-cost-probe contract as q20/s9. Route: rows × estRowBytes ≤
+    * broadcastLimit ⇒ an explicit `broadcast` hint (the fact table never
+    * shuffles — one scan, map-side join, map-side partial agg); else an
+    * explicit `merge` hint (both sides shuffle on the join key — the
+    * honest plan when the dimension genuinely doesn't fit an executor).
+    * Either way the strategy is a stated DECISION with a measured input,
+    * not a stats guess; the forced-escalation spec pins route identity
+    * (both plans, same rows) and the plan shape of each route.
+    */
+  def q23RoutedJoin(
+      spark: SparkSession,
+      dir: String,
+      dateLo: String = "1995-01-01",
+      dateHi: String = "1995-07-01",
+      broadcastLimit: Long = 64L * 1024 * 1024,
+      estRowBytes: Long = 32L): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordersF = t.orders
+      .filter(col("o_orderdate") >= lit(dateLo).cast("timestamp") &&
+        col("o_orderdate") < lit(dateHi).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val probeRows = ordersF.count()
+    val dim =
+      if (probeRows * estRowBytes <= broadcastLimit) broadcast(ordersF)
+      else ordersF.hint("merge")
+    t.lineitem
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("rev"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Core of [[q14ColumnProfile]] over any frame. */
   def columnProfile(df: DataFrame): DataFrame = {
     val melted = df.select(explode(array(df.columns.toSeq.map(c =>

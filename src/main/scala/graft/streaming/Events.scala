@@ -431,4 +431,40 @@ object Events {
         col("last.ts_us").as("last_ts_us"),
         col("last.event_type").as("last_type"),
         col("last.value_milli").as("last_value_milli"))
+
+  /** e13: user-journey PATH analysis — the top event-type sequences users
+    * actually follow (product analytics' "path / flow" report; the
+    * ordered generalization of e4's fixed funnel: e4 asks "how many got
+    * through THIS sequence", e13 asks "WHICH sequences happen").
+    *
+    * Shape: one per-user aggregate collects (ts, id, type) structs,
+    * `array_sort` orders them by event time (event_id breaks ties — the
+    * sequence is total and deterministic), the first `maxLen` types
+    * join into the path string, and a second tiny aggregate counts users
+    * per path. No per-user window sort ever runs: `collect_list` is an
+    * ObjectHashAggregate with map-side partials, so each partition folds
+    * its users' local event lists before the one per-user exchange, and
+    * the per-path rollup sees |users| rows, not |events|. State per key
+    * is that user's events — bounded by per-user activity (the same
+    * contract as e2's session state; a corpus with unbounded single-user
+    * histories would pre-slice by the e2 session boundary first, making
+    * the path a per-SESSION journey, which is also the more useful
+    * report). Top-k is deterministic: (count desc, path) is total.
+    */
+  def e13PathAnalysis(spark: SparkSession, dir: String,
+      maxLen: Int = 8, topK: Int = 20): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type")))).as("seq"))
+      .select(array_join(
+        slice(expr("transform(seq, x -> x.event_type)"), 1, maxLen),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
 }

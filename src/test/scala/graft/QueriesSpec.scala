@@ -1746,4 +1746,56 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(t => lexSet.contains((t._1, t._2))), "no lexical doc survived fusion")
     assert(got.exists(t => semSet.contains((t._1, t._2))), "no semantic doc survived fusion")
   }
+
+  test("e13 paths agree with the window formulation and never plan a per-user window sort") {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val maxLen = 8
+    val want = ev
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rows) =>
+        rows.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3)).mkString(">")
+      }
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(20).toSet
+    val df = streaming.Events.e13PathAnalysis(spark, dir)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // Truncation is real: no path may exceed maxLen hops.
+    assert(got.forall(_._1.split('>').length <= maxLen))
+    // The collect+array_sort form exists to avoid shuffling and sorting
+    // the full event history per user — a Window node means it regressed.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window("),
+      s"per-user window sort in the path plan:\n$plan")
+  }
+
+  test("t28 export is seed-deterministic, seed-sensitive, and shard-complete") {
+    val a = functions.Export.t28ShuffleExport(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val b = functions.Export.t28ShuffleExport(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(a.toSet === b.toSet, "same seed must reproduce the identical layout")
+    // Every hex shard is populated (uniformity at 500 docs / 16 shards),
+    // and in-shard positions are exactly 1..n — a writer can stream each
+    // shard out with no gaps and no coordination.
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.size === 16, s"shards seen: ${byShard.keySet.toSeq.sorted}")
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.size).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    // A new seed is a new permutation: some document must change position.
+    val c = functions.Export.t28ShuffleExport(spark, dir, seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(c !== a.map(r => (r._1, r._2, r._4)).toSet,
+      "changing the seed must reshuffle")
+  }
 }

@@ -559,4 +559,74 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gensBelow = exchanges.head.collectWithSubqueries { case g: GenerateExec => g }
     assert(gensBelow.nonEmpty, s"explode should sit below the exchange:\n$plan")
   }
+
+  test("q23 probe routes the join strategy; both routes are row-identical") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // Default limit: the probe sees a few hundred filtered orders and must
+    // pick the broadcast route — the fact side never shuffles.
+    val fast = operators.Relational.q23RoutedJoin(spark, dir)
+    val fastJoins = physical(fast).collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(fastJoins.nonEmpty,
+      s"probe under the limit should broadcast:\n${physical(fast)}")
+    // Forced escalation (limit 0): the probe must route to the explicit
+    // sort-merge plan — and the answer must not move by a single row.
+    val slow = operators.Relational.q23RoutedJoin(spark, dir, broadcastLimit = 0L)
+    val slowPlan = physical(slow)
+    assert(slowPlan.collectWithSubqueries { case j: SortMergeJoinExec => j }.nonEmpty,
+      s"limit 0 should force the merge route:\n$slowPlan")
+    assert(slowPlan.collectWithSubqueries { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"limit 0 must not broadcast:\n$slowPlan")
+    assert(fast.collect().map(_.toSeq).toSeq === slow.collect().map(_.toSeq).toSeq)
+    assert(fast.collect().nonEmpty)
+  }
+
+  test("h9 manifest pruning reads a strict subset of files and matches the full scan") {
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val orders = t.orders
+      .withColumn("ord_us", unix_micros(col("o_orderdate").cast("timestamp")))
+    sources.Manifest.write(spark, orders, "ord_us", tmp)
+    val allFiles = spark.read.parquet(s"$tmp/data").inputFiles.toSet
+    assert(allFiles.size > 1, "layout must split into multiple files")
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime * 1000L
+    val hi = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime * 1000L - 1
+    val pruned = sources.Manifest.scanRange(spark, tmp, "ord_us", lo, hi)
+    // File-level pruning is the whole point: the scan's file list must be
+    // a STRICT subset of the layout (range clustering makes envelopes
+    // disjoint, so a one-year slice of a seven-year table drops files).
+    val read = pruned.inputFiles.toSet
+    assert(read.nonEmpty && read.subsetOf(allFiles) && read.size < allFiles.size,
+      s"expected a strict file subset: ${read.size} of ${allFiles.size}")
+    // Pruning decides files, never rows: identical to the raw filter.
+    // Decimal sums: a raw double sum differs by fold order across the two
+    // partitionings — exactly the drift the engine's decimal convention
+    // exists to kill — so the agreement check uses the same convention.
+    val want = orders.filter(col("ord_us") >= lo && col("ord_us") <= hi)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)"))).collect().head
+    val got = pruned.agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)"))).collect().head
+    assert(got === want)
+    assert(got.getLong(0) > 0)
+    // A range no envelope intersects (year ~2128+) reads nothing and
+    // returns nothing.
+    assert(sources.Manifest.scanRange(spark, tmp, "ord_us",
+      5000000000000000L, 6000000000000000L).count() === 0L)
+  }
+
+  test("t28 export plan is one hash exchange on the shard id — never a global sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = physical(functions.Export.t28ShuffleExport(spark, dir))
+    val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size === 1, s"expected exactly one exchange:\n$plan")
+    assert(exchanges.head.outputPartitioning.toString.contains("shard"),
+      s"the one exchange must hash on the shard id:\n$plan")
+    // Per-shard sorts are local by construction; a global (non-partition)
+    // sort anywhere means the shuffle degenerated to ORDER BY random().
+    val globalSorts = plan.collectWithSubqueries {
+      case s: SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"global sort in the export plan:\n$plan")
+  }
 }
