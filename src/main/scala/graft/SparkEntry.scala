@@ -136,6 +136,7 @@ object SparkEntry {
     "t25_lm_buckets"     -> TextFuncs.t25LmBuckets _,
     "t26_mix_plan"       -> TextFuncs.t26MixPlan _,
     "t27_curation_pipeline" -> functions.CurationPipeline.t27CurationPipeline _,
+    "t29_split_leakage"  -> ((s: SparkSession, d: String) => functions.CurationPipeline.t29SplitLeakage(s, d)),
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
@@ -160,6 +161,7 @@ object SparkEntry {
     "h4_scd_asof_join"   -> ((s: SparkSession, d: String) => sources.Upsert.h4ScdAsofJoin(s, d)),
     "h5_zorder_key"      -> ((s: SparkSession, d: String) => sources.Layout.h5ZorderKey(s, d)),
     "h9_manifest_prune"  -> ((s: SparkSession, d: String) => sources.Manifest.h9ManifestPrune(s, d)),
+    "h10_time_travel"    -> ((s: SparkSession, d: String) => sources.Snapshots.h10TimeTravel(s, d)),
     "t28_shuffle_export" -> ((s: SparkSession, d: String) => functions.Export.t28ShuffleExport(s, d))
   )
 
@@ -860,6 +862,34 @@ object SparkEntry {
         |  CAST(vs[i] AS BIGINT) AS value
         |FROM a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
         |ORDER BY l_returnflag, p""".stripMargin,
+    // t29: cross-split near-dup leakage — t21's md5 split re-derived
+    // (the t21 oracle's nibble fold) joined onto the exact ≥0.8 pair
+    // set (sound stand-in for the banded path, the d3 argument),
+    // canonicalized by pipeline rank (train < val < test).
+    "t29_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents WHERE length(text) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u < 800 THEN 'train' WHEN u < 900 THEN 'val' ELSE 'test' END AS split,
+        |    CASE WHEN u < 800 THEN 0 WHEN u < 900 THEN 1 ELSE 2 END AS rk
+        |  FROM (SELECT doc_id, list_reduce(list_transform(range(1, 13),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1),
+        |    (a, b) -> a * 16 + b) % 1000 AS u FROM documents)),
+        |j AS (
+        |  SELECT CASE WHEN s1.rk <= s2.rk THEN s1.split ELSE s2.split END AS split_early,
+        |         CASE WHEN s1.rk <= s2.rk THEN s2.split ELSE s1.split END AS split_late,
+        |         CASE WHEN s1.rk <= s2.rk THEN p.doc_id2 ELSE p.doc_id1 END AS late_doc
+        |  FROM p JOIN sp s1 ON p.doc_id1 = s1.doc_id JOIN sp s2 ON p.doc_id2 = s2.doc_id
+        |  WHERE s1.split <> s2.split)
+        |SELECT split_early, split_late, count(*) AS n_pairs, count(DISTINCT late_doc) AS n_leaked_docs
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // t27: the staged attrition CASE re-derived end to end — t22's keep
     // verdict, keep-min exact dedup, the EXACT near-dup join over stage-2
     // survivors (sound stand-in for the banded path: recall 1 − 5e-8 at
@@ -1527,6 +1557,24 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // h10: each snapshot's answer re-derived from the raw table with the
+    // same integer day cuts the staged commits used — the gate fails if
+    // any historical version reads back anything but the data it held at
+    // commit time.
+    "h10_time_travel" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |b AS (SELECT min(day) + (max(day) - min(day)) // 3 AS cut1,
+        |             min(day) + 2 * (max(day) - min(day)) // 3 AS cut2 FROM d),
+        |v AS (
+        |  SELECT 1 AS version, event_type FROM d, b WHERE day <= cut1
+        |  UNION ALL SELECT 2, event_type FROM d, b WHERE day <= cut2
+        |  UNION ALL SELECT 3, event_type FROM d, b)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n_events
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e13_path_analysis" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

@@ -115,6 +115,14 @@ object Dedup {
         autoBand, candFactor)
       .orderBy("doc_id1", "doc_id2")
 
+  /** Public face of the memoized pair set for downstream consumers that
+    * want the default detection product without d3's terminal verify
+    * ordering (e.g. the t29 split-leakage audit, which aggregates the
+    * pairs immediately).
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir, 0.8, 128, 32)
+
   /** Memoized verified near-dup pairs — the shared detection product of
     * d3 (which orders and returns it) and d6 (which clusters it). One
     * session-scoped entry per (dir, threshold, hashes, bands), retained

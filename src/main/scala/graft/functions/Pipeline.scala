@@ -43,6 +43,65 @@ import graft.Tables
   */
 object CurationPipeline {
 
+  /** t29: near-dup LEAKAGE across the train/val/test split — the eval-
+    * integrity audit a training-data pipeline runs after splitting (a
+    * val/test document with a ≥ 0.8 near-duplicate in train inflates
+    * every benchmark number it touches; the d8 contamination screen
+    * catches external holdouts, this catches the pipeline's OWN split).
+    *
+    * t21's split is content-keyed (md5 of the text), so byte-identical
+    * duplicates land in the same split by construction — every leak this
+    * report surfaces is a genuine NEAR-duplicate (different bytes,
+    * ≥ 0.8 Jaccard), exactly the class a hash split cannot protect
+    * against. Output: one row per ordered split pair (train < val < test
+    * in pipeline order), with the cross-split pair count and the number
+    * of distinct LATER-split docs contaminated (the docs an eval owner
+    * would quarantine).
+    *
+    * Scale shape: the split is t21's shuffle-free projection; the pair
+    * set is d3's memoized banded-LSH product (result-sized — orders of
+    * magnitude smaller than the corpus); each labeling join BROADCASTS
+    * the pair set against the corpus projection, so the corpus never
+    * shuffles and each join's output is pair-sized. The final rollup
+    * aggregates ≤ |pairs| rows into ≤ 3 rows.
+    */
+  def t29SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageReport(
+      Tables(spark, dir).documents,
+      graft.dedup.Dedup.nearDupPairs(spark, dir))
+
+  /** The report over an arbitrary (doc_id, text) corpus and an arbitrary
+    * (doc_id1, doc_id2) pair frame — factored so the spec can pin the
+    * canonicalization and aggregation against a hand-computed recount on
+    * a crafted pair set.
+    */
+  def splitLeakageReport(docs: DataFrame, pairFrame: DataFrame): DataFrame = {
+    // Pipeline rank makes (early, late) deterministic and meaningful:
+    // leakage flows from the earlier (larger, trained-on) split into the
+    // later (evaluated) one.
+    val splits = TextFuncs.hashSplitCore(docs)
+      .select(col("doc_id"), col("split"),
+        when(col("split") === "train", 0)
+          .when(col("split") === "val", 1)
+          .otherwise(2).as("rk"))
+    val pairs = pairFrame.select("doc_id1", "doc_id2")
+    val p1 = splits.join(broadcast(pairs), splits("doc_id") === pairs("doc_id1"))
+      .select(col("doc_id1"), col("doc_id2"),
+        col("split").as("split1"), col("rk").as("rk1"))
+    val p2 = splits.join(broadcast(p1), splits("doc_id") === p1("doc_id2"))
+      .select(col("doc_id1"), col("doc_id2"), col("split1"), col("rk1"),
+        col("split").as("split2"), col("rk").as("rk2"))
+    p2.filter(col("split1") =!= col("split2"))
+      .select(
+        when(col("rk1") <= col("rk2"), col("split1")).otherwise(col("split2")).as("split_early"),
+        when(col("rk1") <= col("rk2"), col("split2")).otherwise(col("split1")).as("split_late"),
+        when(col("rk1") <= col("rk2"), col("doc_id2")).otherwise(col("doc_id1")).as("late_doc"))
+      .groupBy("split_early", "split_late")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("late_doc")).as("n_leaked_docs"))
+      .orderBy("split_early", "split_late")
+  }
+
   def t27CurationPipeline(spark: SparkSession, dir: String): DataFrame =
     pipelineReport(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
 

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Snapshot-versioned table over plain parquet — the Iceberg/Delta
+  * SNAPSHOT + TIME-TRAVEL contract re-expressed with nothing but
+  * immutable data files and per-version manifests (the storage half of
+  * the table-format story; [[Manifest]] is the pruning half).
+  *
+  * The core idea is that a snapshot is a MANIFEST OF IMMUTABLE FILES,
+  * not a copy of the data: committing a batch writes ONLY that batch's
+  * data files plus one tiny manifest listing `parent's files + new
+  * files`. Consequences, each of which is the property a 100 TB table
+  * actually buys with a table format:
+  *
+  *   - commit cost is O(batch), never O(table) — appending a day to a
+  *     100 TB fact table moves one day of bytes;
+  *   - every historical version stays readable FOREVER at zero storage
+  *     cost beyond its manifest (time travel: `readAsOf(v)`) because
+  *     data files are shared between snapshots, not rewritten;
+  *   - readers are isolated from writers for free — a reader that
+  *     resolved version v's file list keeps reading exactly those files
+  *     whatever commits land after it (files are never mutated, only
+  *     ADDED and de-listed);
+  *   - maintenance (compaction) is just another commit: new manifest,
+  *     content-identical file set, old versions untouched — h5's
+  *     `Layout.compact` becomes snapshot-safe by construction.
+  *
+  * Single-writer by design (the driver owns commits); multi-writer
+  * needs the optimistic-concurrency swap of a real catalog, which is an
+  * orchestration concern, not a query-engine one.
+  *
+  * Reference behavior: the loader re-runs ingest batches against an
+  * ever-growing store and must never corrupt what earlier runs see
+  * (mysql2neo4j.py's MERGE-driven idempotent loads); the crawl history
+  * IS a sequence of snapshots.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed version, 0 if the table does not exist yet. */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val f = fs(spark)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).foldLeft(0L)(math.max)
+  }
+
+  /** Commit `batch` as the next snapshot: write the batch's data files
+    * under an immutable per-version directory, then write manifest
+    * version N = manifest(N−1) ∪ {new files}. Only the batch moves;
+    * every inherited file is listed, never touched.
+    */
+  def commit(spark: SparkSession, path: String, batch: DataFrame): Long = {
+    val v = currentVersion(spark, path) + 1
+    batch.write.mode("overwrite").parquet(s"$path/data/batch-$v")
+    val newFiles = spark.read.parquet(s"$path/data/batch-$v").inputFiles.toSeq
+    import spark.implicits._
+    val prev: Seq[String] =
+      if (v == 1) Seq.empty
+      else spark.read.parquet(s"$path/manifest/v${v - 1}")
+        .as[String].collect().toSeq
+    (prev ++ newFiles).toDF("file")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest/v$v")
+    v
+  }
+
+  /** Replace the current file set wholesale (compaction / rewrite
+    * commit): `rewritten` is laid down as the new version's data files
+    * and the new manifest lists ONLY them. Old versions keep their own
+    * manifests and files — time travel across a compaction is exact.
+    */
+  def commitRewrite(spark: SparkSession, path: String, rewritten: DataFrame): Long = {
+    val v = currentVersion(spark, path) + 1
+    rewritten.write.mode("overwrite").parquet(s"$path/data/batch-$v")
+    val newFiles = spark.read.parquet(s"$path/data/batch-$v").inputFiles.toSeq
+    import spark.implicits._
+    newFiles.toDF("file")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest/v$v")
+    v
+  }
+
+  /** Time travel: the table exactly as of version `v` — a scan of
+    * precisely the files version v's manifest lists. No directory
+    * listing of the data tree ever happens (at 100 TB the listing is
+    * the latency), and no later commit can change what this returns.
+    */
+  def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(s"$path/manifest/v$v").as[String].collect()
+    require(files.nonEmpty, s"snapshot v$v of $path is empty or missing")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Build-once staging for the driver key: the events table committed
+    * as three day-range batches (an append-mostly fact table growing by
+    * ingest window — the canonical snapshot customer).
+    */
+  private def staged(spark: SparkSession, dir: String): String = {
+    val base = f"/tmp/graft_snapshots/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events"
+    val marker = new java.io.File(s"$base/_built")
+    if (!marker.exists()) {
+      val ev = Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          expr("ts DIV 86400000000000").cast("long").as("day"))
+      val days = ev.agg(min("day"), max("day")).head()
+      val (lo, hi) = (days.getLong(0), days.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      commit(spark, base, ev.filter(col("day") <= cut1))
+      commit(spark, base, ev.filter(col("day") > cut1 && col("day") <= cut2))
+      commit(spark, base, ev.filter(col("day") > cut2))
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    base
+  }
+
+  /** h10: TIME TRAVEL on the correctness gate — the same aggregate
+    * (rows per event type) answered against snapshots v1, v2 and v3 of
+    * the staged table, all three read AFTER every commit has landed.
+    * The oracle recomputes each version's answer from the raw table
+    * with the same day cuts, so the driver hash-checks that historical
+    * versions read back exactly the data they held at commit time —
+    * file sharing, manifest isolation and the append path all on one
+    * gate.
+    */
+  def h10TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val base = staged(spark, dir)
+    val per = (1L to 3L).map { v =>
+      readAsOf(spark, base, v)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("version", lit(v))
+    }
+    per.reduce(_.unionByName(_))
+      .select("version", "event_type", "n_events")
+      .orderBy("version", "event_type")
+  }
+}

@@ -140,6 +140,54 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.count() === docs.filter(col("lang") === "en").count())
   }
 
+  test("snapshots: commits share files, history stays readable, commit is O(batch)") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_table"
+    val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val b2 = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+    val v1 = sources.Snapshots.commit(spark, p, b1)
+    val files1 = sources.Snapshots.readAsOf(spark, p, v1).inputFiles.toSet
+    val mt1 = files1.map { f =>
+      f -> new java.io.File(new java.net.URI(f)).lastModified()
+    }.toMap
+    val v2 = sources.Snapshots.commit(spark, p, b2)
+    val files2 = sources.Snapshots.readAsOf(spark, p, v2).inputFiles.toSet
+    // The new snapshot LISTS v1's files rather than rewriting them: strict
+    // superset, and every inherited file is byte-untouched on disk.
+    assert(files1.subsetOf(files2) && files2.size > files1.size)
+    mt1.foreach { case (f, t) =>
+      assert(new java.io.File(new java.net.URI(f)).lastModified() === t,
+        s"inherited file rewritten by commit $v2: $f")
+    }
+    // Time travel: v1 still answers exactly its own content after v2.
+    assert(sources.Snapshots.readAsOf(spark, p, v1).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(sources.Snapshots.readAsOf(spark, p, v2).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
+  test("snapshots: a compaction commit changes files, not content, and not history") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_compact"
+    val v1 = sources.Snapshots.commit(spark, p,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(4))
+    val v2 = sources.Snapshots.commit(spark, p,
+      Seq((3L, "c")).toDF("id", "v").repartition(4))
+    val before = sources.Snapshots.readAsOf(spark, p, v2)
+    val v3 = sources.Snapshots.commitRewrite(spark, p, before.coalesce(1))
+    val after = sources.Snapshots.readAsOf(spark, p, v3)
+    // Content multiset identical, file count collapsed, file sets disjoint
+    // (the rewrite is a NEW version's files — old snapshots keep theirs).
+    assert(after.as[(Long, String)].collect().sorted
+      === before.as[(Long, String)].collect().sorted)
+    assert(after.inputFiles.length < before.inputFiles.length)
+    assert(after.inputFiles.toSet.intersect(before.inputFiles.toSet).isEmpty)
+    assert(sources.Snapshots.readAsOf(spark, p, v1).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b")))
+  }
+
   test("upsert-by-key: MERGE semantics — keep-newest, auto-create, idempotent replay") {
     val ss = spark
     import ss.implicits._

@@ -788,6 +788,36 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, "kept") -> 2L))          // docs 1 and 5; doc 97 is not corpus
   }
 
+  test("t29 split leakage: crafted pairs recounted by hand, same-split pairs excluded") {
+    val ss = spark
+    import ss.implicits._
+    // 60 docs whose splits we read back rather than engineer: the spec
+    // pins the REPORT (labeling joins, early/late canonicalization, the
+    // distinct late-doc count), so the pair list is chosen from the
+    // observed split map instead of hunting md5 preimages.
+    val docs = (0L until 60L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    val split = TextFuncs.hashSplitCore(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byS = split.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    assert(Seq("train", "val", "test").forall(s => byS.get(s).exists(_.size >= 2)),
+      s"crafted corpus must populate all three splits: ${byS.view.mapValues(_.size).toMap}")
+    val (tr, va, te) = (byS("train"), byS("val"), byS("test"))
+    val pairs = Seq(
+      (tr(0), va(0)),  // train→val, train-side id first
+      (va(1), tr(1)),  // train→val with the VAL doc as doc_id1 — rank canonicalization
+      (tr(0), te(0)),  // train→test
+      (te(0), tr(1)),  // second pair leaking onto the SAME test doc → distinct < pairs
+      (va(0), te(1)),  // val→test
+      (tr(0), tr(1))   // same-split: must not appear in the report
+    ).toDF("doc_id1", "doc_id2")
+    val got = functions.CurationPipeline.splitLeakageReport(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("train", "val") -> (2L, 2L),
+      ("train", "test") -> (2L, 1L),  // both pairs hit te(0): one leaked doc
+      ("val", "test") -> (1L, 1L)))
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)
