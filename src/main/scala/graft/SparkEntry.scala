@@ -42,6 +42,7 @@ object SparkEntry {
     "q21_incremental_quantiles" -> operators.HistogramQuantiles.q21IncrementalQuantiles _,
     "q22_pivot"          -> Relational.q22Pivot _,
     "q23_routed_join"    -> ((s: SparkSession, d: String) => Relational.q23RoutedJoin(s, d)),
+    "q24_rollup_rewrite" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q24RollupRewrite(s, d)),
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -78,6 +79,7 @@ object SparkEntry {
     "d15_chunk_neardup"  -> ((s: SparkSession, d: String) => Dedup.d15ChunkNearDup(s, d)),
     "d16_bloom_prefilter" -> ((s: SparkSession, d: String) => Dedup.d16BloomPrefilter(s, d)),
     "d17_strip_spans"    -> ((s: SparkSession, d: String) => Dedup.d17StripSpans(s, d)),
+    "d18_winnow_fingerprints" -> ((s: SparkSession, d: String) => Dedup.d18WinnowFingerprints(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.d7IncrementalDedup(s, d)),
     "d8_decontaminate"   -> ((s: SparkSession, d: String) => Dedup.d8Decontaminate(s, d)),
     "d9_simhash_pairs"   -> ((s: SparkSession, d: String) => Dedup.d9SimhashPairs(s, d)),
@@ -96,6 +98,7 @@ object SparkEntry {
     "s10_ivfpq"          -> ((s: SparkSession, d: String) => similarity.IvfPq.s10IvfPq(s, d)),
     "s11_bm25_indexed"   -> ((s: SparkSession, d: String) => functions.TermIndex.s11Bm25Indexed(s, d)),
     "s12_hybrid_rrf"     -> ((s: SparkSession, d: String) => functions.Hybrid.s12HybridRrf(s, d)),
+    "s13_mmr_rerank"     -> ((s: SparkSession, d: String) => similarity.Mmr.s13MmrRerank(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -164,6 +167,52 @@ object SparkEntry {
     "h10_time_travel"    -> ((s: SparkSession, d: String) => sources.Snapshots.h10TimeTravel(s, d)),
     "t28_shuffle_export" -> ((s: SparkSession, d: String) => functions.Export.t28ShuffleExport(s, d))
   )
+
+  /** s13's oracle: the full greedy MMR selection unrolled — step t keeps
+    * cand minus the selected union, scores `0.5·rel − 0.5·max sim to
+    * selected`, and picks the (score desc, cid asc) argmax. Generated
+    * because steps 2..5 are structurally identical (the s7 codebook-chain
+    * pattern).
+    */
+  private val s13OracleSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""rem$t AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} s
+         |                    WHERE s.query_id = c.query_id AND s.cid = c.cid)),
+         |sc$t AS (
+         |  SELECT r.query_id, r.cid,
+         |    0.5 * any_value(r.rel) - 0.5 * max(list_cosine_similarity(r.e, s.e)) AS score
+         |  FROM rem$t r JOIN selu${t - 1} s USING (query_id)
+         |  GROUP BY r.query_id, r.cid),
+         |sel$t AS (
+         |  SELECT query_id, cid, e FROM (
+         |    SELECT c.query_id, c.cid, c.e,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY sc.score DESC, c.cid) AS rn
+         |    FROM sc$t sc JOIN cand c ON sc.query_id = c.query_id AND sc.cid = c.cid)
+         |  WHERE rn = 1),
+         |selu$t AS (SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to 5).map(t =>
+      s"SELECT query_id, CAST($t AS INTEGER) AS rank, cid AS neighbor_id FROM sel$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+       |n AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, cid, e, list_cosine_similarity(qe, e) AS rel
+       |  FROM q CROSS JOIN n WHERE query_id <> cid),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+       |    FROM scored) WHERE rk <= 10),
+       |sel1 AS (SELECT query_id, cid, e FROM cand WHERE rk = 1),
+       |selu1 AS (SELECT * FROM sel1),
+       |$steps
+       |$finals
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Shared t19 LM-score CTE chain, ending in `lm(doc_id, n_bigrams,
     * lm_micro)` — reused by the t25 bucketing oracle.
@@ -838,6 +887,21 @@ object SparkEntry {
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q24: the MV-rewritten plan must agree with count(DISTINCT) over
+    // raw rows — same range convention as q13 (the rewrite changes the
+    // PLAN, never the answer, and the gate is exactly that claim).
+    "q24_rollup_rewrite" ->
+      """WITH d AS (
+        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |    event_type, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d, b
+        |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q20_adaptive_distinct" ->
       """WITH d AS (
         |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
@@ -1269,6 +1333,31 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_id1, doc_id2, CAST(floor(jac * 1000000.0) AS BIGINT) AS jaccard_micro
         |FROM p WHERE jac >= 0.8 ORDER BY doc_id1, doc_id2""".stripMargin,
+    // d18: the full winnowing selection re-derived — positional 8-gram
+    // md5-fold hashes, 4-wide window minima (the count(*) = 4 guard keeps
+    // only full windows), distinct fingerprints, the df <= 50 stop-key
+    // filter, and the pair rollup.
+    "d18_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+        |  WHERE len(regexp_split_to_array(text, '\s+')) >= 11),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(range(1, 16),
+        |      n -> strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(n AS INTEGER), 1)) - 1),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)),
+        |wm AS (
+        |  SELECT a.doc_id, a.i AS j, min(b.h) AS mh
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + 3
+        |  GROUP BY a.doc_id, a.i
+        |  HAVING count(*) = 4),
+        |fp AS (SELECT DISTINCT doc_id, mh AS h FROM wm),
+        |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+        |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h))
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared
+        |FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d4_simhash" -> d4OracleSql,
     "d9_simhash_pairs" -> d9OracleSql,
     "d6_dedup_resolve" ->
@@ -1862,6 +1951,7 @@ object SparkEntry {
         |WHERE query_id <> neighbor_id
         |  AND list_cosine_similarity(qe, ne) >= 0.35
         |ORDER BY query_id, neighbor_id""".stripMargin,
+    "s13_mmr_rerank" -> s13OracleSql,
     "s1_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),

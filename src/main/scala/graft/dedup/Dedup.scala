@@ -1035,4 +1035,80 @@ object Dedup {
         shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)).as("band3"))
       .orderBy("doc_id")
   }
+
+  /** d18: WINNOWED fingerprint matching (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): the SPARSE tier of the substring
+    * family. d14 indexes EVERY word k-gram (exact, but the index is
+    * gram-per-position — corpus-sized×k at 100 TB); winnowing keeps only
+    * each sliding window's MINIMUM gram hash, thinning the index to
+    * ~2/(w+1) of the positions while keeping the guarantee that matters:
+    * any substring shared verbatim across documents of at least
+    * w + k − 1 tokens still produces at least one shared selected
+    * fingerprint (every length-w window inside the match selects from
+    * the same hash sequence on both sides). Below the guarantee length,
+    * detection degrades gracefully instead of exactly — the documented
+    * trade that buys the density bound.
+    *
+    * Scale shape: fingerprint selection is ONE shuffle-free projection
+    * (gram hashes, window minima, distinct — all inside the row via
+    * `transform`/`slice`/`array_min`); the index join is a fingerprint
+    * equijoin (never all-pairs) with the d12 stop-key discipline (a
+    * fingerprint in > `dfCutoff` docs is boilerplate — dropped from pair
+    * generation on BOTH sides, mirrored in the oracle). Gram hashes are
+    * the md5 nibble fold (the t21/t28 portability rule: selection
+    * DEPENDS on hash values, so the oracle must render the identical
+    * integers; production swaps xxhash64 into the same plan when the
+    * index never leaves one engine).
+    */
+  def d18WinnowFingerprints(
+      spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+      dfCutoff: Int = 50): DataFrame =
+    winnowPairsOf(Tables(spark, dir).documents, k, w, dfCutoff)
+      .orderBy("doc_id1", "doc_id2")
+
+  /** The winnowed pair pipeline over an arbitrary (doc_id, text) frame —
+    * factored so the guarantee spec runs on a crafted corpus.
+    */
+  def winnowPairsOf(
+      docs: DataFrame, k: Int = 8, w: Int = 4, dfCutoff: Int = 50): DataFrame = {
+    val minTokens = k + w - 1
+    val fps = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("wd"))
+      .filter(size(col("wd")) >= minTokens)
+      // Gram hashes (positional), then window minima, then the distinct
+      // fingerprint set — one in-row pipeline, nothing leaves the row
+      // until the final explode of the (small) selected set. The gram
+      // array is hoisted into its own projection: Catalyst does not CSE
+      // across lambda bodies, so inlining it under the window transform
+      // would recompute every md5 once per window (O(n·w·k) → O(n²·k)).
+      // Both projections are TOTAL expressions (IF-guarded to array() on
+      // short inputs) even though the length filter sits below: Spark's
+      // InferFiltersFromGenerate derives `size(fps) > 0` from the explode
+      // and pushes it BELOW the length filter with the definitions
+      // inlined, so an expression that errors on short rows would blow up
+      // in the inferred filter before the guard ever runs (sequence(1, 0)
+      // DESCENDS, handing slice a zero start).
+      .select(col("doc_id"), expr(
+        s"""IF(size(wd) >= $minTokens,
+           |  transform(sequence(1, size(wd) - ${k - 1}),
+           |    i -> CAST(conv(substring(md5(array_join(slice(wd, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT)),
+           |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin)
+        .as("gh"))
+      .select(col("doc_id"), expr(
+        s"""IF(size(gh) >= $w,
+           |  array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
+           |    j -> array_min(slice(gh, j, $w)))),
+           |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("h"))
+    val fpsC = fps.localCheckpoint(true)
+    val keep = fpsC.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCutoff)
+      .select("h")
+    val pruned = fpsC.join(keep, Seq("h"))
+    pruned.select(col("h"), col("doc_id").as("doc_id1"))
+      .join(pruned.select(col("h"), col("doc_id").as("doc_id2")), Seq("h"))
+      .filter(col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -231,6 +231,67 @@ object AdaptiveRollup {
   }
 }
 
+/** The MATERIALIZED-VIEW face of the rollup family: the persisted
+  * [[ExactRollup]] cell store REGISTERED with the session
+  * (`spark.graft.rollup.source` / `.store`), so that a PLAIN
+  * `count(DISTINCT user_id)` over a day-aligned ts range of the raw
+  * table — a query that never mentions graft at all — is answered from
+  * O(days) blob cells by the injected
+  * [[org.apache.spark.sql.graft.RewriteRangeDistinctToRollup]] optimizer
+  * rule. q13 proved the cells answer exactly; q20 let the engine choose
+  * the representation; q24 removes the last caller obligation: the
+  * QUERY TEXT no longer has to know the rollup exists (the q15
+  * no-Expand precedent applied to persisted state — the Calcite MV
+  * story as an engine property).
+  *
+  * The gate is the strongest available check of the rewrite: the driver
+  * hash-compares the rewritten plan's answer against DuckDB running
+  * count(DISTINCT) over raw rows, so a rewrite that fires on a shape it
+  * cannot answer exactly fails loudly. The plan-shape half (the rewrite
+  * actually FIRES, scans the store, and leaves misaligned/extra-predicate
+  * shapes alone) is pinned in ExtensionsSpec.
+  */
+object RollupRewrite {
+  import org.apache.spark.sql.functions.countDistinct
+
+  private val DayNs = 86400000000000L
+
+  /** Build-once persisted cell store for the driver key (the h9/h7
+    * staging convention: session- and dir-keyed, marker-guarded).
+    */
+  private def staged(spark: SparkSession, dir: String): String = {
+    val base = f"/tmp/graft_rollup/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events_cells"
+    val marker = new java.io.File(s"$base/_built")
+    if (!marker.exists()) {
+      ExactRollup.buildDaily(spark, dir).write.mode("overwrite").parquet(s"$base/cells")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    s"$base/cells"
+  }
+
+  /** q24: register the store, then run the NAIVE query — the optimizer
+    * substitutes the cell scan. Bounds are the q13 middle-half day range
+    * expressed as day-aligned nanosecond literals (the alignment the
+    * rule proves exactness from).
+    */
+  def q24RollupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val store = staged(spark, dir)
+    val ev = Tables(spark, dir).events
+    spark.conf.set("spark.graft.rollup.source", s"$dir/events.parquet")
+    spark.conf.set("spark.graft.rollup.store", store)
+    val r = ev.select(expr("ts DIV 86400000000000").cast("long").as("day"))
+      .agg(min("day"), max("day")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (dLo, dHi) = (lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+    ev.filter(col("ts") >= lit(dLo * DayNs) && col("ts") < lit((dHi + 1) * DayNs))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+}
+
 /** EXACT quantiles from a mergeable frequency rollup — the third member
   * of the rollup family (HLL ≈ distinct, roaring = exact distinct, this
   * = exact quantiles): for value columns whose DISTINCT DOMAIN is

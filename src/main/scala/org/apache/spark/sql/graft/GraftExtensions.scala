@@ -231,5 +231,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregates (kills the Expand replication); see the rule's scaladoc
     // for the exact guards.
     ext.injectOptimizerRule(_ => RewriteMultiDistinctToRoaring)
+    // Materialized-view rewrite: day-aligned-range count(DISTINCT user_id)
+    // over the registered raw table answers from the persisted ExactRollup
+    // cell store (see the rule's scaladoc for the registration contract
+    // and the exactness guards).
+    ext.injectOptimizerRule(_ => RewriteRangeDistinctToRollup)
   }
 }

@@ -2,8 +2,9 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 
 /** Rewrites an [[Aggregate]] carrying TWO OR MORE `count(DISTINCT x)`
@@ -63,5 +64,167 @@ object RewriteMultiDistinctToRoaring extends Rule[LogicalPlan] {
         }.asInstanceOf[NamedExpression])
         agg.copy(aggregateExpressions = newAggs)
       }
+  }
+}
+
+/** MATERIALIZED-VIEW rewrite for the exact distinct rollup: a plain
+  * `count(DISTINCT user_id)` over a day-aligned `ts` range of the raw
+  * events table is answered from the persisted
+  * [[graft.operators.ExactRollup]] cell store instead of rescanning the
+  * fact table — the Calcite/BigQuery MV-rewrite contract as an injected
+  * optimizer rule, and the final rung of the rollup family's ladder
+  * (q12 one-pass aggregate → q13 persisted cells on the gate → q20
+  * probe-routed representation → THIS: queries that never mention the
+  * rollup at all get it).
+  *
+  * Registration is two session confs (the registration IS the freshness
+  * contract — whoever points the engine at a store asserts it is the
+  * complete rollup of the source, the same assertion every MV system
+  * extracts from its refresh pipeline):
+  *
+  *   - `spark.graft.rollup.source` — path of the raw events parquet;
+  *   - `spark.graft.rollup.store`  — path of its (day, event_type,
+  *     user_set, n_events) ExactRollup cell table.
+  *
+  * The rewrite fires ONLY when the whole shape is provably answerable
+  * from cells, else the plan is left untouched:
+  *
+  *   - the aggregate's child is the registered source relation under
+  *     nothing but column-pruning projects and ONE range filter whose
+  *     conjuncts are exactly `ts >= lo` / `ts < hi` with literal bounds
+  *     DIVISIBLE by the day width (a misaligned bound would need rows
+  *     the cells have already merged away — exactness is checkable on
+  *     the literals, so the rule checks it);
+  *   - grouping is empty or exactly `event_type`, and the output carries
+  *     exactly one aggregate: an unfiltered `count(DISTINCT user_id)`.
+  *
+  * The replacement scans O(days) blob cells and unions exact roaring
+  * sets ([[RoaringBlobUnionCount]] — lossless by definition), so the
+  * answer is BIT-identical to the fact-table plan; the driver's q24 gate
+  * hash-checks exactly that against DuckDB's count(DISTINCT) over raw
+  * rows. Output attribute ids are preserved through an aliasing Project,
+  * so parent operators (sorts, projections) never notice the swap. At
+  * 100 TB this is the difference between a dashboard query costing an
+  * O(events) rescan and costing O(days) KB-sized reads.
+  */
+object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val DayNs = 86400000000000L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val source = conf.getConfString("spark.graft.rollup.source", "")
+    val store = conf.getConfString("spark.graft.rollup.store", "")
+    if (source.isEmpty || store.isEmpty) plan
+    else plan.transform {
+      case agg: Aggregate => tryRewrite(agg, source, store).getOrElse(agg)
+    }
+  }
+
+  /** Peel column-pruning projects and filters off the aggregate child,
+    * accumulating filter conjuncts, down to a single parquet relation.
+    */
+  private def unwrap(plan: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+    plan match {
+      case f: Filter =>
+        unwrap(f.child).map { case (cs, r) =>
+          (splitConjunctivePredicates(f.condition) ++ cs, r)
+        }
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(p.child)
+      case r: LogicalRelation => Some((Nil, r))
+      case _ => None
+    }
+
+  private def isCountDistinct(ne: NamedExpression, uid: Attribute): Boolean = ne match {
+    case Alias(AggregateExpression(Count(Seq(c)), _, true, None, _), _) =>
+      c.semanticEquals(uid)
+    case _ => false
+  }
+
+  private def tryRewrite(
+      agg: Aggregate, source: String, store: String): Option[LogicalPlan] = {
+    val (conds, rel) = unwrap(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val pathOk = rel.relation match {
+      case h: HadoopFsRelation =>
+        val roots = h.location.rootPaths
+        roots.length == 1 && roots.head.toUri.getPath == source
+      case _ => false
+    }
+    if (!pathOk) return None
+    val ts = rel.output.find(_.name == "ts").getOrElse(return None)
+    val et = rel.output.find(_.name == "event_type").getOrElse(return None)
+    val uid = rel.output.find(_.name == "user_id").getOrElse(return None)
+    if (ts.dataType != LongType) return None
+    // InferFiltersFromConstraints may add IsNotNull(ts); the range bound
+    // already implies it, so it is safe to ignore. Any OTHER extra
+    // conjunct narrows the row set beyond what the cells merged — no
+    // rewrite.
+    val effective = conds.filterNot {
+      case IsNotNull(t) => t.semanticEquals(ts)
+      case _ => false
+    }
+    // Exactly the two range conjuncts, both bounds day-aligned literals.
+    val bounds = effective match {
+      case Seq(a, b) =>
+        def lo(e: Expression) = e match {
+          case GreaterThanOrEqual(t, Literal(v: Long, LongType)) if t.semanticEquals(ts) => Some(v)
+          case _ => None
+        }
+        def hi(e: Expression) = e match {
+          case LessThan(t, Literal(v: Long, LongType)) if t.semanticEquals(ts) => Some(v)
+          case _ => None
+        }
+        (lo(a), hi(b), lo(b), hi(a)) match {
+          case (Some(l), Some(h), _, _) => Some((l, h))
+          case (_, _, Some(l), Some(h)) => Some((l, h))
+          case _ => None
+        }
+      case _ => None
+    }
+    val (loNs, hiNs) = bounds.getOrElse(return None)
+    if (loNs % DayNs != 0 || hiNs % DayNs != 0 || loNs >= hiNs) return None
+    // Grouping: none, or exactly event_type.
+    val grouped = agg.groupingExpressions match {
+      case Seq() => false
+      case Seq(g) if g.semanticEquals(et) => true
+      case _ => return None
+    }
+    // Output: exactly one count(DISTINCT user_id); the rest (if grouped)
+    // must be the group attribute itself or an alias of it.
+    val countOutputs = agg.aggregateExpressions.filter(isCountDistinct(_, uid))
+    if (countOutputs.length != 1) return None
+    val othersOk = agg.aggregateExpressions.forall { ne =>
+      isCountDistinct(ne, uid) || (grouped && (ne match {
+        case a: Attribute => a.semanticEquals(et)
+        case Alias(a: Attribute, _) => a.semanticEquals(et)
+        case _ => false
+      }))
+    }
+    if (!othersOk) return None
+
+    // Build the cell-store plan through the DataFrame API (analyzed, then
+    // left to the remaining optimizer batches like any other subtree).
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.{col => fcol}
+    val cells = spark.read.parquet(store)
+      .filter(fcol("day").between(loNs / DayNs, hiNs / DayNs - 1L))
+    val out =
+      if (grouped)
+        cells.groupBy(fcol("event_type"))
+          .agg(RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n"))
+      else
+        cells.agg(RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n"))
+    val newPlan = out.queryExecution.analyzed
+    val newEt = newPlan.output.find(_.name == "event_type")
+    val newN = newPlan.output.find(_.name == "__mv_n").get
+    // Preserve the original output attribute ids so parents still bind.
+    val projList = agg.aggregateExpressions.map { ne =>
+      val target: Expression = if (isCountDistinct(ne, uid)) newN else newEt.get
+      Alias(target, ne.name)(exprId = ne.exprId)
+    }
+    Some(Project(projList, newPlan))
   }
 }

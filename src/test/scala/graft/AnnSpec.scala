@@ -365,4 +365,26 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = recallAt10(got, truth)
     assert(r >= 0.6, f"s10 IVF+PQ recall@10 = $r%.3f")
   }
+
+  test("s13 MMR greedy: diversity beats redundant relevance, ties break on id") {
+    import graft.similarity.Mmr
+    def c(id: Long, emb: Array[Float], q: Array[Float]) =
+      Mmr.Cand(1L, id, Mmr.cosineD(q, emb), emb)
+    val q = Array(1f, 0f)
+    // A tight cluster ~30° from the query (top relevance, mutually ~1.0
+    // similar) and one vector at −60° — orthogonal to the cluster, half
+    // the relevance. Plain top-2 returns two cluster members; for MMR the
+    // cluster's marginal is 0.5·0.866 − 0.5·~1.0 < 0 while the diverse
+    // vector scores 0.5·0.5 − 0.5·~0 = 0.25.
+    val a1 = Array(0.8660f, 0.5000f); val a2 = Array(0.8662f, 0.4997f)
+    val a3 = Array(0.8658f, 0.5003f)
+    val b = Array(0.5f, -0.866f)
+    val cands = Seq(c(10, a1, q), c(11, a2, q), c(12, a3, q), c(20, b, q))
+    val picks = Mmr.mmrSelect(cands, 2).map(_._3)
+    assert(picks.head >= 10L && picks.head <= 12L, s"first pick is max-rel: $picks")
+    assert(picks(1) === 20L, s"second pick must be the diverse vector: $picks")
+    // Exact-tie candidates (identical embeddings): lower id wins each round.
+    val t1 = Array(1f, 0f); val tie = Seq(c(5, t1, q), c(3, t1, q), c(9, t1, q))
+    assert(Mmr.mmrSelect(tie, 3).map(_._3) === Seq(3L, 5L, 9L))
+  }
 }

@@ -117,4 +117,69 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!strings.queryExecution.executedPlan.toString.contains("graft_roaring_distinct"),
       "string distinct keys must not be rewritten")
   }
+
+  test("MV rewrite: day-range count(DISTINCT) answers from the rollup store") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.RoaringAggregates
+    val ss = spark; import ss.implicits._
+    val dayNs = 86400000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    // Crafted raw table: 3 days × 2 types, user overlap across days so
+    // the union genuinely dedupes (day-local counts would overcount).
+    val raw = (0 until 60).map { i =>
+      val day = i % 3
+      (i.toLong, day * dayNs + (i / 3) * 1000L, (i % 7).toLong,
+        if (i % 2 == 0) "click" else "view")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val src = raw.select("event_id", "ts", "user_id", "event_type")
+    src.write.mode("overwrite").parquet(s"$tmp/events_raw")
+    val srcPath = s"$tmp/events_raw"
+    val cells = spark.read.parquet(srcPath)
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .groupBy("day", "event_type")
+      .agg(RoaringAggregates.roaringSetAgg(col("user_id")).as("user_set"),
+        count(lit(1)).as("n_events"))
+    cells.write.mode("overwrite").parquet(s"$tmp/cells")
+    def q(lo: Long, hi: Long) = spark.read.parquet(srcPath)
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+    def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten.toSet
+    val native = q(0L, 2 * dayNs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      spark.conf.set("spark.graft.rollup.source", srcPath)
+      spark.conf.set("spark.graft.rollup.store", s"$tmp/cells")
+      val rewritten = q(0L, 2 * dayNs)
+      assert(scans(rewritten) === Set(s"$tmp/cells"),
+        s"rewrite must swap the scan to the store:\n${rewritten.queryExecution.optimizedPlan}")
+      assert(rewritten.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === native)
+      // Global (ungrouped) shape rewrites too.
+      val global = spark.read.parquet(srcPath)
+        .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      assert(scans(global) === Set(s"$tmp/cells"))
+      assert(global.head().getLong(0) ===
+        spark.read.parquet(srcPath).filter(col("ts") < lit(2 * dayNs))
+          .select("user_id").distinct().count())
+      // Misaligned bound: the cells cannot answer it — stays on the source.
+      val misaligned = q(0L, 2 * dayNs - 1L)
+      assert(scans(misaligned) === Set(srcPath), "misaligned range must not rewrite")
+      // An extra predicate narrows rows beyond the cells — stays native.
+      val extra = spark.read.parquet(srcPath)
+        .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs) && col("event_id") > 5L)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_users"))
+      assert(scans(extra) === Set(srcPath), "extra predicate must not rewrite")
+    } finally {
+      spark.conf.set("spark.graft.rollup.source", "")
+      spark.conf.set("spark.graft.rollup.store", "")
+    }
+    // Confs cleared: back to the native plan.
+    assert(scans(q(0L, 2 * dayNs)) === Set(srcPath))
+  }
 }

@@ -818,6 +818,38 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("val", "test") -> (1L, 1L)))
   }
 
+  test("d18 winnowing: the w+k-1 guarantee holds, shorter overlaps stay sparse") {
+    val ss = spark
+    import ss.implicits._
+    def words(stem: String, n: Int): Seq[String] = (1 to n).map(i => s"$stem$i")
+    val shared11 = words("common", 11)   // == w + k - 1: MUST be caught
+    val shared7 = words("run", 7)        // < k = 8: no shared gram at all
+    val docs = Seq(
+      (1L, (words("alpha", 20) ++ shared11 ++ words("beta", 20)).mkString(" ")),
+      (2L, (words("gamma", 20) ++ shared11 ++ words("delta", 20)).mkString(" ")),
+      (3L, (words("eps", 20) ++ shared7 ++ words("zeta", 20)).mkString(" ")),
+      (4L, (words("eta", 20) ++ shared7 ++ words("theta", 20)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.winnowPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"an 11-token shared run must yield a shared fingerprint: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"a 7-token run shares no 8-gram, so no fingerprint can match: $pairs")
+    // Density: the selected set is genuinely sparse vs the d14-style
+    // every-gram index (expected ~2/(w+1) = 40% of positions).
+    val fpCount = docs.select(col("doc_id"), split(col("text"), "\\s+").as("wd"))
+      .select(expr(
+        """size(array_distinct(transform(sequence(1, size(wd) - 10),
+          |  j -> array_min(slice(transform(sequence(1, size(wd) - 7),
+          |    i -> CAST(conv(substring(md5(array_join(slice(wd, i, 8), ' ')), 1, 15), 16, 10) AS BIGINT)),
+          |  j, 4)))))""".stripMargin).as("n_fp"),
+        (size(col("wd")) - 7).as("n_grams"))
+      .agg(sum("n_fp"), sum("n_grams")).head()
+    assert(fpCount.getLong(0) * 2 < fpCount.getLong(1),
+      s"winnowed index must be <50% of the gram index: $fpCount")
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)
