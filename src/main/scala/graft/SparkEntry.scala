@@ -43,6 +43,7 @@ object SparkEntry {
     "q22_pivot"          -> Relational.q22Pivot _,
     "q23_routed_join"    -> ((s: SparkSession, d: String) => Relational.q23RoutedJoin(s, d)),
     "q24_rollup_rewrite" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q24RollupRewrite(s, d)),
+    "q25_grouping_sets"  -> Relational.q25GroupingSets _,
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -66,6 +67,7 @@ object SparkEntry {
     "g18_clustering_coeff" -> GraphIter.g18ClusteringCoeff _,
     "g19_butterfly_count" -> ((s: SparkSession, d: String) => GraphOps.g19ButterflyCount(s, d)),
     "g20_link_prediction" -> ((s: SparkSession, d: String) => GraphOps.g20LinkPrediction(s, d)),
+    "g21_temporal_reach" -> ((s: SparkSession, d: String) => GraphIter.g21TemporalReach(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -741,6 +743,33 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rank <= 5
         |ORDER BY node, rank""".stripMargin,
+    // g21: the three foremost-arrival relaxations unrolled — each hop
+    // admits only edges with d >= the relayed arrival and folds by min.
+    "g21_temporal_reach" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s,
+        |    CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |seeds AS (
+        |  SELECT c_custkey AS c, CAST(0 AS BIGINT) AS arr FROM customer
+        |  WHERE c_custkey % 500 = 0),
+        |s1 AS (
+        |  SELECT e.s, min(e.d) AS arr FROM e JOIN seeds ON e.c = seeds.c
+        |  WHERE e.d >= seeds.arr GROUP BY e.s),
+        |c2 AS (
+        |  SELECT c, min(arr) AS arr FROM (
+        |    SELECT e.c, min(e.d) AS arr FROM e JOIN s1 ON e.s = s1.s
+        |    WHERE e.d >= s1.arr GROUP BY e.c
+        |    UNION ALL SELECT c, arr FROM seeds) GROUP BY c),
+        |s2 AS (
+        |  SELECT s, min(arr) AS arr FROM (
+        |    SELECT e.s, min(e.d) AS arr FROM e JOIN c2 ON e.c = c2.c
+        |    WHERE e.d >= c2.arr GROUP BY e.s
+        |    UNION ALL SELECT s, arr FROM s1) GROUP BY s)
+        |SELECT side, node_id, foremost_day FROM (
+        |  SELECT 'customer' AS side, c AS node_id, arr AS foremost_day FROM c2
+        |  UNION ALL SELECT 'supplier', s, arr FROM s2)
+        |ORDER BY side, node_id""".stripMargin,
     "g20_link_prediction" ->
       """WITH e AS (
         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
@@ -866,6 +895,14 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY mktsegment, orderstatus""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
         |ORDER BY mktsegment, orderstatus""".stripMargin,
     "q12_multi_distinct" ->
       """SELECT l_returnflag, l_linestatus,

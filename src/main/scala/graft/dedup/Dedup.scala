@@ -1077,28 +1077,32 @@ object Dedup {
       .filter(size(col("wd")) >= minTokens)
       // Gram hashes (positional), then window minima, then the distinct
       // fingerprint set — one in-row pipeline, nothing leaves the row
-      // until the final explode of the (small) selected set. The gram
-      // array is hoisted into its own projection: Catalyst does not CSE
-      // across lambda bodies, so inlining it under the window transform
-      // would recompute every md5 once per window (O(n·w·k) → O(n²·k)).
-      // Both projections are TOTAL expressions (IF-guarded to array() on
-      // short inputs) even though the length filter sits below: Spark's
-      // InferFiltersFromGenerate derives `size(fps) > 0` from the explode
-      // and pushes it BELOW the length filter with the definitions
-      // inlined, so an expression that errors on short rows would blow up
-      // in the inferred filter before the guard ever runs (sequence(1, 0)
-      // DESCENDS, handing slice a zero start).
+      // until the final explode of the (small) selected set. TWO
+      // execution-shape constraints, both measured:
+      //  - the gram array must be BOUND ONCE per row. Writing it as its
+      //    own projection does not survive the optimizer: CollapseProject
+      //    inlines it under the window transform, where every window's
+      //    `slice(gh, j, w)` re-evaluates the whole md5 gram array —
+      //    O(n²·md5) per doc, 276 s at sf0.1. The `transform(array(gh),
+      //    gh -> ...)[0]` wrapper binds it as a LAMBDA VARIABLE, which
+      //    lambda bodies reference without re-evaluating: 6.9 s (38×).
+      //  - the expression must be TOTAL (IF-guarded to array() on short
+      //    inputs) even though the length filter sits below: Spark's
+      //    InferFiltersFromGenerate derives `size(fps) > 0` from the
+      //    explode and pushes it BELOW the length filter with the
+      //    definition inlined, so a partial expression would blow up on
+      //    short rows in the inferred filter before the guard ever runs
+      //    (sequence(1, 0) DESCENDS, handing slice a zero start).
       .select(col("doc_id"), expr(
-        s"""IF(size(wd) >= $minTokens,
-           |  transform(sequence(1, size(wd) - ${k - 1}),
-           |    i -> CAST(conv(substring(md5(array_join(slice(wd, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT)),
-           |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin)
-        .as("gh"))
-      .select(col("doc_id"), expr(
-        s"""IF(size(gh) >= $w,
-           |  array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
-           |    j -> array_min(slice(gh, j, $w)))),
-           |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin).as("fps"))
+        s"""transform(array(
+           |  IF(size(wd) >= $minTokens,
+           |    transform(sequence(1, size(wd) - ${k - 1}),
+           |      i -> CAST(conv(substring(md5(array_join(slice(wd, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT)),
+           |    CAST(array() AS ARRAY<BIGINT>))),
+           |  gh -> IF(size(gh) >= $w,
+           |    array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
+           |      j -> array_min(slice(gh, j, $w)))),
+           |    CAST(array() AS ARRAY<BIGINT>)))[0]""".stripMargin).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("h"))
     val fpsC = fps.localCheckpoint(true)
     val keep = fpsC.groupBy("h").agg(count(lit(1)).as("df"))

@@ -811,4 +811,78 @@ object GraphIter {
           .otherwise(lit(0L)))
       .orderBy("suppkey")
   }
+
+  /** g21: TEMPORAL (time-respecting) reachability — foremost-arrival BFS
+    * over the timestamped customer–supplier contact graph (Wu et al.
+    * VLDB'14 temporal-graph semantics; operationally: supply-chain taint
+    * tracing — "a bad batch entered at these seed customers; who can have
+    * been affected, and how early"). Static reachability OVERCOUNTS on
+    * temporal graphs: a path is only admissible if each successive
+    * contact happens AT OR AFTER the arrival it relays — an edge that
+    * shipped before the taint arrived cannot carry it. Every frontier
+    * therefore carries the FOREMOST (earliest feasible) arrival day, and
+    * a hop relaxes `arrival(v) = min over edges (u,v,d) with
+    * d ≥ arrival(u) of d` — exact integer days, so the whole analysis is
+    * engine-reproducible and the DuckDB oracle unrolls the same three
+    * relaxations.
+    *
+    * Three fixed supersteps (seed customers → suppliers → customers →
+    * suppliers; the g10/g12 fixed-round discipline keeps the
+    * not-yet-converged output deterministic and oracle-exact). Scale
+    * shape: one (custkey, suppkey, day) distinct edge projection,
+    * checkpointed once and reused by all rounds; each superstep is ONE
+    * equijoin of the (tiny) frontier against the edge list with the date
+    * predicate inline, folded by a map-side-combined min — O(E) per
+    * round, the g9 BFS shape plus a time filter; no path enumeration
+    * anywhere.
+    */
+  def g21TemporalReach(spark: SparkSession, dir: String, seedMod: Int = 500): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_custkey").as("c"),
+        col("l_suppkey").as("s"),
+        expr("unix_seconds(CAST(l_shipdate AS TIMESTAMP)) DIV 86400").as("d"))
+      .distinct()
+      .localCheckpoint(true)
+    // Seeds carry arrival 0 (every ship day is far later): "tainted from
+    // the start of history".
+    val seeds = t.customer.filter(pmod(col("c_custkey"), lit(seedMod)) === 0)
+      .select(col("c_custkey").as("c"), lit(0L).as("arr"))
+    temporalReachCore(edges, seeds)
+  }
+
+  /** The three-superstep foremost-arrival relaxation over arbitrary
+    * (c, s, d) contact edges and (c, arr) seeds — factored so the spec
+    * can pin the time-respecting semantics on a crafted graph (an edge
+    * that precedes the taint's arrival must NOT relay it — exactly what
+    * static reachability gets wrong).
+    */
+  def temporalReachCore(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    // Round 1: seed customers contaminate suppliers at the first shipment
+    // on/after their arrival.
+    val sArr1 = edges.join(seeds, Seq("c"))
+      .filter(col("d") >= col("arr"))
+      .groupBy(col("s")).agg(min(col("d")).as("arr"))
+      .localCheckpoint(true)
+    // Round 2: contaminated suppliers reach customers via later shipments.
+    val cArr = edges.join(sArr1, Seq("s"))
+      .filter(col("d") >= col("arr"))
+      .groupBy(col("c")).agg(min(col("d")).as("arr"))
+      // Seeds stay foremost at their own arrival (min with 0).
+      .unionByName(seeds)
+      .groupBy(col("c")).agg(min(col("arr")).as("arr"))
+      .localCheckpoint(true)
+    // Round 3: suppliers again — earlier of round 1 or a fresh relay.
+    val sArr2 = edges.join(cArr, Seq("c"))
+      .filter(col("d") >= col("arr"))
+      .groupBy(col("s")).agg(min(col("d")).as("arr"))
+      .unionByName(sArr1)
+      .groupBy(col("s")).agg(min(col("arr")).as("arr"))
+    cArr.select(lit("customer").as("side"), col("c").as("node_id"), col("arr").as("foremost_day"))
+      .unionByName(sArr2.select(lit("supplier").as("side"), col("s").as("node_id"),
+        col("arr").as("foremost_day")))
+      .orderBy("side", "node_id")
+  }
 }

@@ -296,6 +296,35 @@ object Relational {
       .orderBy("mktsegment", "orderstatus")
   }
 
+  /** q25: explicit GROUPING SETS — the third member of the multi-marginal
+    * family (q7 ROLLUP = prefix hierarchy, q11 CUBE = every subset, q25 =
+    * exactly the marginals the report asks for: (segment × status),
+    * (segment), (grand total) — and NOT (status)). The plan is the same
+    * single Expand + one hash aggregate, but Expand's fan-out is the
+    * NUMBER OF REQUESTED SETS: at 100 TB each marginal CUBE would compute
+    * beyond these three is one more replicated copy of every fact row
+    * through the shuffle, so pruning unwanted marginals at the query
+    * level is a material scan-cost lever, not taste (spec pins the
+    * 3-projection Expand vs CUBE's 4). Labels via the q11 coalesce
+    * convention.
+    */
+  def q25GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("o_orderstatus")), Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_totalprice"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy("mktsegment", "orderstatus")
+  }
+
   /** q12: several EXACT distinct counts per group in ONE pass over the
     * fact table (the import-tally stat block of the reference —
     * mysql2neo4j.py:248-253,358-363 logs per-type entity/relation counts

@@ -850,6 +850,56 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"winnowed index must be <50% of the gram index: $fpCount")
   }
 
+  test("g21 temporal reach: pre-arrival edges never relay, foremost arrival is the min path") {
+    val ss = spark
+    import ss.implicits._
+    // Seed c1 (arrival 0). Supplier sA=100 first ships to c1 on day 10.
+    // c2's only contact with sA was day 5 — BEFORE the taint reached sA —
+    // so c2 must stay clean even though static reachability connects it.
+    // c3 buys from sA on day 12 (reached at 12) AND from sB (tainted via
+    // c1 at day 20) on day 25 — foremost keeps 12. c4's day-18 contact
+    // with sA relays (18 >= 10).
+    val edges = Seq(
+      (1L, 100L, 10L), (2L, 100L, 5L), (3L, 100L, 12L), (4L, 100L, 18L),
+      (1L, 200L, 20L), (3L, 200L, 25L)
+    ).toDF("c", "s", "d")
+    val seeds = Seq((1L, 0L)).toDF("c", "arr")
+    val got = operators.GraphIter.temporalReachCore(edges, seeds).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("customer", 1L) -> 0L,
+      ("customer", 3L) -> 12L,
+      ("customer", 4L) -> 18L,
+      ("supplier", 100L) -> 10L,
+      ("supplier", 200L) -> 20L))
+    assert(!got.contains(("customer", 2L)),
+      "a contact BEFORE the supplier's arrival must not relay the taint")
+  }
+
+  test("q25 grouping sets: Expand fans out exactly the requested marginals") {
+    val q25 = operators.Relational.q25GroupingSets(spark, dir)
+    val expand = q25.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expand.length === 1, "grouping sets must plan as one Expand")
+    assert(expand.head.projections.length === 3,
+      s"3 requested sets -> 3 Expand projections, got ${expand.head.projections.length}")
+    val cube = operators.Relational.q11Cube(spark, dir)
+    val cubeExpand = cube.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(cubeExpand.head.projections.length === 4,
+      "CUBE over 2 columns pays 4 projections — the marginal q25 prunes")
+    // The shared marginals agree with CUBE's.
+    val gs = q25.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    val cb = cube.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    gs.foreach { case (k, v) => assert(cb(k) === v, s"marginal $k") }
+    assert(cb.keySet.diff(gs.keySet).forall(_._1 == "ALL"),
+      "cube's extra rows are exactly the (status)-only marginal q25 skipped")
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)
