@@ -113,6 +113,7 @@ object SparkEntry {
     "m9_incremental_media_dedup" -> ((s: SparkSession, d: String) => Media.m9IncrementalMediaDedup(s, d)),
     "m10_byte_drift"     -> ((s: SparkSession, d: String) => Media.m10ByteDrift(s, d)),
     "m11_ppm_decode"     -> Media.m11PpmDecode _,
+    "m12_frame_neardup"  -> ((s: SparkSession, d: String) => Media.m12FrameNearDup(s, d)),
     // E. text
     "t1_token_count"     -> TextFuncs.t1TokenCount _,
     "t2_lang_id"         -> TextFuncs.t2LangId _,
@@ -478,14 +479,18 @@ object SparkEntry {
     * mirrors [[org.apache.spark.sql.graft.BlockAvgHashKernel]]; yields
     * relation `fb` (doc_id, phash, band0..band3).
     */
-  private def phashCte: String =
-    s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
-       |b AS (
+  /** The BlockAvgHash60 re-derivation chain (bytes → 60 block means vs
+    * global mean → fingerprint + bands), parametrized by the source
+    * relation (must provide `doc_id, hx`) so the whole-payload oracles
+    * (m5/m6/m7/m8) and the frame-sliced one (m12) share one definition.
+    */
+  private def phashChainFrom(rel: String): String =
+    s"""b AS (
        |  SELECT doc_id,
        |    list_transform(range(0, length(hx) // 2), i ->
        |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INTEGER), 1)) - 1) * 16 +
        |      (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INTEGER), 1)) - 1)) AS bytes
-       |  FROM p),
+       |  FROM $rel),
        |u AS (
        |  SELECT doc_id, len(bytes) AS n, CAST(list_sum(bytes) AS BIGINT) AS s,
        |    unnest(list_transform(range(0, len(bytes)), j ->
@@ -505,6 +510,31 @@ object SparkEntry {
        |  CAST((phash >> 15) & 32767 AS BIGINT) AS band1,
        |  CAST((phash >> 30) & 32767 AS BIGINT) AS band2,
        |  CAST((phash >> 45) & 32767 AS BIGINT) AS band3 FROM f)""".stripMargin
+
+  private def phashCte: String =
+    s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+       |${phashChainFrom("p")}""".stripMargin
+
+  /** m12's oracle: the same BlockAvgHash60 chain over FRAME slices —
+    * 64-byte frame every 256 bytes (m2's sampling), frame key packed
+    * doc_id·2²⁰ + frame_no, cross-media banded pairs at hamming ≤ 6.
+    */
+  private def m12OracleSql: String =
+    s"""WITH p0 AS (SELECT doc_id, $mediaHex AS hx FROM documents),
+       |p1 AS (SELECT doc_id, hx, length(hx) // 2 AS n FROM p0),
+       |fr AS (
+       |  SELECT doc_id * 1048576 + off // 256 AS doc_id,
+       |    substr(hx, CAST(off * 2 + 1 AS INTEGER), 128) AS hx
+       |  FROM p1, LATERAL (SELECT unnest(range(0, greatest(n - 64, 0) + 1, 256)) AS off)),
+       |${phashChainFrom("fr")}
+       |SELECT a.doc_id // 1048576 AS media_id1, a.doc_id % 1048576 AS frame1,
+       |  b.doc_id // 1048576 AS media_id2, b.doc_id % 1048576 AS frame2,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM fb a JOIN fb b ON a.doc_id < b.doc_id
+       |WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+       |  AND bit_count(xor(a.phash, b.phash)) <= 6
+       |  AND a.doc_id // 1048576 <> b.doc_id // 1048576
+       |ORDER BY media_id1, frame1, media_id2, frame2""".stripMargin
 
   /** Shared fingerprint CTE chain of the d4/d9 oracles: parse the first
     * 15 hex chars of md5(gram) as a 60-bit int (list_reduce polynomial
@@ -1940,6 +1970,7 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |ORDER BY d.doc_id""".stripMargin,
     "m8_crossmodal_resolve" -> m8OracleSql,
+    "m12_frame_neardup" -> m12OracleSql,
     "e2_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
         |x AS (

@@ -603,4 +603,69 @@ object Media {
         }
       }
   }
+
+  /** m12: FRAME-level media near-dup — d15's sub-document tier applied to
+    * the perceptual family (m5/m6 fingerprint whole payloads; a video
+    * that reuses another's intro, or a re-encoded clip embedded in a
+    * longer reel, shares FRAMES while the whole-payload hashes diverge):
+    * m2's deterministic frame sampling (64-byte frame every 256 bytes —
+    * the decode stub's stand-in for keyframe extraction), one
+    * `BlockAvgHash60` per frame SLICE (the codegen'd kernel runs on the
+    * binary substring — no frame bytes ever leave their row before the
+    * fingerprint), frame ids packed `doc_id·2²⁰ + frame_no` so the shared
+    * banded pairing stage ([[graft.dedup.Dedup.bandedHammingPairs]],
+    * salted-skew escape included) moves 8-byte keys, then cross-MEDIA
+    * pairs only (intra-payload repetition is the byte-level analog of
+    * t14's domain). Fan-out is n_bytes/stride frames per payload —
+    * linear in payload volume, the m2 bound.
+    */
+  def m12FrameNearDup(
+      spark: SparkSession,
+      dir: String,
+      frameBytes: Int = 64,
+      strideBytes: Int = 256,
+      maxHamming: Int = 6,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val media = Tables(spark, dir).documents
+      .repartition(nPart)
+      .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
+    frameNearDupOf(media, frameBytes, strideBytes, maxHamming, blockThreshold, nBlocks)
+  }
+
+  /** The frame pipeline over an arbitrary (doc_id, payload) frame —
+    * factored so the spec can pin shared-frame detection and the
+    * cross-media-only contract on crafted payloads.
+    */
+  def frameNearDupOf(
+      media: DataFrame,
+      frameBytes: Int = 64,
+      strideBytes: Int = 256,
+      maxHamming: Int = 6,
+      blockThreshold: Int = 100000,
+      nBlocks: Int = 16): DataFrame = {
+    val frames = media
+      .select(
+        col("doc_id"),
+        col("payload"),
+        posexplode(sequence(
+          lit(0L),
+          greatest(length(col("payload")).cast("long") - frameBytes, lit(0L)),
+          lit(strideBytes.toLong))))
+      .select(
+        (col("doc_id") * 1048576L + col("pos")).as("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .blockAvgHash60(expr(s"substring(payload, col + 1, $frameBytes)"))
+          .as("phash"))
+    graft.dedup.Dedup.bandedHammingPairs(frames, "phash", maxHamming, blockThreshold, nBlocks)
+      .select(
+        expr("doc_id1 DIV 1048576").as("media_id1"),
+        pmod(col("doc_id1"), lit(1048576L)).as("frame1"),
+        expr("doc_id2 DIV 1048576").as("media_id2"),
+        pmod(col("doc_id2"), lit(1048576L)).as("frame2"),
+        col("hamming"))
+      .filter(col("media_id1") =!= col("media_id2"))
+      .orderBy("media_id1", "frame1", "media_id2", "frame2")
+  }
 }

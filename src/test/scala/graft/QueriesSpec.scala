@@ -900,6 +900,27 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cube's extra rows are exactly the (status)-only marginal q25 skipped")
   }
 
+  test("m12 frame near-dup: shared stride-aligned frames pair, intra-media repeats don't") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    def bytes(n: Int) = { val a = new Array[Byte](n); rnd.nextBytes(a); a }
+    val shared = bytes(64)
+    // media 1 carries the shared frame TWICE (offsets 0 and 256 — an
+    // intra-media repeat that must NOT pair); media 2 carries it once at
+    // the stride-aligned offset 512; media 3 is unrelated noise.
+    val m1 = shared ++ bytes(192) ++ shared ++ bytes(192)
+    val m2 = bytes(512) ++ shared ++ bytes(192)
+    val m3 = bytes(768)
+    val media = Seq((1L, m1), (2L, m2), (3L, m3)).toDF("doc_id", "payload")
+    val got = multimodal.Media.frameNearDupOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // Both of media 1's copies match media 2's frame 2 exactly; random
+    // 64-byte frames sit ~30 bits apart, far outside the ≤6 verify.
+    assert(got === Set((1L, 0L, 2L, 2L, 0L), (1L, 1L, 2L, 2L, 0L)),
+      s"expected exactly the two cross-media shared-frame pairs: $got")
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)
