@@ -1067,43 +1067,21 @@ object Dedup {
       .orderBy("doc_id1", "doc_id2")
 
   /** The winnowed pair pipeline over an arbitrary (doc_id, text) frame —
-    * factored so the guarantee spec runs on a crafted corpus.
+    * factored so the guarantee spec runs on a crafted corpus. Selection
+    * runs through the native one-pass
+    * [[org.apache.spark.sql.graft.WinnowCodes]] kernel (tokens → md5
+    * gram codes → sliding minima → first-occurrence distinct, total on
+    * short input); bit-identical to [[winnowFingerprintsHof]] below
+    * (spec-pinned) at ~14× the throughput — the interpreted HOF chain
+    * paid per-element expression dispatch plus a per-gram slice/join
+    * allocation storm (28 s → 2 s for the sf1 selection stage).
     */
   def winnowPairsOf(
       docs: DataFrame, k: Int = 8, w: Int = 4, dfCutoff: Int = 50): DataFrame = {
-    val minTokens = k + w - 1
     val fps = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("wd"))
-      .filter(size(col("wd")) >= minTokens)
-      // Gram hashes (positional), then window minima, then the distinct
-      // fingerprint set — one in-row pipeline, nothing leaves the row
-      // until the final explode of the (small) selected set. TWO
-      // execution-shape constraints, both measured:
-      //  - the gram array must be BOUND ONCE per row. Writing it as its
-      //    own projection does not survive the optimizer: CollapseProject
-      //    inlines it under the window transform, where every window's
-      //    `slice(gh, j, w)` re-evaluates the whole md5 gram array —
-      //    O(n²·md5) per doc, 276 s at sf0.1. The `transform(array(gh),
-      //    gh -> ...)[0]` wrapper binds it as a LAMBDA VARIABLE, which
-      //    lambda bodies reference without re-evaluating: 6.9 s (38×).
-      //  - the expression must be TOTAL (IF-guarded to array() on short
-      //    inputs) even though the length filter sits below: Spark's
-      //    InferFiltersFromGenerate derives `size(fps) > 0` from the
-      //    explode and pushes it BELOW the length filter with the
-      //    definition inlined, so a partial expression would blow up on
-      //    short rows in the inferred filter before the guard ever runs
-      //    (sequence(1, 0) DESCENDS, handing slice a zero start).
-      .select(col("doc_id"), expr(
-        s"""transform(array(
-           |  IF(size(wd) >= $minTokens,
-           |    transform(sequence(1, size(wd) - ${k - 1}),
-           |      i -> CAST(conv(substring(md5(array_join(slice(wd, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT)),
-           |    CAST(array() AS ARRAY<BIGINT>))),
-           |  gh -> IF(size(gh) >= $w,
-           |    array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
-           |      j -> array_min(slice(gh, j, $w)))),
-           |    CAST(array() AS ARRAY<BIGINT>)))[0]""".stripMargin).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("h"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .winnowCodes(col("text"), k, w)).as("h"))
     val fpsC = fps.localCheckpoint(true)
     val keep = fpsC.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCutoff)
@@ -1114,5 +1092,36 @@ object Dedup {
       .filter(col("doc_id1") < col("doc_id2"))
       .groupBy("doc_id1", "doc_id2")
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The HOF reference formulation of the winnowed fingerprint set, kept
+    * as the executable spec oracle for [[org.apache.spark.sql.graft.WinnowCodes]]
+    * (the d4 convention). Execution-shape notes preserved because both
+    * bite any HOF pipeline of this shape:
+    *  - the gram array must be bound as a LAMBDA VARIABLE
+    *    (`transform(array(gh), gh -> ...)[0]`): CollapseProject inlines a
+    *    projection referenced from a lambda body, and every window's
+    *    `slice(gh, j, w)` then re-evaluates the whole md5 gram array —
+    *    O(n²·md5), 276 s at sf0.1 vs 6.9 s bound;
+    *  - the expression must be TOTAL (IF-guarded): InferFiltersFromGenerate
+    *    derives `size(fps) > 0` from a downstream explode and pushes it
+    *    below any length filter with the definition inlined, so a partial
+    *    expression crashes on short rows (sequence(1, 0) DESCENDS,
+    *    handing slice a zero start).
+    */
+  def winnowFingerprintsHof(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val minTokens = k + w - 1
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("wd"))
+      .select(col("doc_id"), expr(
+        s"""transform(array(
+           |  IF(size(wd) >= $minTokens,
+           |    transform(sequence(1, size(wd) - ${k - 1}),
+           |      i -> CAST(conv(substring(md5(array_join(slice(wd, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT)),
+           |    CAST(array() AS ARRAY<BIGINT>))),
+           |  gh -> IF(size(gh) >= $w,
+           |    array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
+           |      j -> array_min(slice(gh, j, $w)))),
+           |    CAST(array() AS ARRAY<BIGINT>)))[0]""".stripMargin).as("fps"))
   }
 }

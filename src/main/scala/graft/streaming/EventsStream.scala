@@ -53,6 +53,18 @@ final case class RollupCell(day: Long, event_type: String, user_set: Array[Byte]
 /** One exact frequency-rollup cell (see [[EventsStream.freqRollupStream]]). */
 final case class FreqCell(day: Long, event_type: String, v: Long, cnt: Long)
 
+/** Latest surviving record per key, as maintained by
+  * [[EventsStream.changelogCompactStream]] — the streaming face of
+  * e12's CDC compaction. `last_type == "error"` marks a tombstone: the
+  * upsert sink deletes the key; the batch agreement spec folds
+  * emissions and drops tombstoned keys, mirroring e12's
+  * filter-after-argmax order (delete-then-reinsert survives,
+  * latest-delete vanishes).
+  */
+final case class CompactRow(
+    user_id: Long, last_event_id: Long, last_ts_us: Long,
+    last_type: String, last_value_milli: Long)
+
 /** Structured Streaming forms of the F-group operators.
   *
   * Each takes an unbounded DataFrame with schema
@@ -501,6 +513,41 @@ object EventsStream {
     * Values quantize by floor to the long grid (the bounded-domain
     * contract); Update output mode, upsert-by-key sink.
     */
+  /** Streaming CDC compaction — e12's argmax-by-sequence maintained LIVE:
+    * per-key state is ONE CompactRow (the current latest record), each
+    * micro-batch folds its rows by the same (ts_us, event_id) total order
+    * the batch `max(struct(...))` uses, and the emission after every
+    * batch equals a batch recompute over all rows seen so far (the
+    * fold==rebuild contract, maintained continuously — spec-checked).
+    * Tombstones (`error` rows) are EMITTED, not filtered: state must
+    * remember a deletion or a pre-deletion record arriving late in a
+    * later micro-batch would resurrect the key; the upsert sink (or the
+    * agreement fold) applies the delete, mirroring e12's
+    * filter-after-argmax. Unwatermarked by design: a compacted store has
+    * no event-time horizon after which a key stops accepting changes;
+    * state is bounded by live keys, the same contract as the Kafka
+    * compacted topic this models.
+    */
+  def changelogCompactStream(events: Dataset[RawEvent]): Dataset[CompactRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CompactRow, CompactRow](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var best = state.getOption.orNull
+          rows.foreach { e =>
+            val tsUs = e.ts / 1000L
+            if (best == null || tsUs > best.last_ts_us ||
+                (tsUs == best.last_ts_us && e.event_id > best.last_event_id)) {
+              best = CompactRow(user, e.event_id, tsUs, e.event_type,
+                math.floor(e.value * 1000).toLong)
+            }
+          }
+          state.update(best)
+          best
+      }
+  }
+
   def freqRollupStream(events: Dataset[RawEvent]): Dataset[FreqCell] = {
     import events.sparkSession.implicits._
     events

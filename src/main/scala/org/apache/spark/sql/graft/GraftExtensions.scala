@@ -145,6 +145,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_winnow_codes"),
+        new ExpressionInfo(classOf[WinnowCodes].getName, "graft_winnow_codes"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1 || children.length == 3,
+            "graft_winnow_codes expects (text) or (text, k, w)")
+          if (children.length == 1) WinnowCodes(children.head, 8, 4)
+          else {
+            val k = literalInt("graft_winnow_codes", "k", children(1))
+            val w = literalInt("graft_winnow_codes", "w", children(2))
+            WinnowCodes(children.head, k, w)
+          }
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_roaring_distinct"),
         new ExpressionInfo(classOf[RoaringDistinctCount].getName, "graft_roaring_distinct"),
         (children: Seq[Expression]) => {

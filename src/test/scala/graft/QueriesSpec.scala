@@ -921,6 +921,30 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly the two cross-media shared-frame pairs: $got")
   }
 
+  test("winnow kernel is bit-identical to the HOF reference formulation") {
+    val ss = spark
+    import ss.implicits._
+    val corpus = Tables(spark, dir).documents.select("doc_id", "text")
+      .unionByName(Seq(
+        (9001L, ""),                             // empty
+        (9002L, "   "),                          // whitespace only (edge tokens)
+        (9003L, (1 to 10).map("w" + _).mkString(" ")),  // one token short of k+w-1
+        (9004L, (1 to 11).map("w" + _).mkString(" ")),  // exactly the guarantee length
+        (9005L, " leading and trailing space " + (1 to 12).mkString(" ") + " ")
+      ).toDF("doc_id", "text"))
+    val native = corpus.select(col("doc_id"),
+      org.apache.spark.sql.graft.VectorExpressions.winnowCodes(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = dedup.Dedup.winnowFingerprintsHof(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, v) =>
+      assert(v === hof(id), s"kernel/HOF divergence on doc $id")
+    }
+    assert(native(9003L).isEmpty && native(9004L).size === 1,
+      "the k+w-1 boundary: 10 tokens select nothing, 11 exactly one window")
+  }
+
   test("t14 repetition stats are internally consistent") {
     val rows = functions.TextFuncs.t14Repetition(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -471,6 +471,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected((1L, "view", 3L)) === 3L, "the merged cell saw both batches")
   }
 
+  test("streaming CDC compaction folds to the batch e12 result across batch boundaries") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[Ev]
+    // Latest emission per user across batches = the maintained store.
+    val acc = scala.collection.mutable.Map.empty[Long, graft.streaming.CompactRow]
+    val q = EventsStream.changelogCompactStream(mem.toDF().as[graft.streaming.RawEvent])
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.CompactRow], _: Long) =>
+        val rows = ds.collect()
+        acc.synchronized { rows.foreach(r => acc(r.user_id) = r) }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // User 1: update then DELETE in a later batch (must vanish).
+    // User 2: delete then REINSERT across batches (must survive).
+    // User 3: late-arriving OLDER event in batch 2 (must not regress).
+    val b1 = Seq(
+      Ev(1, 1, "view", 1000000L, 1.5),
+      Ev(2, 2, "error", 2000000L, 0.0),
+      Ev(3, 3, "click", 9000000L, 2.25))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = Seq(
+      Ev(4, 1, "error", 3000000L, 0.0),
+      Ev(5, 2, "purchase", 4000000L, 3.0),
+      Ev(6, 3, "view", 5000000L, 9.9))   // older than event 3: ignored
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val survivors = acc.toMap.filter(_._2.last_type != "error")
+    val batch = graft.streaming.Events.compactChangelog(
+      (b1 ++ b2).toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> graft.streaming.CompactRow(
+        r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("last_ts_us"), r.getAs[String]("last_type"),
+        r.getAs[Long]("last_value_milli"))).toMap
+    assert(survivors === batch)
+    assert(!survivors.contains(1L), "latest-delete must vanish")
+    assert(survivors(2L).last_event_id === 5L, "delete-then-reinsert survives")
+    assert(survivors(3L).last_event_id === 3L, "late older event must not regress state")
+  }
+
   test("streaming e9 window top-k ranks closed windows and matches the batch form") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
