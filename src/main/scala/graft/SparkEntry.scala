@@ -44,6 +44,7 @@ object SparkEntry {
     "q23_routed_join"    -> ((s: SparkSession, d: String) => Relational.q23RoutedJoin(s, d)),
     "q24_rollup_rewrite" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q24RollupRewrite(s, d)),
     "q25_grouping_sets"  -> Relational.q25GroupingSets _,
+    "q26_rollup_rewrite_agg" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q26RollupRewriteAgg(s, d)),
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -101,6 +102,7 @@ object SparkEntry {
     "s11_bm25_indexed"   -> ((s: SparkSession, d: String) => functions.TermIndex.s11Bm25Indexed(s, d)),
     "s12_hybrid_rrf"     -> ((s: SparkSession, d: String) => functions.Hybrid.s12HybridRrf(s, d)),
     "s13_mmr_rerank"     -> ((s: SparkSession, d: String) => similarity.Mmr.s13MmrRerank(s, d)),
+    "s14_filtered_ann"   -> ((s: SparkSession, d: String) => Ann.s14FilteredAnn(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -944,7 +946,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q13_rollup_distinct" ->
       """WITH d AS (
-        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |    event_type, user_id
         |  FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
@@ -959,7 +961,7 @@ object SparkEntry {
     // PLAN, never the answer, and the gate is exactly that claim).
     "q24_rollup_rewrite" ->
       """WITH d AS (
-        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |    event_type, user_id
         |  FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
@@ -969,9 +971,22 @@ object SparkEntry {
         |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q26_rollup_rewrite_agg" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d, b
+        |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q20_adaptive_distinct" ->
       """WITH d AS (
-        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |    event_type, user_id
         |  FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
@@ -1128,7 +1143,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q18_cohort_setops" ->
       """WITH d AS (
-        |  SELECT epoch(date_trunc('day', ts)) // 86400 AS day,
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
         |    event_type, user_id
         |  FROM events),
         |bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
@@ -2020,6 +2035,24 @@ object SparkEntry {
         |  AND list_cosine_similarity(qe, ne) >= 0.35
         |ORDER BY query_id, neighbor_id""".stripMargin,
     "s13_mmr_rerank" -> s13OracleSql,
+    // s14: the pre-filtered ranking re-derived — the predicate joins in
+    // BEFORE any similarity computes, exactly as the Spark plan orders it.
+    "s14_filtered_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+        |  FROM embeddings JOIN documents ON vec_id = doc_id
+        |  WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ne) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     "s1_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),

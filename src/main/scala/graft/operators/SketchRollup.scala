@@ -277,6 +277,35 @@ object RollupRewrite {
     * rule proves exactness from).
     */
   def q24RollupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, dLo, dHi) = registeredRange(spark, dir)
+    ev.filter(col("ts") >= lit(dLo * DayNs) && col("ts") < lit((dHi + 1) * DayNs))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** q26: the MIXED-aggregate MV shape — count(*) AND count(DISTINCT)
+    * answered from ONE cell scan (count(*) = sum of the stored per-cell
+    * row counts; distinct = lossless blob union). This is the query a
+    * dashboard actually issues, and the reason the cells store
+    * `n_events` next to the user set: one rollup serves the whole stat
+    * block, the q12 multi-statistic posture carried through the MV
+    * boundary.
+    */
+  def q26RollupRewriteAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, dLo, dHi) = registeredRange(spark, dir)
+    ev.filter(col("ts") >= lit(dLo * DayNs) && col("ts") < lit((dHi + 1) * DayNs))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Shared staging for the MV-rewrite keys: build+register the store,
+    * return the raw table and the q13 middle-half day bounds.
+    */
+  private def registeredRange(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val store = staged(spark, dir)
     val ev = Tables(spark, dir).events
     spark.conf.set("spark.graft.rollup.source", s"$dir/events.parquet")
@@ -284,11 +313,7 @@ object RollupRewrite {
     val r = ev.select(expr("ts DIV 86400000000000").cast("long").as("day"))
       .agg(min("day"), max("day")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (dLo, dHi) = (lo + (hi - lo) / 4, hi - (hi - lo) / 4)
-    ev.filter(col("ts") >= lit(dLo * DayNs) && col("ts") < lit((dHi + 1) * DayNs))
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("event_type")
+    (ev, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
   }
 }
 

@@ -85,6 +85,46 @@ object Ann {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** s14: ATTRIBUTE-FILTERED vector top-k — "the k most similar documents
+    * AMONG those passing a predicate" (lang = 'en' here), the serving
+    * shape real retrieval runs far more often than unfiltered top-k
+    * (tenant, language, license, date filters). The ordering that
+    * matters: the predicate applies BEFORE ranking (pre-filtering).
+    * Post-filtering — rank the whole corpus, then drop non-matching
+    * results — silently returns FEWER than k (or nothing) whenever the
+    * filter is selective, the classic filtered-ANN correctness trap
+    * (spec pins a query where post-filtering loses results pre-filtering
+    * keeps). Declaratively the pre-filter is free: the attribute
+    * equijoin lands UNDER the scoring projection, so non-matching
+    * vectors are dropped before any cosine computes — and at 100 TB the
+    * same plan runs inside s2/s3/s9's cells, or rides an attribute
+    * column stored WITH the vectors (the s10 code-table posture) so the
+    * filter prunes the cell scan itself.
+    */
+  def s14FilteredAnn(
+      spark: SparkSession, dir: String, lang: String = "en", k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val allowed = t.documents.filter(col("lang") === lang)
+      .select(col("doc_id").as("neighbor_id"))
+    val corpus = t.embeddings.repartition(nPart)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(allowed, Seq("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** d5: embedding-cosine near-duplicate pairs above a threshold. Pair
     * generation is the exact baseline; at scale the same predicate runs
     * inside LSH buckets.

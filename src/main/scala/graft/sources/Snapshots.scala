@@ -86,6 +86,42 @@ object Snapshots {
     v
   }
 
+  /** Snapshot EXPIRY (Iceberg's `expire_snapshots`): drop every version
+    * below `keepFrom` and physically delete the data files NO RETAINED
+    * MANIFEST references. Reference-counted at the file level, so a file
+    * shared forward by later snapshots survives the expiry of the
+    * version that introduced it — history is truncated, the live table
+    * is byte-untouched (spec pins both). This is the storage-reclaim
+    * half of the snapshot contract: without it "every version readable
+    * forever" monotonically leaks the space of every rewrite commit.
+    * Returns the number of data files deleted.
+    */
+  def expire(spark: SparkSession, path: String, keepFrom: Long): Int = {
+    import spark.implicits._
+    val f = fs(spark)
+    val latest = currentVersion(spark, path)
+    require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
+    // Manifests store Spark `inputFiles` URIs, the listing yields Hadoop
+    // Paths — scheme spellings differ (file:/// vs file:/), so membership
+    // compares on the scheme-free URI path.
+    val live = (keepFrom to latest).flatMap { v =>
+      spark.read.parquet(s"$path/manifest/v$v").as[String].collect()
+    }.map(s => new java.net.URI(s).getPath).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val it = f.listFiles(dataDir, true)
+    val doomed = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet") && !live.contains(p.toUri.getPath)) doomed += p
+    }
+    doomed.foreach(p => f.delete(p, false))
+    (1L until keepFrom).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"), true)
+    }
+    doomed.size
+  }
+
   /** Time travel: the table exactly as of version `v` — a scan of
     * precisely the files version v's manifest lists. No directory
     * listing of the data tree ever happens (at 100 TB the listing is

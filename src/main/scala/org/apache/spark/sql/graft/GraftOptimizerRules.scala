@@ -135,10 +135,21 @@ object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelp
       case _ => None
     }
 
-  private def isCountDistinct(ne: NamedExpression, uid: Attribute): Boolean = ne match {
-    case Alias(AggregateExpression(Count(Seq(c)), _, true, None, _), _) =>
-      c.semanticEquals(uid)
-    case _ => false
+  /** What a rewritable output column is asking for. */
+  private sealed trait Ask
+  private case object GroupCol extends Ask
+  private case object DistinctUsers extends Ask // count(DISTINCT user_id) → blob union
+  private case object RowCount extends Ask      // count(*)/count(1)      → sum(n_events)
+
+  private def classify(ne: NamedExpression, uid: Attribute, et: Attribute,
+      grouped: Boolean): Option[Ask] = ne match {
+    case a: Attribute if grouped && a.semanticEquals(et) => Some(GroupCol)
+    case Alias(a: Attribute, _) if grouped && a.semanticEquals(et) => Some(GroupCol)
+    case Alias(AggregateExpression(Count(Seq(c)), _, true, None, _), _)
+        if c.semanticEquals(uid) => Some(DistinctUsers)
+    case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
+        if l.value != null => Some(RowCount)
+    case _ => None
   }
 
   private def tryRewrite(
@@ -192,37 +203,39 @@ object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelp
       case Seq(g) if g.semanticEquals(et) => true
       case _ => return None
     }
-    // Output: exactly one count(DISTINCT user_id); the rest (if grouped)
-    // must be the group attribute itself or an alias of it.
-    val countOutputs = agg.aggregateExpressions.filter(isCountDistinct(_, uid))
-    if (countOutputs.length != 1) return None
-    val othersOk = agg.aggregateExpressions.forall { ne =>
-      isCountDistinct(ne, uid) || (grouped && (ne match {
-        case a: Attribute => a.semanticEquals(et)
-        case Alias(a: Attribute, _) => a.semanticEquals(et)
-        case _ => false
-      }))
-    }
-    if (!othersOk) return None
+    // Every output column must be answerable from the cells: the group
+    // attribute, count(DISTINCT user_id) (lossless blob union), or
+    // count(*) (sum of the stored per-cell row counts). Any other
+    // aggregate means the cells cannot answer — no rewrite.
+    val asks = agg.aggregateExpressions.map(classify(_, uid, et, grouped))
+    if (asks.contains(None)) return None
+    if (!asks.exists(a => a.contains(DistinctUsers) || a.contains(RowCount))) return None
 
     // Build the cell-store plan through the DataFrame API (analyzed, then
     // left to the remaining optimizer batches like any other subtree).
     val spark = org.apache.spark.sql.SparkSession.active
-    import org.apache.spark.sql.functions.{col => fcol}
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, sum => fsum}
     val cells = spark.read.parquet(store)
       .filter(fcol("day").between(loNs / DayNs, hiNs / DayNs - 1L))
+    val aggs = Seq(
+      RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n"),
+      // coalesce keeps the column non-nullable like the count(*) it
+      // replaces (never fires: a group exists only if cells do).
+      fcoalesce(fsum(fcol("n_events")), flit(0L)).as("__mv_c"))
     val out =
-      if (grouped)
-        cells.groupBy(fcol("event_type"))
-          .agg(RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n"))
-      else
-        cells.agg(RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n"))
+      if (grouped) cells.groupBy(fcol("event_type")).agg(aggs.head, aggs(1))
+      else cells.agg(aggs.head, aggs(1))
     val newPlan = out.queryExecution.analyzed
     val newEt = newPlan.output.find(_.name == "event_type")
     val newN = newPlan.output.find(_.name == "__mv_n").get
+    val newC = newPlan.output.find(_.name == "__mv_c").get
     // Preserve the original output attribute ids so parents still bind.
-    val projList = agg.aggregateExpressions.map { ne =>
-      val target: Expression = if (isCountDistinct(ne, uid)) newN else newEt.get
+    val projList = agg.aggregateExpressions.zip(asks).map { case (ne, ask) =>
+      val target: Expression = ask.get match {
+        case GroupCol => newEt.get
+        case DistinctUsers => newN
+        case RowCount => newC
+      }
       Alias(target, ne.name)(exprId = ne.exprId)
     }
     Some(Project(projList, newPlan))

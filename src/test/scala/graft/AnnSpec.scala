@@ -366,6 +366,36 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.6, f"s10 IVF+PQ recall@10 = $r%.3f")
   }
 
+  test("s14 filtered ANN: pre-filtering keeps k results where post-filtering starves") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.01"
+    val pre = graft.similarity.Ann.s14FilteredAnn(spark, sfDir).collect()
+    val byQ = pre.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byQ.values.forall(_ === 10), s"pre-filter must fill k for every query: $byQ")
+    // Every returned neighbor really passes the predicate.
+    val en = Tables(spark, sfDir).documents.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre.forall(r => en.contains(r.getLong(2))))
+    // Post-filtering the UNFILTERED top-10 keeps only its en members —
+    // strictly fewer than k wherever a non-en vector ranked in the
+    // top-10 (lang='en' is ~44% of the corpus, so this starves).
+    val post = graft.similarity.Ann.s1CosineTopK(spark, sfDir).collect()
+      .filter(r => en.contains(r.getLong(2)))
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(post.values.exists(_ < 10),
+      s"expected at least one starved query under post-filtering: $post")
+    // And on the shared prefix the two agree: pre-filter ranking is the
+    // filtered corpus' true order, not a re-scored approximation.
+    val preSets = pre.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val postSets = graft.similarity.Ann.s1CosineTopK(spark, sfDir).collect()
+      .filter(r => en.contains(r.getLong(2)))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    postSets.foreach { case (q, s) =>
+      assert(s.subsetOf(preSets(q)), s"query $q: surviving post-filter results must appear in pre-filter top-k")
+    }
+  }
+
   test("s13 MMR greedy: diversity beats redundant relevance, ties break on id") {
     import graft.similarity.Mmr
     def c(id: Long, emb: Array[Float], q: Array[Float]) =

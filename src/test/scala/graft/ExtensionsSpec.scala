@@ -167,6 +167,25 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(global.head().getLong(0) ===
         spark.read.parquet(srcPath).filter(col("ts") < lit(2 * dayNs))
           .select("user_id").distinct().count())
+      // Mixed shape: count(*) AND count(DISTINCT) from one cell scan.
+      val mixed = spark.read.parquet(srcPath)
+        .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("d"))
+      assert(scans(mixed) === Set(s"$tmp/cells"), "mixed count(*)+distinct must rewrite")
+      val mixedGot = mixed.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val mixedNative = spark.read.parquet(srcPath)
+        .filter(col("ts") < lit(2 * dayNs))
+        .groupBy("event_type")
+        .agg(count(lit(1)), countDistinct(col("user_id")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(mixedGot === mixedNative)
+      // A sum(value) the cells don't carry: not answerable — stays native.
+      val unanswerable = spark.read.parquet(srcPath)
+        .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")), sum(col("event_id")))
+      assert(scans(unanswerable) === Set(srcPath), "an aggregate outside the cells must not rewrite")
       // Misaligned bound: the cells cannot answer it — stays on the source.
       val misaligned = q(0L, 2 * dayNs - 1L)
       assert(scans(misaligned) === Set(srcPath), "misaligned range must not rewrite")

@@ -188,6 +188,32 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Array((1L, "a"), (2L, "b")))
   }
 
+  test("snapshots: expiry is reference-counted — forward-shared files survive, orphans go") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_expire"
+    val v1 = sources.Snapshots.commit(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = sources.Snapshots.commit(spark, p, Seq((3L, "c")).toDF("id", "v"))
+    val v1files = sources.Snapshots.readAsOf(spark, p, v1).inputFiles.toSet
+    // Expiring v1 while v2 still LISTS v1's files must delete nothing:
+    // the files are shared forward, only the v1 manifest goes.
+    assert(sources.Snapshots.expire(spark, p, keepFrom = v2) === 0)
+    assert(sources.Snapshots.readAsOf(spark, p, v2).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[Exception] { sources.Snapshots.readAsOf(spark, p, v1) }
+    // A compaction rewrite makes v1/v2's data files unreferenced; expiring
+    // to the rewrite reclaims them all and the live table is untouched.
+    val v3 = sources.Snapshots.commitRewrite(
+      spark, p, sources.Snapshots.readAsOf(spark, p, v2).coalesce(1))
+    val deleted = sources.Snapshots.expire(spark, p, keepFrom = v3)
+    assert(deleted >= v1files.size, s"rewrite-orphaned files must be reclaimed: $deleted")
+    assert(sources.Snapshots.readAsOf(spark, p, v3).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    v1files.foreach { f =>
+      assert(!new java.io.File(new java.net.URI(f)).exists(), s"orphan survived expiry: $f")
+    }
+  }
+
   test("upsert-by-key: MERGE semantics — keep-newest, auto-create, idempotent replay") {
     val ss = spark
     import ss.implicits._
