@@ -170,6 +170,7 @@ object SparkEntry {
     "h5_zorder_key"      -> ((s: SparkSession, d: String) => sources.Layout.h5ZorderKey(s, d)),
     "h9_manifest_prune"  -> ((s: SparkSession, d: String) => sources.Manifest.h9ManifestPrune(s, d)),
     "h10_time_travel"    -> ((s: SparkSession, d: String) => sources.Snapshots.h10TimeTravel(s, d)),
+    "h11_incremental_read" -> ((s: SparkSession, d: String) => sources.Snapshots.h11IncrementalRead(s, d)),
     "t28_shuffle_export" -> ((s: SparkSession, d: String) => functions.Export.t28ShuffleExport(s, d))
   )
 
@@ -1746,6 +1747,17 @@ object SparkEntry {
         |SELECT CAST(version AS BIGINT) AS version, event_type,
         |  count(*) AS n_events
         |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // h11: the delta between snapshots v1 and v3 == raw rows past the
+    // first day cut (batches 2+3 of the staged commits).
+    "h11_incremental_read" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |b AS (SELECT min(day) + (max(day) - min(day)) // 3 AS cut1 FROM d)
+        |SELECT event_type, count(*) AS n_events, min(day) AS first_day
+        |FROM d, b WHERE day > cut1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e13_path_analysis" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

@@ -134,6 +134,30 @@ object Snapshots {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** INCREMENTAL read: exactly the rows ADDED between versions `fromV`
+    * (exclusive) and `toV` (inclusive) — the manifest set difference, so
+    * the consumer of a snapshot table never rescans history (Iceberg's
+    * incremental scan / Delta's change feed for the append-only case).
+    * Exact because data files are immutable and append commits only ADD
+    * files: the difference IS the delta. A rewrite commit (compaction)
+    * breaks the append precondition by design — its manifest replaces
+    * the file set — so consumers pin their cursor to pre-compaction
+    * versions or resync, the same contract real table formats document.
+    */
+  def readBetween(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    import spark.implicits._
+    require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    val upto = spark.read.parquet(s"$path/manifest/v$toV").as[String].collect().toSet
+    val base =
+      if (fromV == 0) Set.empty[String]
+      else spark.read.parquet(s"$path/manifest/v$fromV").as[String].collect().toSet
+    val fresh = (upto -- base).toIndexedSeq
+    // Empty delta: schema-correct empty frame off the target version's
+    // own files (never the manifest's string schema).
+    if (fresh.isEmpty) readAsOf(spark, path, toV).filter(lit(false))
+    else spark.read.parquet(fresh: _*)
+  }
+
   /** Build-once staging for the driver key: the events table committed
     * as three day-range batches (an append-mostly fact table growing by
     * ingest window — the canonical snapshot customer).
@@ -168,6 +192,21 @@ object Snapshots {
     * file sharing, manifest isolation and the append path all on one
     * gate.
     */
+  /** h11: the INCREMENTAL-consumption contract on the correctness gate —
+    * the delta between snapshots v1 and v3 of the staged table (i.e.
+    * batches 2 and 3, never batch 1, never a rescan of v1's files)
+    * aggregated per event type. The oracle re-derives "everything after
+    * the first day cut" from the raw table, so the gate fails if the
+    * manifest set difference reads a byte too much or too little.
+    */
+  def h11IncrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = staged(spark, dir)
+    readBetween(spark, base, 1L, 3L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("day")).as("first_day"))
+      .orderBy("event_type")
+  }
+
   def h10TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val base = staged(spark, dir)
     val per = (1L to 3L).map { v =>
