@@ -16,10 +16,12 @@ import graft.Tables
   *                        quality survivors;
   *   3. `near_dup`      — d3's banded-LSH verified pairs RUN ON THE
   *                        SURVIVOR SET ([[graft.dedup.Dedup.verifiedPairsOf]]),
-  *                        greedy min-id convention (the d10 rule: drop a
-  *                        doc iff some smaller-id survivor is ≥ 0.8
-  *                        similar — pairwise, order-free, no transitive
-  *                        chase);
+  *                        drop-larger-id-of-any-pair convention: doc_id2
+  *                        of every verified (≥ 0.8) pair is dropped,
+  *                        whether or not the smaller-id doc itself
+  *                        survives another pair — chains A~B, B~C drop
+  *                        BOTH B and C (pairwise, order-free, no
+  *                        transitive chase; same rule as d10's oracle);
   *   4. `contaminated`  — d8's n-gram holdout screen (share of 7-grams
   *                        with the doc_id % 97 == 0 benchmark slice
   *                        ≥ 0.5), among near-dup survivors.

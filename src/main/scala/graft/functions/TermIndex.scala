@@ -100,10 +100,23 @@ object TermIndex {
   /** Append a new document batch: O(batch) tokenize, bucketed append,
     * scalar update. df/cf are derived from postings at query time, so no
     * stored statistic can go stale.
+    *
+    * Precondition (ENFORCED): the batch's doc_ids are disjoint from the
+    * indexed corpus. A re-appended doc_id would silently corrupt tf/df
+    * and duplicate its doclens row (the doc-length join then multiplies
+    * result rows), so the batch is anti-joined against the stored
+    * doclens — a batch-sized semi-check against a doc-count-sized table,
+    * O(batch) like the append itself — and a violation fails loudly.
     */
   def append(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     postingsTable(spark, path) // ensure registered before bucketed append
     val (buckets, nDocs, totalTokens) = readMeta(spark, path)
+    val dup = docs.select(col("doc_id"))
+      .join(spark.read.parquet(doclensPath(path)), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"TermIndex.append: doc_id ${dup.head.getLong(0)} is already indexed at " +
+        s"$path — appends must be disjoint (delete+rebuild or dedup the batch first)")
     val tok = tokens(docs)
     tok.groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))

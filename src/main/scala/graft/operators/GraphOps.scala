@@ -121,7 +121,6 @@ object GraphOps {
       .filter(col("suppkey1") < col("suppkey2"))
       .select(col("workplace"), col("suppkey1"), col("position1"),
         col("suppkey2"), col("position2"), lit("till now").as("overlap_period"))
-      .orderBy("workplace", "suppkey1", "suppkey2")
   }
 
   /** Skew-safe variant of within-group pair generation: block each group
@@ -182,7 +181,6 @@ object GraphOps {
         col("suppkey1"), col("suppkey2"),
         greatest(col("s1"), col("s2")).as("overlap_start"),
         least(col("e1"), col("e2")).as("overlap_end"))
-      .orderBy("nation_name", "suppkey1", "suppkey2")
   }
 
   /** g2b: overlap pairs with OPEN / PARTIAL intervals — the reference's
@@ -255,7 +253,6 @@ object GraphOps {
         col("grp").as("nation_name"),
         col("suppkey1"), col("suppkey2"), col("at_same_time"),
         period.as("overlap_period"))
-      .orderBy("nation_name", "suppkey1", "suppkey2")
   }
 
   /** g3: degree centrality on the customer–supplier bipartite graph

@@ -259,16 +259,23 @@ object RollupRewrite {
   /** Build-once persisted cell store for the driver key (the h9/h7
     * staging convention: session- and dir-keyed, marker-guarded).
     */
-  private def staged(spark: SparkSession, dir: String): String = {
+  private def staged(spark: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.graft.RollupStoreMeta
     val base = f"/tmp/graft_rollup/${spark.sparkContext.applicationId}/" +
       f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events_cells"
     val marker = new java.io.File(s"$base/_built")
+    val fpFile = new java.io.File(s"$base/_source_fp")
     if (!marker.exists()) {
+      // Fingerprint the source BEFORE the build so a source rewritten
+      // mid-build reads as stale, never as fresh.
+      val fp = RollupStoreMeta.fingerprint(spark, s"$dir/events.parquet")
       ExactRollup.buildDaily(spark, dir).write.mode("overwrite").parquet(s"$base/cells")
       marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
       marker.createNewFile()
     }
-    s"$base/cells"
+    (s"$base/cells",
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8"))
   }
 
   /** q24: register the store, then run the NAIVE query — the optimizer
@@ -306,14 +313,26 @@ object RollupRewrite {
     * return the raw table and the q13 middle-half day bounds.
     */
   private def registeredRange(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
-    val store = staged(spark, dir)
+    val (store, fp) = staged(spark, dir)
     val ev = Tables(spark, dir).events
     spark.conf.set("spark.graft.rollup.source", s"$dir/events.parquet")
     spark.conf.set("spark.graft.rollup.store", store)
+    // Build-time source fingerprint: the rewrite rule re-checks it at
+    // optimization time, so a source rewritten after this registration
+    // silently falls back to the exact fact-table plan instead of
+    // answering from stale cells.
+    spark.conf.set("spark.graft.rollup.fingerprint", fp)
     val r = ev.select(expr("ts DIV 86400000000000").cast("long").as("day"))
       .agg(min("day"), max("day")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    (ev, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+    // Empty corpus: min/max are NULL — return a degenerate (lo=0, hi=-1)
+    // range (the q20 isNullAt discipline); the filter selects nothing and
+    // the rule declines the rewrite (loNs >= hiNs), so both plans agree
+    // on the empty answer.
+    if (r.isNullAt(0)) (ev, 0L, -1L)
+    else {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      (ev, lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+    }
   }
 }
 

@@ -167,6 +167,14 @@ object Snapshots {
       f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events"
     val marker = new java.io.File(s"$base/_built")
     if (!marker.exists()) {
+      // No marker but committed versions exist: an interrupted staging
+      // run left a partial v1..vK history. Resuming with more commits
+      // would silently hand h10/h11 a history that never matches the
+      // day-cut contract — treat it as corrupt and restage from scratch.
+      if (currentVersion(spark, base) > 0) {
+        val f = fs(spark)
+        f.delete(new org.apache.hadoop.fs.Path(base), true)
+      }
       val ev = Tables(spark, dir).events
         .select(col("event_id"), col("event_type"),
           expr("ts DIV 86400000000000").cast("long").as("day"))

@@ -84,7 +84,14 @@ object RewriteMultiDistinctToRoaring extends Rule[LogicalPlan] {
   *
   *   - `spark.graft.rollup.source` — path of the raw events parquet;
   *   - `spark.graft.rollup.store`  — path of its (day, event_type,
-  *     user_set, n_events) ExactRollup cell table.
+  *     user_set, n_events) ExactRollup cell table;
+  *   - `spark.graft.rollup.fingerprint` (optional) — the source
+  *     file-set fingerprint ([[RollupStoreMeta.fingerprint]]) recorded
+  *     when the store was BUILT. When present, the rule re-fingerprints
+  *     the source at rewrite time and declines the rewrite on mismatch,
+  *     so a source rewritten after registration can never be silently
+  *     answered from stale cells. One driver-side directory listing,
+  *     only on plans that already matched the rewritable shape.
   *
   * The rewrite fires ONLY when the whole shape is provably answerable
   * from cells, else the plan is left untouched:
@@ -107,6 +114,29 @@ object RewriteMultiDistinctToRoaring extends Rule[LogicalPlan] {
   * 100 TB this is the difference between a dashboard query costing an
   * O(events) rescan and costing O(days) KB-sized reads.
   */
+/** Freshness metadata for registered rollup stores: a deterministic
+  * fingerprint of a source directory's FILE SET (sorted
+  * name:length:mtime triples, md5-hashed). Cheap — one FileSystem
+  * listing — and exactly the signal an MV refresh pipeline keys on:
+  * any append, delete, or rewrite of a data file changes it, while
+  * re-reading unchanged files does not.
+  */
+object RollupStoreMeta {
+  def fingerprint(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(p).toSeq
+      .filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
+
 object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelper {
 
   private val DayNs = 86400000000000L
@@ -165,6 +195,13 @@ object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelp
       case _ => false
     }
     if (!pathOk) return None
+    // Freshness: a registered build-time fingerprint must still match the
+    // source's current file set, else the cells are stale — no rewrite.
+    val fp = conf.getConfString("spark.graft.rollup.fingerprint", "")
+    if (fp.nonEmpty) {
+      val spark0 = org.apache.spark.sql.SparkSession.active
+      if (RollupStoreMeta.fingerprint(spark0, source) != fp) return None
+    }
     val ts = rel.output.find(_.name == "ts").getOrElse(return None)
     val et = rel.output.find(_.name == "event_type").getOrElse(return None)
     val uid = rel.output.find(_.name == "user_id").getOrElse(return None)

@@ -201,4 +201,56 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Confs cleared: back to the native plan.
     assert(scans(q(0L, 2 * dayNs)) === Set(srcPath))
   }
+
+  test("MV rewrite: a stale source fingerprint blocks the rewrite") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{RoaringAggregates, RollupStoreMeta}
+    val ss = spark; import ss.implicits._
+    val dayNs = 86400000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv-fp").toString
+    val raw = (0 until 30).map { i =>
+      (i.toLong, (i % 3) * dayNs + i * 1000L, (i % 5).toLong, "click")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val srcPath = s"$tmp/events_raw"
+    raw.write.mode("overwrite").parquet(srcPath)
+    spark.read.parquet(srcPath)
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .groupBy("day", "event_type")
+      .agg(RoaringAggregates.roaringSetAgg(col("user_id")).as("user_set"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(s"$tmp/cells")
+    def q() = spark.read.parquet(srcPath)
+      .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten.toSet
+    try {
+      spark.conf.set("spark.graft.rollup.source", srcPath)
+      spark.conf.set("spark.graft.rollup.store", s"$tmp/cells")
+      spark.conf.set("spark.graft.rollup.fingerprint",
+        RollupStoreMeta.fingerprint(spark, srcPath))
+      // Fresh: fingerprint matches, the rewrite fires.
+      assert(scans(q()) === Set(s"$tmp/cells"))
+      // Mutate the source (an appended batch the cells never saw) —
+      // the registered fingerprint is now stale; the rewrite must
+      // decline and the query answers from the (grown) source exactly.
+      Seq((100L, 0L * dayNs + 5L, 99L, "click"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("append").parquet(srcPath)
+      val after = q()
+      assert(scans(after) === Set(srcPath),
+        s"stale fingerprint must block the rewrite:\n${after.queryExecution.optimizedPlan}")
+      // And the answer reflects the appended user (id 99 is new).
+      assert(after.collect().map(_.getLong(1)).max >= 6L)
+    } finally {
+      spark.conf.set("spark.graft.rollup.source", "")
+      spark.conf.set("spark.graft.rollup.store", "")
+      spark.conf.set("spark.graft.rollup.fingerprint", "")
+    }
+  }
 }

@@ -585,6 +585,15 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel.isDefined, s"expected a bucket-pruned postings scan in:\n$plan")
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
       s"query terms should select a strict subset of buckets: ${sel.get.matched}")
+    // Disjointness is ENFORCED: re-appending an already-indexed doc_id
+    // would corrupt tf/df and duplicate doclens rows — it must fail
+    // loudly, and the failed append must not have touched the index.
+    val before = TermIndex.query(spark, q, s"$tmp/inc").collect().map(_.toSeq).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      TermIndex.append(spark, docs.filter(col("doc_id") % 2 =!= 0), s"$tmp/inc")
+    }
+    assert(ex.getMessage.contains("already indexed"))
+    assert(TermIndex.query(spark, q, s"$tmp/inc").collect().map(_.toSeq).toSeq === before)
   }
 
   test("the PPM decoder never throws: any byte soup yields a verdict row") {
