@@ -255,16 +255,20 @@ object SparkEntry {
     */
   private val kmeansCtes: String = {
     val dim = 64
+    val cap = graft.similarity.Cluster.TrainCap
     val dist = (1 to dim)
       .map(i => s"(c.n*q.qv[$i]-c.s[$i])*(c.n*q.qv[$i]-c.s[$i])")
       .mkString(" + ")
     val sums = (1 to dim).map(i => s"CAST(SUM(qv[$i]) AS BIGINT)").mkString("[", ", ", "]")
-    def assignCte(name: String, cPrev: String): String =
+    // Lloyd refinements (a1/a2) run over the deterministic md5-ordered
+    // training sample qtr (Cluster.trainingSample); the FINAL assignment
+    // a2f covers the whole corpus — exactly trainExact + assignFrozen.
+    def assignCte(name: String, cPrev: String, src: String): String =
       s"""$name AS (SELECT vec_id, cell, qv FROM (
          |  SELECT q.vec_id, c.cell, q.qv,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
          |      CAST($dist AS DOUBLE)/CAST(c.n*c.n AS DOUBLE), c.cell) AS rn
-         |  FROM q CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+         |  FROM $src q CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
     def updateCte(name: String, aPrev: String, cPrev: String): String =
       s"""${name}u AS (SELECT cell, $sums AS s, COUNT(*) AS n FROM $aPrev GROUP BY cell),
          |$name AS (SELECT $cPrev.cell, COALESCE(${name}u.s, $cPrev.s) AS s,
@@ -275,12 +279,14 @@ object SparkEntry {
        |    list_transform(CAST(embedding AS DOUBLE[]),
        |      x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
+       |qtr AS (SELECT vec_id, qv FROM q
+       |        ORDER BY md5('ktrain:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap),
        |c0 AS (SELECT vec_id AS cell, qv AS s, CAST(1 AS BIGINT) AS n FROM q WHERE vec_id < 8),
-       |${assignCte("a1", "c0")},
+       |${assignCte("a1", "c0", "qtr")},
        |${updateCte("c1", "a1", "c0")},
-       |${assignCte("a2", "c1")},
+       |${assignCte("a2", "c1", "qtr")},
        |${updateCte("c2", "a2", "c1")},
-       |${assignCte("a2f", "c2")}""".stripMargin
+       |${assignCte("a2f", "c2", "q")}""".stripMargin
   }
 
   /** DuckDB re-derivation of [[graft.similarity.Pq]]: per-subspace exact
@@ -388,18 +394,23 @@ object SparkEntry {
       // site, and 8 subspace chains × (enc + qd) references would re-expand
       // the whole training chain 16× — planning alone takes minutes. Each
       // relation here is tiny (≤ corpus × k rows), so materializing is free.
+      // Lloyd refinements run over the sampled subspace slice ts$s
+      // (Cluster.trainingSample sliced per subspace); init (c0x) comes
+      // from the full corpus's first-k subvectors, and encode/query
+      // CTEs cover the whole corpus — exactly trainCodebooksOn.
       def assignCte(name: String, cPrev: String): String =
         s"""$name AS MATERIALIZED (SELECT vec_id, cell, qv FROM (
            |  SELECT q.vec_id, c.cell, q.qv,
            |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
            |      CAST(${trainDist("q", "c")} AS DOUBLE)/CAST(c.n*c.n AS DOUBLE), c.cell) AS rn
-           |  FROM qs$s q CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+           |  FROM ts$s q CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
       def updateCte(name: String, aPrev: String, cPrev: String): String =
         s"""${name}u AS MATERIALIZED (SELECT cell, $sums AS s, COUNT(*) AS n FROM $aPrev GROUP BY cell),
            |$name AS MATERIALIZED (SELECT $cPrev.cell, COALESCE(${name}u.s, $cPrev.s) AS s,
            |            COALESCE(${name}u.n, $cPrev.n) AS n
            |          FROM $cPrev LEFT JOIN ${name}u USING (cell))""".stripMargin
       s"""qs$s AS MATERIALIZED (SELECT vec_id, qv[$lo:$hi] AS qv FROM qz),
+         |ts$s AS MATERIALIZED (SELECT vec_id, qv[$lo:$hi] AS qv FROM qztr),
          |c0x$s AS MATERIALIZED (SELECT vec_id AS cell, qv AS s, CAST(1 AS BIGINT) AS n FROM qs$s WHERE vec_id < $k),
          |${assignCte(s"a1x$s", s"c0x$s")},
          |${updateCte(s"c1x$s", s"a1x$s", s"c0x$s")},
@@ -418,6 +429,9 @@ object SparkEntry {
        |    list_transform(CAST(embedding AS DOUBLE[]),
        |      x -> CAST(floor(x*512 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
+       |qztr AS MATERIALIZED (SELECT vec_id, qv FROM qz
+       |  ORDER BY md5('ktrain:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT ${graft.similarity.Cluster.TrainCap}),
        |${(0 until m).map(subspace).mkString(",\n")}""".stripMargin
   }
 
@@ -1825,12 +1839,15 @@ object SparkEntry {
         .map(i => s"(c.n*q.qv[$i]-c.s[$i])*(c.n*q.qv[$i]-c.s[$i])")
         .mkString(" + ")
       val gSums = (1 to 64).map(i => s"CAST(SUM(qv[$i]) AS BIGINT)").mkString("[", ", ", "]")
-      def gAssign(name: String, cPrev: String, filter: String, rnBound: String): String =
+      // Coarse Lloyd refinements (ag1/ag2) train over the shared sampled
+      // qztr; the full-corpus assignment (agf) and the query probe run
+      // over qz — exactly trainExactOn on the shared sample.
+      def gAssign(name: String, cPrev: String, src: String, filter: String, rnBound: String): String =
         s"""$name AS MATERIALIZED (SELECT vec_id, cell FROM (
            |  SELECT q.vec_id, c.cell,
            |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
            |      CAST($gDist AS DOUBLE)/CAST(c.n*c.n AS DOUBLE), c.cell) AS rn
-           |  FROM qz q CROSS JOIN $cPrev c$filter) WHERE rn $rnBound)""".stripMargin
+           |  FROM $src q CROSS JOIN $cPrev c$filter) WHERE rn $rnBound)""".stripMargin
       def gUpdate(name: String, aPrev: String, cPrev: String): String =
         s"""${name}u AS MATERIALIZED (SELECT cell, $gSums AS s, COUNT(*) AS n
            |  FROM $aPrev JOIN qz USING (vec_id) GROUP BY cell),
@@ -1839,12 +1856,12 @@ object SparkEntry {
            |          FROM $cPrev LEFT JOIN ${name}u USING (cell))""".stripMargin
       s"""$pqCtes,
          |cg0 AS MATERIALIZED (SELECT vec_id AS cell, qv AS s, CAST(1 AS BIGINT) AS n FROM qz WHERE vec_id < 8),
-         |${gAssign("ag1", "cg0", "", "= 1")},
+         |${gAssign("ag1", "cg0", "qztr", "", "= 1")},
          |${gUpdate("cg1", "ag1", "cg0")},
-         |${gAssign("ag2", "cg1", "", "= 1")},
+         |${gAssign("ag2", "cg1", "qztr", "", "= 1")},
          |${gUpdate("cg2", "ag2", "cg1")},
-         |${gAssign("agf", "cg2", "", "= 1")},
-         |${gAssign("probe", "cg2", " WHERE q.vec_id < 10", "<= 2")},
+         |${gAssign("agf", "cg2", "qz", "", "= 1")},
+         |${gAssign("probe", "cg2", "qz", " WHERE q.vec_id < 10", "<= 2")},
          |sl AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q0.query_id, e0.vec_id AS neighbor_id,

@@ -382,9 +382,11 @@ object Ann {
   /** TRAINED centroids for [[s3CentroidIvfTrained]]: seeded deterministic
     * spherical k-means — fixed init (first `nCells` corpus vectors, the
     * same seed the fixed variant uses) refined by `iters` Lloyd rounds of
-    * cosine-argmax assignment + per-cell mean. Each round is one
-    * broadcast-scan assignment and one (cell, dimension) aggregate; only
-    * the nCells × dim centroid matrix ever reaches the driver, so the
+    * cosine-argmax assignment + per-cell mean. Rounds run over a
+    * deterministic bounded sample (md5-of-id order, the trainExact
+    * discipline), each one broadcast-scan assignment and one
+    * (cell, dimension) aggregate over O(sample) rows; only the
+    * nCells × dim centroid matrix ever reaches the driver, so the
     * training loop holds at any corpus size. Cosine is scale-invariant,
     * so the un-normalized mean assigns identically to the normalized
     * spherical centroid. Empty cells keep their previous centroid.
@@ -403,9 +405,18 @@ object Ann {
   def trainedCentroidsOf(
       emb: DataFrame,
       nCells: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      sampleCap: Int = Cluster.TrainCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
+    // Lloyd rounds refine over a deterministic bounded sample (the
+    // trainExact/trainCodebooks discipline): one TakeOrdered pass selects
+    // it, each round then scans O(sample). Init stays the first nCells
+    // CORPUS vectors, so the seed is cap-independent.
+    val trainSet = emb
+      .orderBy(md5(concat(lit("ktrain:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(sampleCap)
+      .localCheckpoint(true)
     var cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id") < nCells)
       .orderBy("vec_id")
       .collect()
@@ -415,7 +426,7 @@ object Ann {
       val cdf = spark.createDataFrame(cents).toDF("cent_id", "c_emb")
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_sim").desc, col("cent_id").asc)
-      val assigned = emb
+      val assigned = trainSet
         .crossJoin(broadcast(cdf))
         .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
         .withColumn("arn", row_number().over(wAssign))

@@ -28,9 +28,12 @@ import graft.Tables
   * pipeline is bit-reproducible and the DuckDB oracle re-derives it
   * from the raw parquet.
   *
-  * Scale shape: training touches k×dim integer sums (coarse) + M
-  * codebooks (PQ) — driver state is bounded by the model, never the
-  * corpus. The corpus pays one assignment scan and one encode scan
+  * Scale shape: BOTH tiers train on one shared deterministic bounded
+  * sample ([[Cluster.trainingSample]], the FAISS convention) — after a
+  * single sample-selection pass, every coarse and subspace Lloyd
+  * refinement scans O(sample) rows, and driver state is bounded by the
+  * model, never the corpus. The corpus pays one quantize-checkpoint
+  * scan and one fused assign+encode scan
   * (both zero-shuffle codegen projections); at serving time the ONLY
   * per-query work is a broadcast of (probe cells × LUTs) against the
   * cell-pruned code scan, a bounded WindowGroupLimit shortlist, and an
@@ -80,9 +83,14 @@ object IvfPq {
     val emb = Tables(spark, dir).embeddings
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    // Model: coarse cells (s6's exact Lloyd) + PQ codebooks (s7's).
-    val cents = Cluster.trainExact(emb, kCells, cellIters)
-    val books = Pq.trainCodebooks(emb)
+    // Model: coarse cells (s6's exact Lloyd) + PQ codebooks (s7's),
+    // BOTH trained on one shared deterministic bounded sample — the
+    // checkpointed quantized corpus is scanned once to select it, and
+    // all (1 + M)·iters Lloyd refinements then touch O(sample) rows.
+    val q = Cluster.quantized(emb).localCheckpoint(true)
+    val sample = Cluster.trainingSample(q)
+    val cents = Cluster.trainExactOn(q, sample, kCells, cellIters)
+    val books = Pq.trainCodebooksOn(q, sample)
 
     // Corpus side: ONE fused scan emits the cell-tagged code table —
     // (neighbor_id, cell, codes). Cell assignment and all M code argmins
@@ -91,7 +99,6 @@ object IvfPq {
     // encode ⋈ assign join would cost two scans plus a shuffle. The
     // embedding column is never read past this point except by the
     // bounded refine join.
-    val q = Cluster.quantized(emb).localCheckpoint(true)
     val codeCols = books.zipWithIndex.map { case (book, sub) =>
       org.apache.spark.sql.graft.VectorExpressions.kmeansAssignExact(
         slice(col("qv"), sub * Pq.SubDim + 1, Pq.SubDim),

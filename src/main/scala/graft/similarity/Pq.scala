@@ -31,9 +31,12 @@ import graft.Tables
   *   - ADC distances are integer sums of integer squares — no float
   *     enters the result, so rows hash identically everywhere.
   *
-  * Scale shape: training touches only k×dim integer sums per subspace
-  * (driver holds nothing else); encoding is an embarrassingly-parallel
-  * scan; search is a broadcast of the query LUTs (m·k longs per query)
+  * Scale shape: codebooks train on a DETERMINISTIC BOUNDED SAMPLE
+  * ([[Cluster.trainingSample]], the FAISS convention — one corpus pass
+  * selects it, every Lloyd refinement then scans O(sample)), and only
+  * k×dim integer sums per subspace reach the driver; encoding is an
+  * embarrassingly-parallel scan; search is a broadcast of the query
+  * LUTs (m·k longs per query)
   * against the code table — the corpus side streams 4-byte codes, the
   * per-query top-k is a bounded WindowGroupLimit. The un-compressed
   * embedding column is never read by the search at all.
@@ -70,12 +73,16 @@ object Pq {
     s.map(si => (2L * (si + Offset * n) + n) / (2L * n) - Offset)
 
   /** Train one subspace's codebook with the exact Lloyd loop over the
-    * sliced quantized corpus; init = the first K vectors' subvectors.
-    * Only the k×SubDim integer sum matrix ever reaches the driver.
+    * sliced TRAINING SAMPLE; init = the first K CORPUS vectors'
+    * subvectors (sample-independent seed). Only the k×SubDim integer sum
+    * matrix ever reaches the driver, and each refinement scans the
+    * bounded sample, not the corpus.
     */
-  private def trainSubspace(q: DataFrame, sub: Int): Codebook = {
-    val sq = q.select(col("vec_id"), slice(col("qv"), sub * SubDim + 1, SubDim).as("qv"))
-    var cents: Seq[(Long, Seq[Long], Long)] = sq.filter(col("vec_id") < K)
+  private def trainSubspace(q: DataFrame, sample: DataFrame, sub: Int): Codebook = {
+    val sq = sample.select(col("vec_id"), slice(col("qv"), sub * SubDim + 1, SubDim).as("qv"))
+    var cents: Seq[(Long, Seq[Long], Long)] = q
+      .select(col("vec_id"), slice(col("qv"), sub * SubDim + 1, SubDim).as("qv"))
+      .filter(col("vec_id") < K)
       .orderBy("vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), 1L))
@@ -111,9 +118,19 @@ object Pq {
     * K vectors, or non-contiguous low vec_ids, must fail loudly rather
     * than silently misaddress the LUT.
     */
-  def trainCodebooks(emb: DataFrame): Seq[Codebook] = {
+  def trainCodebooks(emb: DataFrame, sampleCap: Int = Cluster.TrainCap): Seq[Codebook] = {
     val q = quantized(emb)
-    val books = (0 until M).map(trainSubspace(q, _))
+    trainCodebooksOn(q, Cluster.trainingSample(q, sampleCap))
+  }
+
+  /** [[trainCodebooks]] with the quantized corpus and the deterministic
+    * bounded training sample ([[Cluster.trainingSample]]) supplied by the
+    * caller — one sample selection pass serves all M subspace Lloyd
+    * loops (and, in [[IvfPq]], the coarse tier too), so the whole model
+    * build costs one corpus scan plus O(M·Iters·sample).
+    */
+  def trainCodebooksOn(q: DataFrame, sample: DataFrame): Seq[Codebook] = {
+    val books = (0 until M).map(trainSubspace(q, sample, _))
     books.foreach { book =>
       require(book.size == K && book.map(_._1).sorted == (0L until K.toLong),
         s"codebook must carry exactly the contiguous codes 0..${K - 1} " +
@@ -127,8 +144,13 @@ object Pq {
     * n=1 states (n·x − s degenerates to x − c). Zero-shuffle projection;
     * output is (vec_id, codes[M]).
     */
-  def encode(emb: DataFrame, books: Seq[Codebook]): DataFrame = {
-    val q = quantized(emb)
+  def encode(emb: DataFrame, books: Seq[Codebook]): DataFrame =
+    encodeQuantized(quantized(emb), books)
+
+  /** [[encode]] over an already-quantized (vec_id, qv) frame — callers
+    * holding a checkpointed quantized corpus skip the re-scan.
+    */
+  def encodeQuantized(q: DataFrame, books: Seq[Codebook]): DataFrame = {
     val codeCols = books.zipWithIndex.map { case (book, sub) =>
       org.apache.spark.sql.graft.VectorExpressions.kmeansAssignExact(
         slice(col("qv"), sub * SubDim + 1, SubDim),
@@ -191,10 +213,12 @@ object Pq {
   def s7PqSearch(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, dir).embeddings
-    val books = trainCodebooks(emb)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val q = quantized(emb)
-    val codes = encode(emb, books).repartition(nPart)
+    // One checkpointed quantized scan feeds the sample selection, the
+    // K-row init reads, the encode projection, and the refine join.
+    val q = quantized(emb).localCheckpoint(true)
+    val books = trainCodebooksOn(q, Cluster.trainingSample(q))
+    val codes = encodeQuantized(q, books).repartition(nPart)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     val queryRows = q.filter(col("vec_id") < 10)
       .orderBy("vec_id")

@@ -194,16 +194,28 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     val k = 8; val iters = 2
     // Single-machine reference: the same exact-arithmetic recipe in plain
-    // Scala over the collected corpus.
+    // Scala over the collected corpus — INCLUDING the deterministic
+    // bounded training sample (md5('ktrain:'||id) order, TrainCap rows),
+    // re-derived here with java MessageDigest so the engine's sampled
+    // Lloyd loop is pinned against a fully independent implementation.
     val vecs: Seq[(Long, Array[Long])] = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(x => math.floor(x.toDouble * 512.0 + 0.5).toLong).toArray))
       .toSeq.sortBy(_._1)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val trainIds: Set[Long] = vecs.map(_._1)
+      .sortBy(id => (md5hex(s"ktrain:$id"), id))
+      .take(similarity.Cluster.TrainCap).toSet
+    // The sample must be a strict subset here, else the gate is vacuous.
+    assert(trainIds.size < vecs.size,
+      s"corpus ${vecs.size} must exceed TrainCap ${similarity.Cluster.TrainCap}")
+    val train = vecs.filter(v => trainIds.contains(v._1))
     var cents: Seq[(Long, Array[Long], Long)] =
       vecs.filter(_._1 < k).map { case (id, q) => (id, q, 1L) }
-    def assignAll(): Map[Long, Long] = vecs.map { case (id, q) =>
+    def assignOf(rows: Seq[(Long, Array[Long])]): Map[Long, Long] = rows.map { case (id, q) =>
       val best = cents.minBy { case (cell, s, n) =>
         var d = 0L
         var i = 0
@@ -213,7 +225,7 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       id -> best._1
     }.toMap
     for (_ <- 1 to iters) {
-      val byCell = assignAll().toSeq.groupBy(_._2)
+      val byCell = assignOf(train).toSeq.groupBy(_._2)
       cents = cents.map { case (cell, s0, n0) =>
         byCell.get(cell) match {
           case Some(members) =>
@@ -228,7 +240,7 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }
     }
-    val want = assignAll()
+    val want = assignOf(vecs)
     val got = similarity.Cluster.s6KmeansCluster(spark, dir, k, iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
