@@ -26,11 +26,14 @@ import graft.Tables
   * on the stat column at write time (the 1-D sibling of h5's z-order —
   * one clustering dimension, disjoint per-file ranges), so a range
   * predicate keeps O(matching) files instead of "every file overlaps".
-  * Manifest size is O(files), controlled by the write-time file sizing;
-  * the driver-side intersect is a scan of that bounded list (Iceberg's
-  * manifest-list indirection is the same idea one level up — at file
-  * counts where even the manifest is big, the prune becomes a join
-  * against it instead of a collect, same semantics).
+  * Manifest size is O(files), controlled by the write-time file sizing,
+  * and the manifest itself is TIERED (Iceberg's manifest-list
+  * indirection): entries live in min_v-ordered chunks of `chunkFiles`
+  * files with a per-chunk envelope summary, so a range prune reads
+  * O(chunks) summary rows plus only the MATCHING chunks' entries — at
+  * file counts where the manifest is itself a dataset, the per-file
+  * intersection still runs as a partition-pruned Spark scan, never a
+  * full-manifest collect.
   *
   * Reference behavior: the loader's by-date retrieval windows over
   * career events (mysql2neo4j.py:700-829) — time-sliced reads of an
@@ -39,25 +42,43 @@ import graft.Tables
 object Manifest {
 
   /** Write `df` clustered by long column `statCol` into ~`nFiles`
-    * range-partitioned files under `path/data`, plus the stats manifest
-    * under `path/manifest`. One pass re-reads the written files to
-    * derive per-file envelopes (stats are computed at write time, once
-    * per ingest — never by queries); `input_file_name` keys the
-    * aggregate, so the manifest is exact for the files as laid down.
+    * range-partitioned files under `path/data`, plus a TWO-TIER stats
+    * manifest: per-file envelopes under `path/manifest` (hash-laid-out
+    * in `chunk=N` directories of `chunkFiles` entries each, chunked in
+    * min_v order so each chunk's envelope stays tight), and the
+    * per-chunk envelope summary — Iceberg's manifest list — under
+    * `path/manifest_list`. One pass re-reads the written files to
+    * derive the envelopes (stats are computed at write time, once per
+    * ingest — never by queries); `input_file_name` keys the aggregate,
+    * so the manifest is exact for the files as laid down. The chunk
+    * assignment sorts the O(files) stat rows once at ingest — manifest
+    * rows, not data rows.
     */
   def write(spark: SparkSession, df: DataFrame, statCol: String, path: String,
-      nFiles: Int = 16): Unit = {
+      nFiles: Int = 16, chunkFiles: Int = 1024): Unit = {
+    import org.apache.spark.sql.expressions.Window
     df.repartitionByRange(nFiles, col(statCol))
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(s"$path/data")
+    val w = Window.orderBy(col("min_v"), col("file"))
     spark.read.parquet(s"$path/data")
       .groupBy(input_file_name().as("file"))
       .agg(
         min(col(statCol)).as("min_v"),
         max(col(statCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
+      .withColumn("chunk", ((row_number().over(w) - 1) / chunkFiles).cast("long"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/manifest")
+    // `chunk` is a partition directory, so it reads back via partition
+    // type inference (int); the summary pins it to long explicitly.
+    spark.read.parquet(s"$path/manifest")
+      .groupBy(col("chunk").cast("long").as("chunk"))
+      .agg(
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        count(lit(1)).as("n_files"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/manifest")
+      .write.mode("overwrite").parquet(s"$path/manifest_list")
   }
 
   /** The pruned scan: keep exactly the files whose [min,max] envelope
@@ -66,13 +87,31 @@ object Manifest {
     * depends on the manifest being selective, only on it being an
     * envelope). The residual row filter still applies — pruning decides
     * which FILES are read, never which rows qualify.
+    *
+    * Two-tier cascade: the manifest LIST (O(chunks) rows) is read
+    * first and its envelope filter selects which `chunk=N` manifest
+    * partitions are opened at all — so at 10⁶-file tables the per-file
+    * intersection scans only the matching chunks' entries, and the
+    * driver materializes exactly two bounded lists: surviving chunk
+    * ids, then surviving file paths (which must reach the reader
+    * regardless — Spark itself runs a distributed listing job over
+    * them past `parallelPartitionDiscovery.threshold`).
     */
   def scanRange(spark: SparkSession, path: String, statCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val kept = spark.read.parquet(s"$path/manifest")
+    val chunks = spark.read.parquet(s"$path/manifest_list")
       .filter(col("max_v") >= lo && col("min_v") <= hi)
-      .select("file")
-      .collect().map(_.getString(0))
+      .select("chunk")
+      .collect().map(_.getLong(0))
+    // isin carries INT literals so the partition-pruning filter stays on
+    // the inferred partition column type (a cast would defeat pruning).
+    val kept =
+      if (chunks.isEmpty) Array.empty[String]
+      else spark.read.parquet(s"$path/manifest")
+        .filter(col("chunk").isin(chunks.map(_.toInt).toIndexedSeq: _*))
+        .filter(col("max_v") >= lo && col("min_v") <= hi)
+        .select("file")
+        .collect().map(_.getString(0))
     val residual = col(statCol) >= lo && col(statCol) <= hi
     if (kept.isEmpty)
       // No envelope intersects: schema-only read, zero data files opened.

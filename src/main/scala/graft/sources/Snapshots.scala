@@ -95,31 +95,54 @@ object Snapshots {
     * half of the snapshot contract: without it "every version readable
     * forever" monotonically leaks the space of every rewrite commit.
     * Returns the number of data files deleted.
+    *
+    * The reclaim set is derived from MANIFEST ALGEBRA alone (expired ∖
+    * retained, a distributed anti-join) — never from listing the data
+    * tree — and deletion fans out to the executors; stray files no
+    * manifest ever referenced (a crashed write's leftovers) are a
+    * separate orphan-file sweep's job, as in Iceberg.
     */
   def expire(spark: SparkSession, path: String, keepFrom: Long): Int = {
     import spark.implicits._
     val f = fs(spark)
     val latest = currentVersion(spark, path)
     require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
-    // Manifests store Spark `inputFiles` URIs, the listing yields Hadoop
-    // Paths — scheme spellings differ (file:/// vs file:/), so membership
-    // compares on the scheme-free URI path.
-    val live = (keepFrom to latest).flatMap { v =>
-      spark.read.parquet(s"$path/manifest/v$v").as[String].collect()
-    }.map(s => new java.net.URI(s).getPath).toSet
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
-    val it = f.listFiles(dataDir, true)
-    val doomed = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.endsWith(".parquet") && !live.contains(p.toUri.getPath)) doomed += p
-    }
-    doomed.foreach(p => f.delete(p, false))
-    (1L until keepFrom).foreach { v =>
+    // PURE MANIFEST ALGEBRA, computed as a Spark job (Iceberg's
+    // expire_snapshots shape): doomed = (files referenced by expired
+    // manifests) ∖ (files referenced by retained manifests). No
+    // directory listing of the data tree ever happens — at 10⁶-file
+    // tables the listing is the latency, and every data file is
+    // introduced by exactly one commit, so the manifest difference IS
+    // the reclaim set. Manifests store Spark `inputFiles` URIs; both
+    // sides normalize to the scheme-free URI path (file:/// vs file:/).
+    // A previous expiry already dropped manifests below its own
+    // keepFrom, so only the versions still present participate.
+    val present: Seq[Long] = f
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/manifest"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .sorted.toSeq
+    val expiredVs = present.filter(_ < keepFrom)
+    val deleted =
+      if (expiredVs.isEmpty) 0
+      else {
+        val normPath = udf((s: String) => new java.net.URI(s).getPath)
+        def union(vs: Seq[Long]): DataFrame = vs
+          .map(v => spark.read.parquet(s"$path/manifest/v$v"))
+          .reduce(_.union(_))
+          .select(normPath(col("file")).as("file"))
+          .distinct()
+        val doomed = union(expiredVs)
+          .join(union(present.filter(_ >= keepFrom)), Seq("file"), "left_anti")
+        // Distributed delete: each task reclaims its partition's files
+        // with its own FileSystem client — the driver never holds the
+        // doomed list, only per-partition counts.
+        org.apache.spark.sql.graft.GraftInternals
+          .distributedDelete(doomed.as[String])
+      }
+    expiredVs.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"), true)
     }
-    doomed.size
+    deleted
   }
 
   /** Time travel: the table exactly as of version `v` — a scan of
@@ -147,11 +170,18 @@ object Snapshots {
   def readBetween(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     import spark.implicits._
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
-    val upto = spark.read.parquet(s"$path/manifest/v$toV").as[String].collect().toSet
-    val base =
-      if (fromV == 0) Set.empty[String]
-      else spark.read.parquet(s"$path/manifest/v$fromV").as[String].collect().toSet
-    val fresh = (upto -- base).toIndexedSeq
+    // The set difference runs as a Spark anti-join over the two manifest
+    // relations (manifests are parquet datasets, not driver lists), so
+    // the driver materializes O(delta) file paths — never either
+    // version's full list. At 10⁶-file tables the manifests are
+    // themselves data; only what the scan genuinely needs (the delta's
+    // paths, which must reach the reader anyway) ever leaves the cluster.
+    val upto = spark.read.parquet(s"$path/manifest/v$toV")
+    val fresh: IndexedSeq[String] =
+      (if (fromV == 0) upto
+       else upto.join(
+         spark.read.parquet(s"$path/manifest/v$fromV"), Seq("file"), "left_anti"))
+        .as[String].collect().toIndexedSeq
     // Empty delta: schema-correct empty frame off the target version's
     // own files (never the manifest's string schema).
     if (fresh.isEmpty) readAsOf(spark, path, toV).filter(lit(false))

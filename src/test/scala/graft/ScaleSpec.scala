@@ -614,6 +614,48 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       5000000000000000L, 6000000000000000L).count() === 0L)
   }
 
+  test("tiered manifest: the chunk cascade opens only matching chunks' entry files") {
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-tier").toString
+    val orders = t.orders
+      .withColumn("ord_us", unix_micros(col("o_orderdate").cast("timestamp")))
+    // 16 data files in chunks of 4 → a 4-row manifest list; a narrow
+    // range must survive in FEWER chunks than exist, and the per-file
+    // intersection must open only those chunks' manifest partitions —
+    // the many-file regime in miniature: the driver never reads the
+    // full per-file manifest, only the summary plus matching chunks.
+    sources.Manifest.write(spark, orders, "ord_us", tmp, nFiles = 16, chunkFiles = 4)
+    val list = spark.read.parquet(s"$tmp/manifest_list").collect()
+    assert(list.length === 4, s"expected 4 chunks, got ${list.length}")
+    // min_v-ordered chunking keeps chunk envelopes ordered: sorting by
+    // min_v must not interleave (each chunk's min >= previous chunk's).
+    val byMin = list.sortBy(_.getAs[Long]("min_v")).map(_.getAs[Long]("chunk"))
+    assert(byMin.length === byMin.distinct.length)
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime * 1000L
+    val hi = java.sql.Timestamp.valueOf("1995-07-01 00:00:00").getTime * 1000L - 1
+    val matching = list.filter(r =>
+      r.getAs[Long]("max_v") >= lo && r.getAs[Long]("min_v") <= hi).map(_.getAs[Long]("chunk"))
+    assert(matching.nonEmpty && matching.length < list.length,
+      s"narrow range should prune chunks: ${matching.length} of ${list.length}")
+    // The chunk-filtered manifest read touches only matching partitions
+    // — asserted on the EXECUTED scan's numFiles metric (inputFiles
+    // reports the relation's full listing, pre-pruning).
+    val entryRead = spark.read.parquet(s"$tmp/manifest")
+      .filter(col("chunk").isin(matching.map(_.toInt).toIndexedSeq: _*))
+    entryRead.collect()
+    val scan = entryRead.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val opened = scan.metrics("numFiles").value
+    val allEntryFiles = spark.read.parquet(s"$tmp/manifest").inputFiles.length
+    assert(opened > 0 && opened < allEntryFiles,
+      s"chunk filter must partition-prune the manifest: $opened of $allEntryFiles")
+    // And the cascade answers identically to the raw range filter.
+    val pruned = sources.Manifest.scanRange(spark, tmp, "ord_us", lo, hi)
+    val want = orders.filter(col("ord_us") >= lo && col("ord_us") <= hi).count()
+    assert(pruned.count() === want && want > 0)
+  }
+
   test("t28 export plan is one hash exchange on the shard id — never a global sort") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
