@@ -83,6 +83,20 @@ object Bench {
     operators.Relational.q2bIngest(spark, sfDir)
 
     val (steal0, total0) = cpuJiffies()
+    // Shared memoized products are timed as NAMED SETUP entries, not
+    // charged to whichever consumer alphabetically touches the memo
+    // first (r11: d11 billed 14.5 s at sf1 for building the d3/d6
+    // verified-pairs memo that d3/d6/t29 then rode). The setup cost
+    // still counts toward the sweep total — it is real work — but
+    // per-key times are own-cost and comparable round over round.
+    val memoConsumers = Set(
+      "d3_minhash_lsh", "d6_dedup_resolve", "d11_dedup_report", "t29_split_leakage")
+    val setupTimes: Seq[(String, Double)] =
+      if (selected.exists(memoConsumers)) {
+        val t0 = System.nanoTime()
+        dedup.Dedup.nearDupPairs(spark, sfDir).count()
+        Seq("setup:neardup_pairs_memo" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
     // Fault isolation: one throwing query must not take down the whole
     // sweep's artifact (a bench with 77 greens and 1 red should still
     // report the 77). Failures surface as a separate "errors" map — a
@@ -102,14 +116,15 @@ object Bench {
     val times = results.collect { case (n, dt, None) => n -> dt }
     val errors = results.collect { case (n, _, Some(e)) => n -> e }
     errors.foreach { case (n, e) => System.err.println(s"BENCH FAIL $n: $e") }
-    val total = times.map(_._2).sum
+    val total = times.map(_._2).sum + setupTimes.map(_._2).sum
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
     val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    val sJson = setupTimes.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
     val eJson = errors.map { case (n, e) =>
       s""""$n":"${e.take(160).replaceAll("[\"\\\\\n\r\t]", " ")}"""" }.mkString(",")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"errors":{$eJson},"steal_jiffies":${steal1 - steal0},"steal_pct":$stealPct%.2f,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"setup":{$sJson},"errors":{$eJson},"steal_jiffies":${steal1 - steal0},"steal_pct":$stealPct%.2f,"sf":"$sf"}"""
     // Print the JSON line BEFORE shutdown (so it exists even if stop()
     // hangs) and persist it to a file so the scored artifact survives
     // truncation of the captured stdout (the r7 lost-d-group failure mode).

@@ -108,7 +108,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16,
+      nBlocks: Int = 0,
       autoBand: Boolean = true,
       candFactor: Long = 20L): DataFrame =
     verifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks,
@@ -142,7 +142,7 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16,
+      nBlocks: Int = 0,
       autoBand: Boolean = true,
       candFactor: Long = 20L): DataFrame = {
     val appId = spark.sparkContext.applicationId
@@ -182,7 +182,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16,
+      nBlocks: Int = 0,
       autoBand: Boolean = true,
       candFactor: Long = 20L): DataFrame = {
     val spark = source.sparkSession
@@ -522,7 +522,7 @@ object Dedup {
       dir: String,
       maxHamming: Int = 15,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fp = Tables(spark, dir).documents
       .filter(length(col("text")) >= 5)
@@ -844,7 +844,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16,
+      nBlocks: Int = 0,
       autoBand: Boolean = true,
       candFactor: Long = 20L): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -193,7 +193,7 @@ object Media {
       dir: String,
       maxHamming: Int = 15,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fp = Tables(spark, dir).documents
       .repartition(nPart)
@@ -626,7 +626,7 @@ object Media {
       strideBytes: Int = 256,
       maxHamming: Int = 6,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val media = Tables(spark, dir).documents
       .repartition(nPart)
@@ -644,7 +644,7 @@ object Media {
       strideBytes: Int = 256,
       maxHamming: Int = 6,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val frames = media
       .select(
         col("doc_id"),

@@ -27,7 +27,7 @@ object GraphOps {
       spark: SparkSession,
       dir: String,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val t = Tables(spark, dir)
     // Self-join on the compact int key; the group's display name is
     // broadcast-joined onto the (much larger) pair set afterwards, so the
@@ -58,11 +58,23 @@ object GraphOps {
     * pair set of the direct formulation (spec-checked with the threshold
     * forced to 1).
     *
+    * `nBlocks = 0` (the default at every call site) means DERIVED FROM
+    * THE PROBE: the same aggregate that decides whether to route also
+    * measures how big the biggest group is, and the salt width is sized
+    * so one block holds ~`blockThreshold` rows — each block-pair task
+    * then does at most ~blockThreshold² comparisons, the exact work
+    * bound that defined "too big" in the first place. A fixed width
+    * can't do that: 16 blocks tame a 10⁶-row hub (62k rows/block) but
+    * leave a 10⁸-row hub at 6M rows per block — the q16-probe→knob
+    * derivation replaces the constant with the measurement. Clamped to
+    * [2, 256] (256 blocks ≈ 33k tasks for one group — past that the
+    * task count, not the per-task size, is the limit).
+    *
     * `df` must have columns (grp, id); expensive `df` pipelines should be
     * checkpointed by the caller so the probe action and the join branches
     * share one materialization.
     */
-  def sameGroupPairsSkewSafe(df: DataFrame, blockThreshold: Int, nBlocks: Int): DataFrame = {
+  def sameGroupPairsSkewSafe(df: DataFrame, blockThreshold: Int, nBlocks: Int = 0): DataFrame = {
     // Exact size probe first (one tiny aggregate action — the g4
     // measure-then-route pattern): when NO group reaches the threshold,
     // which is the overwhelmingly common case, emit the plain direct
@@ -76,6 +88,7 @@ object GraphOps {
         .join(df.select(col("grp"), col("id").as("id2")), Seq("grp"))
         .filter(col("id1") < col("id2"))
     } else {
+      val blocks = if (nBlocks > 0) nBlocks else derivedBlocks(maxSz, blockThreshold)
       val sizes = df.groupBy("grp").agg(count(lit(1)).as("gsz"))
       val tagged = df.join(sizes, Seq("grp"))
       val small = tagged.filter(col("gsz") < blockThreshold).select("grp", "id")
@@ -83,9 +96,17 @@ object GraphOps {
       val smallPairs = small.select(col("grp"), col("id").as("id1"))
         .join(small.select(col("grp"), col("id").as("id2")), Seq("grp"))
         .filter(col("id1") < col("id2"))
-      smallPairs.unionByName(blockedSameGroupPairs(big, nBlocks))
+      smallPairs.unionByName(blockedSameGroupPairs(big, blocks))
     }
   }
+
+  /** Probe→knob derivation for the salt width: one block ≈
+    * `blockThreshold` rows of the measured biggest group, clamped to
+    * [2, 256]. Pure so the spec pins the measurement→knob map directly.
+    */
+  private[graft] def derivedBlocks(maxSz: Long, blockThreshold: Int): Int =
+    math.min(256L, math.max(2L,
+      (maxSz + blockThreshold - 1) / math.max(blockThreshold, 1))).toInt
 
   /** g1b: current-relationship pairs — the COLLEAGUES no-interval
     * WORKS_FOR branch (mysql2neo4j.py:381-399): people *currently* at the
@@ -660,7 +681,7 @@ object GraphOps {
       spark: SparkSession,
       dir: String,
       blockThreshold: Int = 10000,
-      nBlocks: Int = 16,
+      nBlocks: Int = 0,
       centerCap: Option[Int] = None): DataFrame = {
     val t = Tables(spark, dir)
     val edges = t.lineitem

@@ -145,7 +145,44 @@ object VectorIndex {
       queries: DataFrame,
       path: String,
       k: Int = 10,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    probedTopK(spark, queries, path, k, nProbe, identity)
+
+  /** FILTERED query over the persisted index — s14's pre-filter
+    * discipline composed with the cell probe: `allowed` (a
+    * (neighbor_id) frame — the attribute predicate already reduced to
+    * an id set) semi-joins the cell scan BEFORE any cosine computes or
+    * any rank assigns, so the top-k ranks only qualifying vectors and
+    * always fills k when k matches exist in the probed cells.
+    * Post-filtering [[query]]'s top-k instead starves — returns < k
+    * wherever a disallowed vector out-ranked a qualifying one
+    * (spec-pinned, the s14 trap inside the IVF tier). The semi-join
+    * rides the probe join's cell scan: disallowed rows drop while the
+    * scan is still streaming the bucketed layout, and at 100 TB the
+    * allowed set is either broadcast (selective predicates) or a
+    * bucketed attribute column stored with the vectors.
+    */
+  def queryFiltered(
+      spark: SparkSession,
+      queries: DataFrame,
+      path: String,
+      allowed: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 2): DataFrame =
+    probedTopK(spark, queries, path, k, nProbe,
+      _.join(allowed.select(col("neighbor_id")), Seq("neighbor_id"), "left_semi"))
+
+  /** Shared probe→scan→rank core: `restrict` is applied to the cell
+    * scan UNDER the scoring projection (for [[query]] the identity, for
+    * [[queryFiltered]] the allowed-id semi-join).
+    */
+  private def probedTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      path: String,
+      k: Int,
+      nProbe: Int,
+      restrict: DataFrame => DataFrame): DataFrame = {
     val cdf = centroids(spark, path)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cent_id").asc)
@@ -157,8 +194,9 @@ object VectorIndex {
       .select(col("query_id"), col("q_emb"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cellTable(spark, path)
-      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell"))
+    restrict(
+      cellTable(spark, path)
+        .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell")))
       .join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Ann.cosine(col("q_emb"), col("n_emb")))

@@ -190,6 +190,65 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("filtered query inside the IVF tier: pre-filter under the cell probe, post-filter starves") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecidx-filt").toString
+    val emb = Tables(spark, dir).embeddings
+    similarity.VectorIndex.build(spark, emb, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val allowed = Tables(spark, dir).documents.filter(col("lang") === "en")
+      .select(col("doc_id").as("neighbor_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+
+    val filtered = similarity.VectorIndex
+      .queryFiltered(spark, queries, s"$tmp/idx", allowed).collect()
+    // Every neighbor passes the predicate, and every query fills k.
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(r => allowedIds.contains(r.getAs[Long]("neighbor_id"))))
+    val perQ = filtered.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(perQ.values.forall(_ === 10), s"pre-filter must fill k inside probed cells: $perQ")
+
+    // The trap the composition exists to avoid: post-filtering the
+    // UNFILTERED index top-k starves for at least one query.
+    val unfiltered = similarity.VectorIndex.query(spark, queries, s"$tmp/idx").collect()
+    val postPerQ = unfiltered.filter(r => allowedIds.contains(r.getAs[Long]("neighbor_id")))
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(perQ.keys.exists(q => postPerQ.getOrElse(q, 0) < 10),
+      s"expected post-filter starvation for some query: $postPerQ")
+    // And the filtered top-k contains every post-filter survivor.
+    val survivors = unfiltered.filter(r => allowedIds.contains(r.getAs[Long]("neighbor_id")))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val filteredSet = filtered
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(survivors.subsetOf(filteredSet))
+
+    // Exhaustive-k agreement: with k unbounded both forms rank the same
+    // probed-cell candidates, so filtered == post-filtered, row for row.
+    val fAll = similarity.VectorIndex
+      .queryFiltered(spark, queries, s"$tmp/idx", allowed, k = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val uAll = similarity.VectorIndex
+      .query(spark, queries, s"$tmp/idx", k = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter(p => allowedIds.contains(p._2)).toSet
+    assert(fAll === uAll)
+
+    // Plan: the allowed-id semi-join must sit UNDER the ranking window —
+    // the scoring projection never sees a disallowed row.
+    val plan = similarity.VectorIndex.queryFiltered(spark, queries, s"$tmp/idx", allowed)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"expected a ranking window:\n$plan")
+    val semiUnderWindow = windows.exists(_.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.isDefined)
+    assert(semiUnderWindow, s"allowed-id semi-join must land under the ranking window:\n$plan")
+  }
+
   test("s6 exact k-means matches a single-machine integer reference and shuffles only for the output sort") {
     import org.apache.spark.sql.functions._
     val k = 8; val iters = 2

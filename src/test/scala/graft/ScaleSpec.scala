@@ -494,6 +494,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped === Map(10L -> 3L, 20L -> 3L))
   }
 
+  test("probe-derived salt width: measurement picks the knob, pair set unchanged") {
+    // The knob map itself: one block ~ blockThreshold rows, clamped.
+    assert(operators.GraphOps.derivedBlocks(maxSz = 50, blockThreshold = 100) === 2)
+    assert(operators.GraphOps.derivedBlocks(maxSz = 1000, blockThreshold = 100) === 10)
+    assert(operators.GraphOps.derivedBlocks(maxSz = 1001, blockThreshold = 100) === 11)
+    assert(operators.GraphOps.derivedBlocks(maxSz = 1000000, blockThreshold = 100) === 256)
+    // Forced-degenerate end-to-end: ONE group holding every row with
+    // blockThreshold=1 routes everything through the derived-width
+    // blocked formulation (width = clamp(200/1) = 200 here, not the old
+    // constant 16) — the pair set must be exactly the plain self-join's.
+    val ss = spark
+    import ss.implicits._
+    val rows = (1L to 200L).map(i => (1L, i)).toDF("grp", "id")
+    val auto = operators.GraphOps.sameGroupPairsSkewSafe(rows, blockThreshold = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val plain = (1L to 200L).flatMap(a => (a + 1 to 200L).map(b => (a, b))).toSet
+    assert(auto === plain)
+  }
+
   test("d15: forced band escalation still finds every crafted near-dup chunk pair") {
     // candFactor=0 forces the candidate-volume router to the widest band
     // shape (16 bands x 8 rows) regardless of measured volume; the
