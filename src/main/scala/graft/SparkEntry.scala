@@ -103,6 +103,7 @@ object SparkEntry {
     "s12_hybrid_rrf"     -> ((s: SparkSession, d: String) => functions.Hybrid.s12HybridRrf(s, d)),
     "s13_mmr_rerank"     -> ((s: SparkSession, d: String) => similarity.Mmr.s13MmrRerank(s, d)),
     "s14_filtered_ann"   -> ((s: SparkSession, d: String) => Ann.s14FilteredAnn(s, d)),
+    "s15_filtered_ivf"   -> ((s: SparkSession, d: String) => Ann.s15FilteredIvf(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "t26_mix_plan"       -> TextFuncs.t26MixPlan _,
     "t27_curation_pipeline" -> functions.CurationPipeline.t27CurationPipeline _,
     "t29_split_leakage"  -> ((s: SparkSession, d: String) => functions.CurationPipeline.t29SplitLeakage(s, d)),
+    "t30_heavy_hitters"  -> ((s: SparkSession, d: String) => functions.Frequent.t30HeavyHitters(s, d)),
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
@@ -1023,6 +1025,17 @@ object SparkEntry {
         |  CAST(vs[i] AS BIGINT) AS value
         |FROM a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
         |ORDER BY l_returnflag, p""".stripMargin,
+    // t30: exact heavy hitters — the oracle is the NAIVE exact top-k
+    // (domain-sized aggregate), route-blind; k=10 < the distinct ≥5-char
+    // vocabulary so the engine's CERTIFIED sketch→recount route answers
+    // here and must be bit-identical to the exact aggregate.
+    "t30_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) >= 5
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 10""".stripMargin,
     // t29: cross-split near-dup leakage — t21's md5 split re-derived
     // (the t21 oracle's nibble fold) joined onto the exact ≥0.8 pair
     // set (sound stand-in for the banded path, the d3 argument),
@@ -2080,6 +2093,26 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s15: s3's fixed-seed assignment re-derived, queries probing their
+    // two best cells, the lang filter applied to the ASSIGNED corpus
+    // before scoring — the filtered-IVF composition end to end.
+    "s15_filtered_ivf" ->
+      """WITH ct AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8),
+        |rk AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, ct.cent_id AS cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, ct.cent_id) AS arn
+        |  FROM embeddings e CROSS JOIN ct),
+        |alw AS (
+        |  SELECT vec_id, emb, cell FROM rk JOIN documents ON vec_id = doc_id
+        |  WHERE arn = 1 AND lang = 'en'),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM rk WHERE vec_id < 10 AND arn <= 2),
+        |s AS (SELECT query_id, a.vec_id AS neighbor_id, list_cosine_similarity(qe, a.emb) AS sim
+        |      FROM q JOIN alw a USING (cell) WHERE a.vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     "s1_cosine_topk" ->

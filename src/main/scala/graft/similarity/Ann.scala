@@ -125,6 +125,59 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** s15: filtered ANN INSIDE the IVF tier — s14's pre-filter
+    * discipline composed with s3's cell pruning, on the correctness
+    * gate: the attribute predicate (documents.lang, the id set arriving
+    * as a semi-join) restricts the CELL-ASSIGNED corpus before any
+    * cosine computes, and queries probe their `nProbe` best cells as in
+    * the trained variant — so the scan reads only qualifying vectors of
+    * probed cells and the top-k always ranks k qualifying candidates
+    * when the probed cells hold them. This is the keyed proof of the
+    * SURVEY claim that filtered ANN composes with the IVF tier
+    * (VectorIndex.queryFiltered is the persisted-index sibling,
+    * spec-pinned); centroids are the fixed first-`nCells` seed so the
+    * DuckDB oracle re-derives assignment, probe set, filter, and
+    * ranking exactly.
+    */
+  def s15FilteredIvf(
+      spark: SparkSession,
+      dir: String,
+      lang: String = "en",
+      k: Int = 10,
+      nCells: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val centroids = t.embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    val ranked = t.embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+    val allowed = t.documents.filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    // Pre-filter UNDER the scoring projection: disallowed vectors leave
+    // the plan while the cell scan streams, before any cosine runs.
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+      .join(allowed, Seq("vec_id"), "left_semi")
+    val queries = ranked.filter(col("vec_id") < 10 && col("arn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"), col("cell"))
+      .join(queries, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** d5: embedding-cosine near-duplicate pairs above a threshold. Pair
     * generation is the exact baseline; at scale the same predicate runs
     * inside LSH buckets.

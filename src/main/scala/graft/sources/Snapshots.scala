@@ -145,6 +145,47 @@ object Snapshots {
     deleted
   }
 
+  /** ORPHAN-FILE sweep — the complement of [[expire]] (Iceberg's
+    * `remove_orphan_files`): delete data files NO manifest of ANY
+    * present version references — a crashed write's leftovers, which
+    * manifest algebra can never see because no commit ever listed them.
+    * This is the one maintenance path that must look at the data tree,
+    * so the listing fans out over executors per batch directory
+    * ([[org.apache.spark.sql.graft.GraftInternals.distributedListing]]),
+    * the referenced-set anti-join runs as a Spark job, and deletion is
+    * executor-side — the driver holds only the O(versions) top-level
+    * directory names and the delete count. Files younger than `graceMs`
+    * are spared (an in-flight commit writes data before its manifest —
+    * the standard orphan-sweep race guard). Returns files deleted.
+    */
+  def removeOrphans(spark: SparkSession, path: String, graceMs: Long = 3600000L): Int = {
+    import spark.implicits._
+    val f = fs(spark)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!f.exists(dataDir) || !f.exists(manifestDir)) return 0
+    val batchDirs = f.listStatus(dataDir).map(_.getPath.toString).toSeq
+    if (batchDirs.isEmpty) return 0
+    val present = f.listStatus(manifestDir)
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
+    val normPath = udf((s: String) => new java.net.URI(s).getPath)
+    val referenced = present
+      .map(v => spark.read.parquet(s"$path/manifest/v$v"))
+      .reduce(_.union(_))
+      .select(normPath(col("file")).as("file"))
+      .distinct()
+    val cutoff = System.currentTimeMillis() - graceMs
+    val listed = org.apache.spark.sql.graft.GraftInternals
+      .distributedListing(spark, batchDirs)
+      .toDF("file", "mtime")
+      // Only data files participate; success markers and the like are
+      // commit-local bookkeeping, not orphans.
+      .filter(col("file").endsWith(".parquet") && col("mtime") < cutoff)
+      .select("file")
+    val orphans = listed.join(referenced, Seq("file"), "left_anti")
+    org.apache.spark.sql.graft.GraftInternals.distributedDelete(orphans.as[String])
+  }
+
   /** Time travel: the table exactly as of version `v` — a scan of
     * precisely the files version v's manifest lists. No directory
     * listing of the data tree ever happens (at 100 TB the listing is

@@ -237,6 +237,36 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("snapshots: orphan sweep reclaims only unreferenced files, respects the grace window") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_orphans"
+    val v1 = sources.Snapshots.commit(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = sources.Snapshots.commit(spark, p, Seq((3L, "c")).toDF("id", "v"))
+    // A crashed write's leftovers: a stray parquet inside a batch dir and
+    // one in its own abandoned dir — no manifest has ever listed them.
+    Seq((99L, "stray")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$p/data/batch-99-aborted")
+    val strayFiles = spark.read.parquet(s"$p/data/batch-99-aborted").inputFiles.toSet
+    assert(strayFiles.nonEmpty)
+    // Grace window: files younger than graceMs are an in-flight commit's
+    // — a sweep with a 1h grace must spare everything just written.
+    assert(sources.Snapshots.removeOrphans(spark, p) === 0)
+    // Grace 0: exactly the strays go; every referenced file survives and
+    // both snapshots read back intact.
+    val deleted = sources.Snapshots.removeOrphans(spark, p, graceMs = 0L)
+    assert(deleted === strayFiles.size, s"expected ${strayFiles.size} orphans reclaimed, got $deleted")
+    strayFiles.foreach { f =>
+      assert(!new java.io.File(new java.net.URI(f)).exists(), s"stray survived the sweep: $f")
+    }
+    assert(sources.Snapshots.readAsOf(spark, p, v1).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b")))
+    assert(sources.Snapshots.readAsOf(spark, p, v2).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    // Idempotent: a second sweep finds nothing.
+    assert(sources.Snapshots.removeOrphans(spark, p, graceMs = 0L) === 0)
+  }
+
   test("upsert-by-key: MERGE semantics — keep-newest, auto-create, idempotent replay") {
     val ss = spark
     import ss.implicits._

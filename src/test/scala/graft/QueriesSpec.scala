@@ -596,6 +596,44 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TermIndex.query(spark, q, s"$tmp/inc").collect().map(_.toSeq).toSeq === before)
   }
 
+  test("t30 heavy hitters: MG guarantee at the boundary, forced fallback is bit-identical") {
+    import functions.Frequent
+    // Per-partition guarantee: any item with frequency > N/(m+1) must
+    // survive the m-counter summary. Adversarial stream: heavy item
+    // interleaved with a flood of singletons (the decrement pressure).
+    val n = 1000
+    val heavy = "HEAVY"
+    val stream = (0 until n).map(i => if (i % 4 == 0) heavy else s"noise$i")
+    val m = 8
+    val summary = Frequent.misraGries(stream.iterator, m).toMap
+    assert(summary.size <= m)
+    assert(summary.contains(heavy), s"freq ${n / 4} > N/(m+1) = ${n / (m + 1)} must survive: $summary")
+    // MG undercount is bounded by the decrement count: est >= true - N/(m+1).
+    assert(summary(heavy) >= n / 4 - n / (m + 1))
+    // An item at exactly the boundary may legally vanish; one decrement
+    // per overflow means total decrements <= N/(m+1) — pin that no
+    // SURVIVING counter ever exceeds its true count.
+    val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    summary.foreach { case (t, c) => assert(c <= trueCounts(t), s"$t overcounted") }
+
+    // End-to-end, route-pinned: at m=4096/k=10 the certificate HOLDS
+    // (the sketch route answers); at m=2 it fails (2 counters cannot
+    // cover 10 candidates — forced fallback). Both must equal the naive
+    // exact aggregate, row for row.
+    val toks = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 5)
+    val naive = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(10)
+      .collect().map(_.toSeq).toSeq
+    assert(Frequent.certifiedTopK(toks, 10, m = 4096).isDefined, "certificate must hold at m=4096")
+    assert(Frequent.certifiedTopK(toks, 10, m = 2).isEmpty, "m=2 must starve the certificate")
+    val sketch = Frequent.topKFrequent(toks, 10).collect().map(_.toSeq).toSeq
+    val fallback = Frequent.topKFrequent(toks, 10, m = 2).collect().map(_.toSeq).toSeq
+    assert(sketch === naive && fallback === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("the PPM decoder never throws: any byte soup yields a verdict row") {
     val rnd = new scala.util.Random(0xBEEF)
     // Adversarial corpus: random bytes, random-length truncations of a
