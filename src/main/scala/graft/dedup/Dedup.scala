@@ -540,16 +540,66 @@ object Dedup {
   private[graft] def bands15(fp: Column): Column =
     array((0 until 4).map(i => shiftright(fp, i * 15).bitwiseAND(lit(32767L))): _*)
 
+  /** The sub-band refinement shape for an oversized hamming band bucket:
+    * `s = maxHamming+1` disjoint sub-bands over the 45 bits OUTSIDE the
+    * collided band, the first s−1 of width `w = 45 div s` and the last
+    * of width `maxW = 45 − (s−1)·w` (so they tile all 45 bits). Within a
+    * bucket both members already agree on the banded 15 bits, so a pair
+    * at hamming ≤ maxHamming has ≤ maxHamming differing bits spread over
+    * s sub-bands — pigeonhole leaves at least one sub-band identical.
+    * Pure, so the spec pins the (s, w, maxW) map directly.
+    */
+  private[graft] def subBandShape(maxHamming: Int): (Int, Int, Int) = {
+    val s = maxHamming + 1
+    val w = 45 / s
+    (s, w, 45 - (s - 1) * w)
+  }
+
+  /** Whether sub-band refinement can REDUCE an oversized bucket's
+    * candidate mass: a coincidentally-collided bucket (uniform remaining
+    * bits) splits a C(g,2) mass by ~2^w per sub-band at an s× key
+    * replication, a net win only when 2^w clears s with real margin. At
+    * m12's radius 6 the shape is 7 sub-bands of ≥6 bits (gain ~s/2^w ≈
+    * 0.11); at d9/m6's radius 15 it would be 16 sub-bands of 2 bits —
+    * 4× WORSE than not splitting, so those tiers stay on the salted
+    * path and their volume knob remains `blockThreshold` alone.
+    */
+  private[graft] def subSplitViable(maxHamming: Int): Boolean = {
+    val (s, w, _) = subBandShape(maxHamming)
+    w >= 1 && (1L << w) >= 4L * s
+  }
+
   /** Banded hamming near-dup pairs over a 60-bit fingerprint column —
-    * the shared pairing stage of d9 (SimHash) and m6 (perceptual hash):
-    * 4×15-bit band equijoin, exact `bit_count(xor)` verify, never
-    * all-pairs. Bands whose population reaches `blockThreshold` route
-    * through the salted blocked formulation
-    * ([[graft.operators.GraphOps.sameGroupPairsSkewSafe]]), so one
-    * pathological band (near-identical corpus slices, or perceptual
-    * bands of correlated media) spreads over nBlocks·(nBlocks+1)/2 tasks
-    * instead of one reducer — the documented production skew knob, armed
-    * by default. The fingerprint rides inside the pair id (a struct), so
+    * the shared pairing stage of d9 (SimHash), m6 (perceptual hash) and
+    * m12 (frame fingerprints): 4×15-bit band equijoin, exact
+    * `bit_count(xor)` verify, never all-pairs. Two independent volume
+    * defenses, both measure-then-route (the q16/d15 discipline, armed by
+    * default):
+    *
+    *  1. CANDIDATE-VOLUME router — the d15 Σ C(gsz,2) probe generalized
+    *     to the hamming tier: one aggregate over the keyed bands measures
+    *     EXACTLY the row count the band self-join would emit, BEFORE that
+    *     join runs. When the mass exceeds `candFactor` rows per item and
+    *     a single bucket alone exceeds that budget (gsz ≥
+    *     √(2·candFactor·n) — perceptual collisions: correlated media
+    *     sharing one band's 15 bits while genuinely far apart), the
+    *     oversized buckets re-key by (band, sub-band of the remaining 45
+    *     bits) — [[subBandShape]]'s exact pigeonhole split, so the pair
+    *     set is IDENTICAL, only coincidental co-residents separate. The
+    *     split is adopted only if a re-probe of the split keys measures
+    *     at least a 2× mass reduction (a true near-dup mega-cluster
+    *     shrinks nothing — its pairs all verify — and reverts to the
+    *     salted path), and only at radii where refinement can win at all
+    *     ([[subSplitViable]]).
+    *  2. SKEW salting — bands whose population reaches `blockThreshold`
+    *     route through the salted blocked formulation
+    *     ([[graft.operators.GraphOps.sameGroupPairsSkewSafe]]), so one
+    *     pathological bucket spreads over nBlocks·(nBlocks+1)/2 tasks
+    *     instead of one reducer. Salting bounds TASK size, the router
+    *     bounds candidate VOLUME; an adopted split feeds its (smaller)
+    *     sub-buckets through the same salted stage.
+    *
+    * The fingerprint rides inside the pair id (a struct), so
     * verification needs no join back to the corpus.
     */
   private[graft] def bandedHammingPairs(
@@ -557,7 +607,9 @@ object Dedup {
       fpCol: String,
       maxHamming: Int,
       blockThreshold: Int,
-      nBlocks: Int): DataFrame = {
+      nBlocks: Int,
+      subSplit: Boolean = true,
+      candFactor: Long = 20L): DataFrame = {
     // Materialize the fingerprints once (16 bytes/row): the skew routing
     // consumes its input in several plan branches, and each would
     // otherwise re-run the fingerprint kernel over the corpus.
@@ -565,9 +617,12 @@ object Dedup {
     val banded = fpCp
       .select(col("doc_id"), col("fp"), posexplode(bands15(col("fp"))))
       .toDF("doc_id", "fp", "band_id", "band")
-    val keyed = banded.select(
+    val keyed0 = banded.select(
       (col("band_id").cast("long") * 32768L + col("band")).as("grp"),
       struct(col("doc_id"), col("fp")).as("id"))
+    val keyed =
+      if (!subSplit || !subSplitViable(maxHamming)) keyed0
+      else subSplitKeys(keyed0, maxHamming, candFactor)
     graft.operators.GraphOps.sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
       .select(col("id1"), col("id2"))
       .distinct()
@@ -576,6 +631,68 @@ object Dedup {
         bit_count(col("id1.fp").bitwiseXOR(col("id2.fp"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_id1", "doc_id2")
+  }
+
+  /** The measured candidate-volume route of [[bandedHammingPairs]]:
+    * probe the keyed bands' exact pre-join mass; if it is within budget
+    * (or no single bucket dominates it) return the keys untouched, else
+    * re-key the oversized buckets by their [[subBandShape]] pigeonhole
+    * sub-bands, re-probe, and adopt the split only on a measured ≥2×
+    * mass reduction. Returns a (grp, id) frame whose self-equijoin emits
+    * a SUPERSET of exactly the qualifying pairs (dedup + hamming verify
+    * downstream are unchanged); split keys live at ≥ 2^17, disjoint from
+    * the 17-bit direct band keys, so the union feeds one salted stage.
+    */
+  private[graft] def subSplitKeys(keyed0: DataFrame, maxHamming: Int, candFactor: Long): DataFrame = {
+    val k = keyed0.localCheckpoint(true)
+    def massOf(df: DataFrame): Long =
+      df.groupBy("grp").agg(count(lit(1)).as("gsz"))
+        .agg(coalesce(sum(expr("gsz * (gsz - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    val pr = k.groupBy("grp").agg(count(lit(1)).as("gsz"))
+      .agg(
+        coalesce(sum(expr("gsz * (gsz - 1) DIV 2")), lit(0L)),
+        coalesce(sum(col("gsz")), lit(0L)),
+        coalesce(max(col("gsz")), lit(0L)))
+      .head()
+    val (mass, rows, maxSz) = (pr.getLong(0), pr.getLong(1), pr.getLong(2))
+    val nItems = math.max(rows / 4, 1L) // 4 bands per fingerprint
+    // A bucket routes when ITS OWN mass C(gsz,2) exceeds the whole
+    // corpus' candidate budget: gsz ≥ √(2·candFactor·n).
+    val gszCut = math.max(2L, math.ceil(math.sqrt(2.0 * candFactor * nItems)).toLong)
+    // Within budget (or no single bucket dominates): the direct band
+    // keys, already checkpointed — the salted stage's own probe and its
+    // join branches reuse the same blocks.
+    if (mass <= candFactor * nItems || maxSz < gszCut) k
+    else {
+      val (s, w, maxW) = subBandShape(maxHamming)
+      val overGroups = broadcast(
+        k.groupBy("grp").agg(count(lit(1)).as("gsz"))
+          .filter(col("gsz") >= gszCut).select("grp"))
+      val small = k.join(overGroups, Seq("grp"), "left_anti")
+      // The 45 bits outside this bucket's band, packed low-to-high in
+      // rotation order (band_id = grp DIV 32768 picks which 15 bits the
+      // bucket already agrees on).
+      val rem = (1 to 3).map { t =>
+        expr(s"shiftleft(shiftright(id.fp, CAST((((grp DIV 32768) + $t) % 4) * 15 AS INT)) & 32767, ${(t - 1) * 15})")
+      }.reduce(_.bitwiseOR(_))
+      val subVals = array((0 until s).map { j =>
+        val width = if (j == s - 1) maxW else w
+        expr(s"shiftright(rem, ${j * w}) & ${(1L << width) - 1}")
+      }: _*)
+      val over = k.join(overGroups, Seq("grp"), "left_semi")
+        .withColumn("rem", rem)
+        .select(col("grp"), col("id"), posexplode(subVals))
+        .toDF("grp", "id", "j", "subv")
+        .select(
+          (lit(1L << 17) + (col("grp") * s + col("j")) * lit(1L << maxW) + col("subv")).as("grp"),
+          col("id"))
+        .localCheckpoint(true)
+      val overMass = massOf(k.join(overGroups, Seq("grp"), "left_semi"))
+      val splitMass = massOf(over)
+      if (splitMass * 2 <= overMass) small.unionByName(over)
+      else { over.unpersist(); k }
+    }
   }
 
   /** The explode + grouped-vote reference formulation of d4, kept as the

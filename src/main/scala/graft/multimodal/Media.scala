@@ -644,7 +644,9 @@ object Media {
       strideBytes: Int = 256,
       maxHamming: Int = 6,
       blockThreshold: Int = 100000,
-      nBlocks: Int = 0): DataFrame = {
+      nBlocks: Int = 0,
+      subSplit: Boolean = true,
+      candFactor: Long = 20L): DataFrame = {
     val frames = media
       .select(
         col("doc_id"),
@@ -658,7 +660,8 @@ object Media {
         org.apache.spark.sql.graft.VectorExpressions
           .blockAvgHash60(expr(s"substring(payload, col + 1, $frameBytes)"))
           .as("phash"))
-    graft.dedup.Dedup.bandedHammingPairs(frames, "phash", maxHamming, blockThreshold, nBlocks)
+    graft.dedup.Dedup.bandedHammingPairs(frames, "phash", maxHamming, blockThreshold, nBlocks,
+        subSplit, candFactor)
       .select(
         expr("doc_id1 DIV 1048576").as("media_id1"),
         pmod(col("doc_id1"), lit(1048576L)).as("frame1"),

@@ -196,6 +196,86 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3Direct.nonEmpty)
   }
 
+  test("hamming sub-band router: pigeonhole split preserves the exact pair set, adopt and revert measured") {
+    val ss = spark
+    import ss.implicits._
+    // The pure shape map: s = maxHamming+1 sub-bands tiling the 45
+    // non-band bits; viability = a split can win (2^w >= 4s).
+    assert(dedup.Dedup.subBandShape(6) === ((7, 6, 9)))
+    assert(dedup.Dedup.subBandShape(3) === ((4, 11, 12)))
+    assert(dedup.Dedup.subBandShape(0) === ((1, 45, 45)))
+    assert(dedup.Dedup.subSplitViable(6) && dedup.Dedup.subSplitViable(3))
+    // d9/m6's radius: 16 sub-bands of 2 bits NEVER reduce — stays salted.
+    assert(!dedup.Dedup.subSplitViable(15))
+
+    def pairsOf(fps: Seq[(Long, Long)], subSplit: Boolean, candFactor: Long = 20L) =
+      dedup.Dedup.bandedHammingPairs(
+        fps.toDF("doc_id", "fp"), "fp", maxHamming = 6,
+        blockThreshold = 100000, nBlocks = 0, subSplit = subSplit, candFactor = candFactor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // ADOPT branch — a coincidental perceptual bucket: 200 fingerprints
+    // share band 0's 15 bits (0x1ABC) but are pairwise-far in the other
+    // 45 (diverse high bits), so the C(200,2) candidate mass is pure
+    // collision noise. Plus one adversarial TRUE pair at EXACTLY the
+    // radius: its 6 differing bits land in 6 DIFFERENT sub-bands
+    // (rem bits 0,6,12,18,24,30 -> fp bits 15,21,27,33,39,45), leaving
+    // only sub-band 6 clean — the pigeonhole boundary. It also breaks
+    // bands 1,2,3, so ONLY the split bucket can find it.
+    val base = 0x1ABCL
+    val far = (0 until 200).map { i =>
+      // Deterministic well-mixed upper 45 bits (golden-ratio multiplier):
+      // pairwise hamming concentrates near 22, so the bucket's mass is
+      // collision noise, exactly the perceptual-collision regime.
+      val high = (i * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1) & ~32767L
+      (i.toLong, base | high)
+    }
+    val a = (1000L, base | (0x3FL << 50))
+    val b = (1001L, a._2 ^ Seq(15, 21, 27, 33, 39, 45).map(1L << _).reduce(_ | _))
+    assert(java.lang.Long.bitCount(a._2 ^ b._2) === 6)
+    val corpus = far ++ Seq(a, b)
+    val direct = pairsOf(corpus, subSplit = false)
+    val routed = pairsOf(corpus, subSplit = true, candFactor = 0L) // forced trigger
+    assert(routed === direct)
+    assert(routed.contains((1000L, 1001L, 6L)), "boundary pair must survive the split")
+    // The route itself, not just agreement: split keys live at >= 2^17
+    // (disjoint from direct 17-bit band keys), so an ADOPTED split is
+    // visible in the keyed frame's key space.
+    def keyedOf(fps: Seq[(Long, Long)]) = fps.toDF("doc_id", "fp")
+      .select(col("doc_id"), col("fp"), posexplode(dedup.Dedup.bands15(col("fp"))))
+      .toDF("doc_id", "fp", "band_id", "band")
+      .select((col("band_id").cast("long") * 32768L + col("band")).as("grp"),
+        struct(col("doc_id"), col("fp")).as("id"))
+    val adoptMax = dedup.Dedup.subSplitKeys(keyedOf(corpus), 6, 0L)
+      .agg(max(col("grp"))).head().getLong(0)
+    assert(adoptMax >= (1L << 17), "coincidental bucket must ADOPT the split")
+
+    // REVERT branch — a true near-dup mega-cluster (identical
+    // fingerprints): every sub-bucket holds the whole cluster, the
+    // re-probe measures no reduction, and the router falls back to the
+    // salted path. Pair set again identical (all C(40,2) at hamming 0).
+    val cluster = (0 until 40).map(i => (i.toLong, 0x0123456789ABCL))
+    val cDirect = pairsOf(cluster, subSplit = false)
+    val cRouted = pairsOf(cluster, subSplit = true, candFactor = 0L)
+    assert(cRouted === cDirect)
+    assert(cDirect.size === 40 * 39 / 2 && cDirect.forall(_._3 == 0L))
+    val revertMax = dedup.Dedup.subSplitKeys(keyedOf(cluster), 6, 0L)
+      .agg(max(col("grp"))).head().getLong(0)
+    assert(revertMax < (1L << 17), "mega-cluster must REVERT to the salted path")
+
+    // Default trigger never fires on the driver corpus (mass within
+    // budget): m12's keyed path is byte-identical with the router armed.
+    def m12key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val media = Tables(spark, dir).documents.repartition(nPart)
+      .select(col("doc_id"), multimodal.Media.payload(col("doc_id"), col("text")).as("payload"))
+    val m12On = multimodal.Media.frameNearDupOf(media).collect().map(m12key).toSet
+    val m12Off = multimodal.Media.frameNearDupOf(media, subSplit = false).collect().map(m12key).toSet
+    assert(m12On === m12Off)
+    assert(m12On.nonEmpty)
+  }
+
   test("signature index: classify's band join rides the bucketed layout exchange-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
