@@ -45,6 +45,8 @@ object SparkEntry {
     "q24_rollup_rewrite" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q24RollupRewrite(s, d)),
     "q25_grouping_sets"  -> Relational.q25GroupingSets _,
     "q26_rollup_rewrite_agg" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q26RollupRewriteAgg(s, d)),
+    "q27_rollup_rewrite_sum" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q27RollupRewriteSum(s, d)),
+    "q28_rollup_incremental" -> ((s: SparkSession, d: String) => operators.RollupRewrite.q28RollupIncremental(s, d)),
     // B. graph
     "g1_same_group_pairs" -> ((s: SparkSession, d: String) => GraphOps.g1SameGroupPairs(s, d)),
     "g1b_current_pairs"  -> GraphOps.g1bCurrentPairs _,
@@ -995,6 +997,42 @@ object SparkEntry {
         |  FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
         |SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d, b
+        |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q27: the SUM shape — floor(value·1000) is exact integer milli
+    // units on both engines (IEEE double product, floor, then integer
+    // accumulation), so the cell-store re-aggregation the rewrite
+    // substitutes must match bit for bit.
+    "q27_rollup_rewrite_sum" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, user_id, value
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+        |SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d, b
+        |WHERE day BETWEEN lo + (hi - lo) // 4 AND hi - (hi - lo) // 4
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28: the SAME stat block as q27, but the registered store was
+    // built incrementally (first-half build + appendDelta fold of the
+    // rest). The oracle recomputes from ALL raw rows — a fold that
+    // loses, double-counts, or mis-merges any cell hash-mismatches.
+    "q28_rollup_incremental" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type, user_id, value
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+        |SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
         |  count(*) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM d, b

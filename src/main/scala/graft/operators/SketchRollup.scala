@@ -77,12 +77,62 @@ object ExactRollup {
     * cell, plus the row count.
     */
   def buildDaily(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
+    buildDailyFrom(Tables(spark, dir).events)
+
+  /** The cell shape over any raw events frame (ts, event_type, user_id,
+    * value): per (day, event_type) an exact roaring user set, the row
+    * count, and the exact milli-unit value sum (e1's fixed-point
+    * discipline — integers re-aggregate associatively across any cell
+    * selection, so the MV rewrite can answer SUM shapes losslessly; a
+    * DOUBLE running sum would make the rollup answer order-dependent).
+    * Every stored statistic is MERGEABLE (union / add), which is what
+    * makes [[appendDelta]] an O(delta) fold instead of a rebuild.
+    */
+  def buildDailyFrom(events: DataFrame): DataFrame =
+    events
       .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
       .groupBy(col("day"), col("event_type"))
       .agg(
         RoaringAggregates.roaringSetAgg(col("user_id")).as("user_set"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+
+  /** Incremental MV MAINTENANCE: fold a raw delta batch into an
+    * existing day-partitioned cell store — per touched (day,
+    * event_type) the user set merges by roaring blob union and the
+    * counts/sums by integer addition, all lossless, so the maintained
+    * store is CELL-IDENTICAL to a full rebuild (q28 gates exactly
+    * that through the rewrite). Only the delta's days are read and
+    * rewritten (partition-pruned read + dynamic partition overwrite);
+    * untouched day partitions are never opened — the O(delta) refresh
+    * a 100 TB rollup needs, late-arriving events for old days
+    * included. Returns the number of day partitions touched.
+    */
+  def appendDelta(spark: SparkSession, store: String, delta: DataFrame): Int = {
+    val dc = buildDailyFrom(delta)
+    val days = dc.select("day").distinct().collect().map(_.getLong(0))
+    if (days.isEmpty) return 0
+    // Partition-column inference reads `day` back as INT when values
+    // fit — normalize to the build-side LONG before the merge union.
+    val existing = spark.read.parquet(store)
+      .withColumn("day", col("day").cast("long"))
+      .filter(col("day").isin(days.toIndexedSeq: _*))
+    val merged = existing.unionByName(dc)
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        RoaringAggregates.roaringBlobUnionBlob(col("user_set")).as("user_set"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value_milli")).as("sum_value_milli"))
+      // The merge reads the partitions the write replaces: materialize
+      // the merged cells (result-sized — O(delta days × types)) so the
+      // overwrite never scans its own target.
+      .localCheckpoint(true)
+    val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("day").parquet(store)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    days.length
+  }
 
   /** EXACT distinct users per event_type over `[fromDay, toDay]`,
     * answered from the blob table alone.
@@ -309,11 +359,92 @@ object RollupRewrite {
       .orderBy("event_type")
   }
 
+  /** q27: the SUM shape through the MV boundary — sum(value) in the e1
+    * exact milli-unit discipline next to count(*) and count(DISTINCT),
+    * the complete dashboard stat block answered from ONE cell scan. The
+    * cells store the per-cell integer partial `sum_value_milli`, so
+    * re-aggregation over any day selection is associative and lossless —
+    * the reason the rewrite matches ONLY this fixed-point shape and
+    * declines a raw DOUBLE sum(value), whose cell-order accumulation
+    * could differ from the row-order one (the rewrite must never change
+    * an answer, bit for bit).
+    */
+  def q27RollupRewriteSum(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, dLo, dHi) = registeredRange(spark, dir)
+    ev.filter(col("ts") >= lit(dLo * DayNs) && col("ts") < lit((dHi + 1) * DayNs))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** q28: INCREMENTAL MV maintenance through the rewrite boundary — the
+    * cell store is built from the FIRST half of history and the second
+    * half is FOLDED IN per cell ([[ExactRollup.appendDelta]]: blob
+    * union + integer adds over the delta's touched day partitions only)
+    * instead of a rebuild. The same naive stat block then runs with the
+    * incrementally-maintained store registered, and the oracle
+    * recomputes from ALL raw rows — the gate fails if the fold loses,
+    * double-counts, or mis-merges anything, end to end through the
+    * optimizer substitution. At 100 TB this is the difference between
+    * an MV refresh costing O(day) and costing O(history).
+    */
+  def q28RollupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, dLo, dHi) = registeredIncrementalRange(spark, dir)
+    ev.filter(col("ts") >= lit(dLo * DayNs) && col("ts") < lit((dHi + 1) * DayNs))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Stage the INCREMENTALLY-built store: initial build from days ≤ mid,
+    * then one [[ExactRollup.appendDelta]] fold of the rest — the
+    * maintenance path exercised at gate scale. Session- and dir-keyed
+    * with the same marker discipline as [[staged]].
+    */
+  private def stagedIncremental(spark: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.graft.RollupStoreMeta
+    val base = f"/tmp/graft_rollup/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events_cells_inc"
+    val marker = new java.io.File(s"$base/_built")
+    val fpFile = new java.io.File(s"$base/_source_fp")
+    if (!marker.exists()) {
+      val fp = RollupStoreMeta.fingerprint(spark, s"$dir/events.parquet")
+      val ev = Tables(spark, dir).events
+        .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      val r = ev.agg(min("day"), max("day")).head()
+      val mid = if (r.isNullAt(0)) 0L else (r.getLong(0) + r.getLong(1)) / 2
+      ExactRollup.buildDailyFrom(ev.filter(col("day") <= mid).drop("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$base/cells")
+      ExactRollup.appendDelta(spark, s"$base/cells", ev.filter(col("day") > mid).drop("day"))
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+      marker.createNewFile()
+    }
+    (s"$base/cells",
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8"))
+  }
+
+  private def registeredIncrementalRange(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val (store, fp) = stagedIncremental(spark, dir)
+    registerAndBounds(spark, dir, store, fp)
+  }
+
   /** Shared staging for the MV-rewrite keys: build+register the store,
     * return the raw table and the q13 middle-half day bounds.
     */
   private def registeredRange(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val (store, fp) = staged(spark, dir)
+    registerAndBounds(spark, dir, store, fp)
+  }
+
+  private def registerAndBounds(
+      spark: SparkSession, dir: String, store: String, fp: String): (DataFrame, Long, Long) = {
     val ev = Tables(spark, dir).events
     spark.conf.set("spark.graft.rollup.source", s"$dir/events.parquet")
     spark.conf.set("spark.graft.rollup.store", store)

@@ -29,9 +29,12 @@ import graft.Tables
   *     content-identical file set, old versions untouched — h5's
   *     `Layout.compact` becomes snapshot-safe by construction.
   *
-  * Single-writer by design (the driver owns commits); multi-writer
-  * needs the optimistic-concurrency swap of a real catalog, which is an
-  * orchestration concern, not a query-engine one.
+  * [[commit]]/[[commitRewrite]] are the single-writer fast path (one
+  * driver owns the table); [[commitOptimistic]] adds the multi-writer
+  * OPTIMISTIC-CONCURRENCY protocol on top of the same manifests — the
+  * version-slot rename is the commit point, exactly the Hadoop-catalog
+  * convention (Iceberg's HadoopTableOperations: rename to the
+  * versioned metadata path, lose the race ⇒ rebase and retry).
   *
   * Reference behavior: the loader re-runs ingest batches against an
   * ever-growing store and must never corrupt what earlier runs see
@@ -69,6 +72,156 @@ object Snapshots {
     (prev ++ newFiles).toDF("file")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest/v$v")
     v
+  }
+
+  /** Atomic claim of a version slot: exclusive `mkdir` of a per-version
+    * claim marker — the one primitive with exactly ONE winner at the
+    * syscall level on every Hadoop filesystem (HDFS mkdir is atomic
+    * server-side; POSIX mkdir is O_EXCL by definition — unlike a
+    * DIRECTORY rename, whose "fail if destination exists" is a
+    * check-then-act on the local filesystem and silently degrades to
+    * mv-into-destination when it loses the window). Returns true iff
+    * this writer owns slot v. A claim whose manifest never materialized
+    * (crashed winner) is broken after `staleClaimMs` by any later
+    * writer.
+    */
+  private def claimSlot(
+      f: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      v: Long,
+      staleClaimMs: Long): Boolean = {
+    val claim = new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v")
+    val slot = new org.apache.hadoop.fs.Path(s"$path/manifest/v$v")
+    try {
+      val uri = f.makeQualified(claim).toUri
+      if (uri.getScheme == "file")
+        // The local Hadoop mkdir degrades to mkdirs (exists = success);
+        // NIO createDirectory is the O_EXCL syscall — one winner.
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(uri.getPath))
+      else
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(f.getConf)
+          .mkdir(claim, org.apache.hadoop.fs.permission.FsPermission.getDirDefault, false)
+      // A claim can be won for a slot that already materialized if the
+      // previous winner's claim cleanup raced us — the slot is the truth.
+      if (f.exists(slot)) { f.delete(claim, true); false } else true
+    } catch {
+      case _: java.io.IOException =>
+        // Lost. If the standing claim is stale (crashed winner: claim
+        // present, slot never arrived, no progress for staleClaimMs),
+        // break it so the table cannot wedge; the NEXT attempt re-races.
+        try {
+          val st = f.getFileStatus(claim)
+          if (!f.exists(slot) &&
+            st.getModificationTime < System.currentTimeMillis() - staleClaimMs)
+            f.delete(claim, true)
+        } catch { case _: java.io.IOException => () }
+        false
+    }
+  }
+
+  /** Multi-writer APPEND commit under optimistic concurrency. Data
+    * files write first under a writer-unique immutable directory — no
+    * coordination, an abandoned attempt's files are exactly what
+    * [[removeOrphans]] reclaims. The commit point is an atomic
+    * exclusive CLAIM of the next version slot ([[claimSlot]]'s mkdir
+    * CAS) followed by a rename of the staged manifest into the slot
+    * (uncontended — only the claim winner touches it; readers see the
+    * version only once the rename lands). A loser deletes its staged
+    * copy, REBASES on the new current version, and retries: appends
+    * commute, so a rebase is just `new base's files + this batch` — no
+    * validation needed; contrast [[commitRewriteOptimistic]], where a
+    * lost race is a real conflict. Returns the committed version.
+    */
+  def commitOptimistic(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      maxAttempts: Int = 8,
+      staleClaimMs: Long = 600000L): Long = {
+    import spark.implicits._
+    val f = fs(spark)
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    batch.write.mode("overwrite").parquet(s"$path/data/batch-$uid")
+    val newFiles = spark.read.parquet(s"$path/data/batch-$uid").inputFiles.toSeq
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = currentVersion(spark, path)
+      val v = base + 1
+      val prev: Seq[String] =
+        if (base == 0) Seq.empty
+        else spark.read.parquet(s"$path/manifest/v$base").as[String].collect().toSeq
+      val staged = s"$path/manifest/.staged-$uid-$v"
+      (prev ++ newFiles).toDF("file")
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      if (claimSlot(f, path, v, staleClaimMs)) {
+        f.rename(
+          new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"))
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v"), true)
+        return v
+      }
+      // Lost the race for slot v. The winner may not have renamed yet
+      // (its slot is claimed but not visible): give it a beat so the
+      // rebase reads the NEW manifest rather than spinning on the old.
+      f.delete(new org.apache.hadoop.fs.Path(staged), true)
+      val deadline = System.currentTimeMillis() + 10000L
+      while (!f.exists(new org.apache.hadoop.fs.Path(s"$path/manifest/v$v")) &&
+        f.exists(new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50L)
+      attempt += 1
+    }
+    // Give up cleanly: reclaim our own batch so the failed attempt
+    // leaves no orphans, then surface the contention to the caller.
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/data/batch-$uid"), true)
+    throw new java.util.ConcurrentModificationException(
+      s"commitOptimistic: lost $maxAttempts version races on $path")
+  }
+
+  /** Multi-writer REWRITE commit (compaction under concurrency). A
+    * rewrite plans against a specific base: it replaces exactly the
+    * file set it read, so a commit that lands AFTER someone else's
+    * means silently dropping their rows — the one thing a table format
+    * must never do. Hence serializable semantics, not retry: stage the
+    * manifest, attempt the slot rename for `plannedBase + 1` ONCE, and
+    * on a lost race throw `ConcurrentModificationException` — the
+    * caller re-plans the compaction against the new current version
+    * (Iceberg's RewriteFiles validation failure). Returns the committed
+    * version.
+    */
+  def commitRewriteOptimistic(
+      spark: SparkSession,
+      path: String,
+      rewritten: DataFrame,
+      plannedBase: Long,
+      staleClaimMs: Long = 600000L): Long = {
+    import spark.implicits._
+    val f = fs(spark)
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val v = plannedBase + 1
+    // A commit already past the planned base is a conflict before any
+    // byte moves — fail fast without writing the rewrite's files.
+    def conflict(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"commitRewriteOptimistic: version $v already committed on $path — " +
+          "re-plan the rewrite against the current version")
+    if (currentVersion(spark, path) != plannedBase) conflict()
+    rewritten.write.mode("overwrite").parquet(s"$path/data/batch-$uid")
+    val newFiles = spark.read.parquet(s"$path/data/batch-$uid").inputFiles.toSeq
+    val staged = s"$path/manifest/.staged-$uid-$v"
+    newFiles.toDF("file")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    if (claimSlot(f, path, v, staleClaimMs)) {
+      f.rename(
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"))
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v"), true)
+      v
+    } else {
+      f.delete(new org.apache.hadoop.fs.Path(staged), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/data/batch-$uid"), true)
+      conflict()
+    }
   }
 
   /** Replace the current file set wholesale (compaction / rewrite
@@ -183,7 +336,21 @@ object Snapshots {
       .filter(col("file").endsWith(".parquet") && col("mtime") < cutoff)
       .select("file")
     val orphans = listed.join(referenced, Seq("file"), "left_anti")
-    org.apache.spark.sql.graft.GraftInternals.distributedDelete(orphans.as[String])
+    val n = org.apache.spark.sql.graft.GraftInternals.distributedDelete(orphans.as[String])
+    // A crashed optimistic writer's other leftovers: a staged manifest
+    // that never won (or never attempted) its slot rename, or a claim
+    // marker whose slot never materialized. O(writers) entries in one
+    // directory, so the driver handles these directly.
+    f.listStatus(manifestDir)
+      .filter { s =>
+        val nm = s.getPath.getName
+        s.getModificationTime < cutoff &&
+          (nm.startsWith(".staged-") ||
+            (nm.startsWith(".claim-") &&
+              !f.exists(new org.apache.hadoop.fs.Path(s"$path/manifest/${nm.stripPrefix(".claim-")}"))))
+      }
+      .foreach(s => f.delete(s.getPath, true))
+    n
   }
 
   /** Time travel: the table exactly as of version `v` — a scan of

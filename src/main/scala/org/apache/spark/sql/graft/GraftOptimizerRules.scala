@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -102,13 +102,18 @@ object RewriteMultiDistinctToRoaring extends Rule[LogicalPlan] {
   *     DIVISIBLE by the day width (a misaligned bound would need rows
   *     the cells have already merged away — exactness is checkable on
   *     the literals, so the rule checks it);
-  *   - grouping is empty or exactly `event_type`, and the output carries
-  *     exactly one aggregate: an unfiltered `count(DISTINCT user_id)`.
+  *   - grouping is empty or exactly `event_type`, and every output
+  *     aggregate is one the cells carry a lossless partial for: an
+  *     unfiltered `count(DISTINCT user_id)` (blob union), `count(*)`
+  *     (Σ per-cell row counts), or the exact milli-unit value sum
+  *     `sum(floor(value·1000) :: long)` (Σ per-cell integer partials —
+  *     a raw DOUBLE `sum(value)` is declined because float accumulation
+  *     order differs between cell- and row-order plans).
   *
   * The replacement scans O(days) blob cells and unions exact roaring
   * sets ([[RoaringBlobUnionCount]] — lossless by definition), so the
-  * answer is BIT-identical to the fact-table plan; the driver's q24 gate
-  * hash-checks exactly that against DuckDB's count(DISTINCT) over raw
+  * answer is BIT-identical to the fact-table plan; the driver's
+  * q24/q26/q27 gates hash-check exactly that against DuckDB over raw
   * rows. Output attribute ids are preserved through an aliasing Project,
   * so parent operators (sorts, projections) never notice the swap. At
   * 100 TB this is the difference between a dashboard query costing an
@@ -170,15 +175,45 @@ object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelp
   private case object GroupCol extends Ask
   private case object DistinctUsers extends Ask // count(DISTINCT user_id) → blob union
   private case object RowCount extends Ask      // count(*)/count(1)      → sum(n_events)
+  private case object SumMilli extends Ask      // sum(floor(value·1000)) → sum(sum_value_milli)
+
+  /** The e1 milli-unit sum shape over the raw `value` column —
+    * `floor(value * 1000)` cast to long (tolerating the cast's absence:
+    * floor on DOUBLE is already LongType and SimplifyCasts may have
+    * erased it, and tolerating either literal operand order and INT or
+    * DOUBLE literal renderings of 1000). This is the ONLY sum the cells
+    * can answer: their stored partial is exactly this integer, so
+    * re-aggregation is associative and lossless. A raw `sum(value)`
+    * (DOUBLE accumulation) or any other scaling does NOT match and
+    * blocks the rewrite.
+    */
+  private def isMilliSum(e: Expression, value: Attribute): Boolean = e match {
+    case c: Cast if c.dataType == LongType => isMilliSum(c.child, value)
+    case Floor(Multiply(a, b, _)) =>
+      def isValue(x: Expression) = x match {
+        case c: Cast => c.child.semanticEquals(value)
+        case x => x.semanticEquals(value)
+      }
+      def is1000(x: Expression): Boolean = x match {
+        case Literal(d: Double, DoubleType) => d == 1000.0
+        case Literal(i: Int, IntegerType) => i == 1000
+        case c: Cast => is1000(c.child)
+        case _ => false
+      }
+      (isValue(a) && is1000(b)) || (isValue(b) && is1000(a))
+    case _ => false
+  }
 
   private def classify(ne: NamedExpression, uid: Attribute, et: Attribute,
-      grouped: Boolean): Option[Ask] = ne match {
+      value: Option[Attribute], grouped: Boolean): Option[Ask] = ne match {
     case a: Attribute if grouped && a.semanticEquals(et) => Some(GroupCol)
     case Alias(a: Attribute, _) if grouped && a.semanticEquals(et) => Some(GroupCol)
     case Alias(AggregateExpression(Count(Seq(c)), _, true, None, _), _)
         if c.semanticEquals(uid) => Some(DistinctUsers)
     case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
         if l.value != null => Some(RowCount)
+    case Alias(AggregateExpression(Sum(c, _), _, false, None, _), _)
+        if value.exists(v => isMilliSum(c, v)) => Some(SumMilli)
     case _ => None
   }
 
@@ -205,24 +240,42 @@ object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelp
     val ts = rel.output.find(_.name == "ts").getOrElse(return None)
     val et = rel.output.find(_.name == "event_type").getOrElse(return None)
     val uid = rel.output.find(_.name == "user_id").getOrElse(return None)
-    if (ts.dataType != LongType) return None
+    // The nanosecond timestamp the cells were built from arrives in one
+    // of two forms, depending on the parquet encoding: a bare LONG `ts`
+    // attribute (TIMESTAMP(NANOS) via nanosAsLong), or Tables.events'
+    // widening projection `unix_micros(cast(ts)) · 1000` over a
+    // timestamp attribute (MICROS/MILLIS sources) — after predicate
+    // pushdown the widening sits inside the range conjuncts themselves.
+    // Both denote the identical nanosecond value the cell builder used
+    // (`ts DIV dayNs` over the SAME expression), so either is rewritable.
+    def isWiden(e: Expression): Boolean = e match {
+      case UnixMicros(c: Cast) => c.child.semanticEquals(ts)
+      case UnixMicros(a) => a.semanticEquals(ts)
+      case _ => false
+    }
+    def isTsNanos(e: Expression): Boolean = e match {
+      case a: Attribute => a.semanticEquals(ts) && a.dataType == LongType
+      case Multiply(l, Literal(1000L, LongType), _) => isWiden(l)
+      case Multiply(Literal(1000L, LongType), r, _) => isWiden(r)
+      case _ => false
+    }
     // InferFiltersFromConstraints may add IsNotNull(ts); the range bound
     // already implies it, so it is safe to ignore. Any OTHER extra
     // conjunct narrows the row set beyond what the cells merged — no
     // rewrite.
     val effective = conds.filterNot {
-      case IsNotNull(t) => t.semanticEquals(ts)
+      case IsNotNull(t) => t.semanticEquals(ts) || isTsNanos(t)
       case _ => false
     }
     // Exactly the two range conjuncts, both bounds day-aligned literals.
     val bounds = effective match {
       case Seq(a, b) =>
         def lo(e: Expression) = e match {
-          case GreaterThanOrEqual(t, Literal(v: Long, LongType)) if t.semanticEquals(ts) => Some(v)
+          case GreaterThanOrEqual(t, Literal(v: Long, LongType)) if isTsNanos(t) => Some(v)
           case _ => None
         }
         def hi(e: Expression) = e match {
-          case LessThan(t, Literal(v: Long, LongType)) if t.semanticEquals(ts) => Some(v)
+          case LessThan(t, Literal(v: Long, LongType)) if isTsNanos(t) => Some(v)
           case _ => None
         }
         (lo(a), hi(b), lo(b), hi(a)) match {
@@ -241,37 +294,52 @@ object RewriteRangeDistinctToRollup extends Rule[LogicalPlan] with PredicateHelp
       case _ => return None
     }
     // Every output column must be answerable from the cells: the group
-    // attribute, count(DISTINCT user_id) (lossless blob union), or
-    // count(*) (sum of the stored per-cell row counts). Any other
+    // attribute, count(DISTINCT user_id) (lossless blob union), count(*)
+    // (sum of the stored per-cell row counts), or the milli-unit value
+    // sum (sum of the stored exact integer partials). Any other
     // aggregate means the cells cannot answer — no rewrite.
-    val asks = agg.aggregateExpressions.map(classify(_, uid, et, grouped))
+    val value = rel.output.find(_.name == "value")
+    val asks = agg.aggregateExpressions.map(classify(_, uid, et, value, grouped))
     if (asks.contains(None)) return None
-    if (!asks.exists(a => a.contains(DistinctUsers) || a.contains(RowCount))) return None
+    if (!asks.exists(a => a.contains(DistinctUsers) || a.contains(RowCount) ||
+      a.contains(SumMilli))) return None
 
     // Build the cell-store plan through the DataFrame API (analyzed, then
     // left to the remaining optimizer batches like any other subtree).
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, sum => fsum}
-    val cells = spark.read.parquet(store)
+    val cellsAll = spark.read.parquet(store)
+    // An older store without the milli-sum partial cannot answer a SUM
+    // ask — decline rather than fail analysis below.
+    if (asks.exists(_.contains(SumMilli)) &&
+      !cellsAll.schema.fieldNames.contains("sum_value_milli")) return None
+    val cells = cellsAll
       .filter(fcol("day").between(loNs / DayNs, hiNs / DayNs - 1L))
-    val aggs = Seq(
-      RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n"),
-      // coalesce keeps the column non-nullable like the count(*) it
-      // replaces (never fires: a group exists only if cells do).
-      fcoalesce(fsum(fcol("n_events")), flit(0L)).as("__mv_c"))
+    // Only the partials the query asked for are re-aggregated (a
+    // count-only dashboard line never pays the blob union).
+    val asked = asks.flatten.toSet
+    val aggs =
+      (if (asked(DistinctUsers))
+        Seq(RoaringAggregates.roaringBlobUnionCount(fcol("user_set")).as("__mv_n")) else Nil) ++
+      (if (asked(RowCount))
+        // coalesce keeps the column non-nullable like the count(*) it
+        // replaces (never fires: a group exists only if cells do).
+        Seq(fcoalesce(fsum(fcol("n_events")), flit(0L)).as("__mv_c")) else Nil) ++
+      (if (asked(SumMilli))
+        Seq(fsum(fcol("sum_value_milli")).as("__mv_s")) else Nil)
     val out =
-      if (grouped) cells.groupBy(fcol("event_type")).agg(aggs.head, aggs(1))
-      else cells.agg(aggs.head, aggs(1))
+      if (grouped) cells.groupBy(fcol("event_type")).agg(aggs.head, aggs.tail: _*)
+      else cells.agg(aggs.head, aggs.tail: _*)
     val newPlan = out.queryExecution.analyzed
     val newEt = newPlan.output.find(_.name == "event_type")
-    val newN = newPlan.output.find(_.name == "__mv_n").get
-    val newC = newPlan.output.find(_.name == "__mv_c").get
+    def outCol(n: String) = newPlan.output.find(_.name == n).get
     // Preserve the original output attribute ids so parents still bind.
     val projList = agg.aggregateExpressions.zip(asks).map { case (ne, ask) =>
       val target: Expression = ask.get match {
         case GroupCol => newEt.get
-        case DistinctUsers => newN
-        case RowCount => newC
+        case DistinctUsers => outCol("__mv_n")
+        case RowCount => outCol("__mv_c")
+        case SumMilli => outCol("__mv_s")
       }
       Alias(target, ne.name)(exprId = ne.exprId)
     }

@@ -202,6 +202,72 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans(q(0L, 2 * dayNs)) === Set(srcPath))
   }
 
+  test("MV rewrite: the milli-unit SUM shape answers from the cells; raw DOUBLE sum stays native") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.RoaringAggregates
+    val ss = spark; import ss.implicits._
+    val dayNs = 86400000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv-sum").toString
+    val raw = (0 until 60).map { i =>
+      (i.toLong, (i % 3) * dayNs + (i / 3) * 1000L, (i % 7).toLong,
+        if (i % 2 == 0) "click" else "view", i * 0.37 - 3.1)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val srcPath = s"$tmp/events_raw"
+    raw.write.mode("overwrite").parquet(srcPath)
+    spark.read.parquet(srcPath)
+      .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      .groupBy("day", "event_type")
+      .agg(RoaringAggregates.roaringSetAgg(col("user_id")).as("user_set"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .write.mode("overwrite").parquet(s"$tmp/cells")
+    def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten.toSet
+    def statBlock() = spark.read.parquet(srcPath)
+      .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+      .groupBy("event_type")
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("s"),
+        count(lit(1)).as("n"), countDistinct(col("user_id")).as("d"))
+      .orderBy("event_type")
+    val native = statBlock().collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set("spark.graft.rollup.source", srcPath)
+      spark.conf.set("spark.graft.rollup.store", s"$tmp/cells")
+      // The full dashboard stat block — sum + count + distinct — from ONE
+      // cell scan, bit-identical to the raw-row plan.
+      val rewritten = statBlock()
+      assert(scans(rewritten) === Set(s"$tmp/cells"),
+        s"milli-sum must rewrite:\n${rewritten.queryExecution.optimizedPlan}")
+      assert(rewritten.collect().map(_.toSeq).toSeq === native)
+      // A raw DOUBLE sum(value) is NOT the stored partial (its
+      // accumulation order would differ) — stays on the source.
+      val rawSum = spark.read.parquet(srcPath)
+        .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+        .groupBy("event_type").agg(sum(col("value")).as("s"))
+      assert(scans(rawSum) === Set(srcPath), "raw DOUBLE sum must not rewrite")
+      // A different scaling is not the stored partial either.
+      val wrongScale = spark.read.parquet(srcPath)
+        .filter(col("ts") >= lit(0L) && col("ts") < lit(2 * dayNs))
+        .groupBy("event_type").agg(sum(floor(col("value") * 100).cast("long")).as("s"))
+      assert(scans(wrongScale) === Set(srcPath), "a non-milli scaling must not rewrite")
+      // An OLD store without the milli partial cannot answer a SUM ask:
+      // decline cleanly, never fail analysis.
+      spark.read.parquet(s"$tmp/cells").drop("sum_value_milli")
+        .write.mode("overwrite").parquet(s"$tmp/cells_old")
+      spark.conf.set("spark.graft.rollup.store", s"$tmp/cells_old")
+      val vsOld = statBlock()
+      assert(scans(vsOld) === Set(srcPath), "a store lacking the partial must not rewrite")
+      assert(vsOld.collect().map(_.toSeq).toSeq === native)
+    } finally {
+      spark.conf.set("spark.graft.rollup.source", "")
+      spark.conf.set("spark.graft.rollup.store", "")
+    }
+  }
+
   test("MV rewrite: a stale source fingerprint blocks the rewrite") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.{RoaringAggregates, RollupStoreMeta}

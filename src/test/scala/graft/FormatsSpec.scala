@@ -267,6 +267,53 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sources.Snapshots.removeOrphans(spark, p, graceMs = 0L) === 0)
   }
 
+  test("snapshots: optimistic multi-writer commits — every racer lands, stale rewrite aborts") {
+    val ss = spark
+    import ss.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val p = s"$tmp/snap_optimistic"
+    // 8 genuinely concurrent appenders racing for version slots: every
+    // one must land exactly once (versions 1..8, no slot skipped), and
+    // every batch must survive — a lost race REBASES, never drops.
+    val n = 8
+    val racers = (1 to n).map { i =>
+      Future(sources.Snapshots.commitOptimistic(
+        spark, p, Seq((i.toLong, s"w$i")).toDF("id", "v"), maxAttempts = 32))
+    }
+    val versions = racers.map(Await.result(_, 5.minutes)).sorted
+    assert(versions === (1L to n.toLong))
+    assert(sources.Snapshots.readAsOf(spark, p, n.toLong)
+      .as[(Long, String)].collect().sorted === (1 to n).map(i => (i.toLong, s"w$i")))
+    // Snapshot isolation held through the races: version k reads exactly
+    // k single-row batches.
+    (1 to n).foreach { k =>
+      assert(sources.Snapshots.readAsOf(spark, p, k.toLong).count() === k.toLong)
+    }
+    // A rewrite planned against a stale base must ABORT (committing it
+    // would silently drop the concurrent append), not retry.
+    val stale = sources.Snapshots.currentVersion(spark, p)
+    val planned = sources.Snapshots.readAsOf(spark, p, stale)
+      .filter(col("id") =!= 3L) // "compaction" that drops one row
+    sources.Snapshots.commitOptimistic(spark, p, Seq((99L, "concurrent")).toDF("id", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      sources.Snapshots.commitRewriteOptimistic(spark, p, planned, plannedBase = stale)
+    }
+    // The concurrent append survived the aborted rewrite; a re-planned
+    // rewrite against the CURRENT version commits.
+    val cur = sources.Snapshots.currentVersion(spark, p)
+    assert(sources.Snapshots.readAsOf(spark, p, cur)
+      .filter(col("v") === "concurrent").count() === 1L)
+    val replanned = sources.Snapshots.readAsOf(spark, p, cur).filter(col("id") =!= 3L)
+    val vNew = sources.Snapshots.commitRewriteOptimistic(spark, p, replanned, plannedBase = cur)
+    assert(vNew === cur + 1)
+    val after = sources.Snapshots.readAsOf(spark, p, vNew).as[(Long, String)].collect().sorted
+    assert(!after.exists(_._1 == 3L) && after.exists(_._2 == "concurrent"))
+    // Time travel across the whole contended history is intact.
+    assert(sources.Snapshots.readAsOf(spark, p, n.toLong).count() === n.toLong)
+  }
+
   test("upsert-by-key: MERGE semantics — keep-newest, auto-create, idempotent replay") {
     val ss = spark
     import ss.implicits._

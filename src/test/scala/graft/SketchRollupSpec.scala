@@ -203,7 +203,8 @@ class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(
         org.apache.spark.sql.graft.RoaringAggregates
           .roaringSetAgg(col("user_id")).as("user_set"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
     def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
         r.getAs[Array[Byte]]("user_set").toSeq).toMap
@@ -221,5 +222,115 @@ class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
       ExactRollup.buildDaily(spark, dir), lo, hi)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(viaSql === viaApi)
+  }
+
+  test("incremental maintenance: appendDelta fold == full rebuild, late-arriving days merge") {
+    import graft.operators.ExactRollup
+    val ss = spark
+    import ss.implicits._
+    val dayNs = 86400000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv-inc").toString
+    // Crafted history: 4 days × 2 types with user overlap ACROSS the
+    // halves, plus the delta carrying LATE events for day 0 — the
+    // merge case a rebuild-free refresh must get right.
+    def mk(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val first = mk((0 until 40).map { i =>
+      (i.toLong, (i % 2) * dayNs + i * 1000L, (i % 5).toLong,
+        if (i % 2 == 0) "click" else "view", i * 0.31 - 2.0)
+    })
+    val delta = mk((40 until 80).map { i =>
+      val day = if (i % 10 == 0) 0L else 2L + (i % 2) // late day-0 rows
+      (i.toLong, day * dayNs + i * 1000L, (i % 7).toLong,
+        if (i % 2 == 0) "click" else "view", i * 0.17 - 1.0)
+    })
+    ExactRollup.buildDailyFrom(first)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$tmp/cells")
+    val touched = ExactRollup.appendDelta(spark, s"$tmp/cells", delta)
+    // Delta days: {0 (late), 2, 3} — day 1 must not be rewritten.
+    assert(touched === 3)
+    // The maintained store is cell-identical to a rebuild from all rows:
+    // same counts and sums, same user SET per cell (cardinality + a
+    // membership-sensitive intersection against the rebuilt blob).
+    val rebuilt = ExactRollup.buildDailyFrom(first.unionByName(delta))
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("day").cast("long"), col("event_type"),
+        col("n_events"), col("sum_value_milli"),
+        org.apache.spark.sql.graft.RoaringAggregates
+          .roaringBlobCardinality(col("user_set")).as("card"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val got = flat(spark.read.parquet(s"$tmp/cells"))
+    assert(got === flat(rebuilt))
+    assert(got.keys.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+    // Set equality per cell, not just cardinality: |A ∩ B| = |A| = |B|.
+    val inc = spark.read.parquet(s"$tmp/cells")
+      .select(col("day").cast("long").as("day"), col("event_type"),
+        col("user_set").as("a"))
+    val reb = rebuilt.select(col("day"), col("event_type"), col("user_set").as("b"))
+    val mismatched = inc.join(reb, Seq("day", "event_type"))
+      .select(
+        org.apache.spark.sql.graft.RoaringAggregates.roaringBlobAndCount(col("a"), col("b")).as("i"),
+        org.apache.spark.sql.graft.RoaringAggregates.roaringBlobCardinality(col("a")).as("ca"),
+        org.apache.spark.sql.graft.RoaringAggregates.roaringBlobCardinality(col("b")).as("cb"))
+      .filter(col("i") =!= col("ca") || col("i") =!= col("cb"))
+    assert(mismatched.count() === 0L)
+  }
+
+  test("q27 keyed form: the SUM stat block answers from the cell store on gate data") {
+    // Pins that the rewrite fires on the DRIVER's parquet (ts arrives as
+    // the MICROS widening projection there, the shape the rule matches
+    // via isTsNanos — before that, the q24/q26 gates were passing
+    // answer-identical but silently native).
+    val df = graft.operators.RollupRewrite.q27RollupRewriteSum(spark, "/root/testdata/sf0.01")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("events_cells")),
+      s"q27 must answer from the cell store on gate data, got: $scans")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q28 keyed form: the rewrite answers from the INCREMENTAL store") {
+    // The gate SF: sf0.01's events are TIMESTAMP(NANOS) → a bare LONG ts
+    // attribute the rule can match (sf0.001 is MICROS → ts arrives as a
+    // widening projection and the rule correctly stays native there).
+    val dir = "/root/testdata/sf0.01"
+    val df = graft.operators.RollupRewrite.q28RollupIncremental(spark, dir)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("events_cells_inc")),
+      s"q28 must answer from the incrementally-maintained store, got scans: $scans\n" +
+        df.queryExecution.optimizedPlan)
+    // And the answer equals the native plan's (confs cleared).
+    val got = df.collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.rollup.source", "")
+    spark.conf.set("spark.graft.rollup.store", "")
+    try {
+      val native = graft.Tables(spark, dir).events
+        .withColumn("day", expr("ts DIV 86400000000000").cast("long"))
+      val b = native.agg(min("day"), max("day")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (dLo, dHi) = (lo + (hi - lo) / 4, hi - (hi - lo) / 4)
+      val exact = native
+        .filter(col("day").between(dLo, dHi))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(got === exact)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.rollup.fingerprint", "")
+    }
   }
 }
