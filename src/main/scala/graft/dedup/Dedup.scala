@@ -113,7 +113,6 @@ object Dedup {
       candFactor: Long = 20L): DataFrame =
     verifiedPairs(spark, dir, threshold, numHashes, bands, blockThreshold, nBlocks,
         autoBand, candFactor)
-      .orderBy("doc_id1", "doc_id2")
 
   /** Public face of the memoized pair set for downstream consumers that
     * want the default detection product without d3's terminal verify
@@ -572,9 +571,18 @@ object Dedup {
   /** Banded hamming near-dup pairs over a 60-bit fingerprint column —
     * the shared pairing stage of d9 (SimHash), m6 (perceptual hash) and
     * m12 (frame fingerprints): 4×15-bit band equijoin, exact
-    * `bit_count(xor)` verify, never all-pairs. Two independent volume
-    * defenses, both measure-then-route (the q16/d15 discipline, armed by
-    * default):
+    * `bit_count(xor)` verify, never all-pairs. Three independent volume
+    * defenses:
+    *
+    *  0. EXACT-DUPLICATE COLLAPSE — pairing runs per DISTINCT
+    *     fingerprint; identical-fp clusters contribute one
+    *     representative to the band join and their member pairs
+    *     materialize only at the end through result-shaped fp
+    *     equijoins (intra-cluster at hamming 0, cross-cluster by
+    *     expanding verified rep pairs). True near-dup mega-clusters —
+    *     the one case sub-band refinement provably cannot reduce — thus
+    *     never put their quadratic into a shuffle, join, or verify;
+    *     only the output itself is quadratic, which is the semantics.
     *
     *  1. CANDIDATE-VOLUME router — the d15 Σ C(gsz,2) probe generalized
     *     to the hamming tier: one aggregate over the keyed bands measures
@@ -614,7 +622,18 @@ object Dedup {
     // consumes its input in several plan branches, and each would
     // otherwise re-run the fingerprint kernel over the corpus.
     val fpCp = fp.select(col("doc_id"), col(fpCol).as("fp")).localCheckpoint(true)
-    val banded = fpCp
+    // COLLAPSE exact-duplicate fingerprints before any pairing: the
+    // band/verify machinery runs once per DISTINCT fingerprint, and
+    // member pairs materialize only at the end, through result-shaped
+    // equijoins. On corpora with identical-fingerprint clusters (m12's
+    // shared frames: the sf3 probe measured 44 buckets of up to 15k
+    // frames, 1.07e9 band candidates, sub-split REVERTED because the
+    // clusters are real) this removes the quadratic from every shuffle,
+    // join, and verify — the only quadratic left is the output itself.
+    val clusters = fpCp
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val banded = clusters
       .select(col("doc_id"), col("fp"), posexplode(bands15(col("fp"))))
       .toDF("doc_id", "fp", "band_id", "band")
     val keyed0 = banded.select(
@@ -623,14 +642,44 @@ object Dedup {
     val keyed =
       if (!subSplit || !subSplitViable(maxHamming)) keyed0
       else subSplitKeys(keyed0, maxHamming, candFactor)
-    graft.operators.GraphOps.sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
-      .select(col("id1"), col("id2"))
-      .distinct()
+    // Verify BEFORE dedup: hamming is a cheap codegen'd xor+popcount on
+    // columns the join already carries, and it is the selective step —
+    // filtering first means the distinct's exchange moves the survivors
+    // (× band multiplicity ≤ 4), never the full candidate mass. Same
+    // rows out: hamming is a pure function of the pair. Identical
+    // fingerprints collapsed above never reach this join, so every pair
+    // here has hamming ≥ 1 — disjoint from the intra-cluster stream.
+    val repPairs = graft.operators.GraphOps
+      .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
       .select(
-        col("id1.doc_id").as("doc_id1"), col("id2.doc_id").as("doc_id2"),
+        col("id1.fp").as("fp1"), col("id2.fp").as("fp2"),
         bit_count(col("id1.fp").bitwiseXOR(col("id2.fp"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_id1", "doc_id2")
+      .distinct()
+    // Identical-fingerprint member pairs (hamming 0): a fp-keyed salted
+    // self-pairing — output-shaped work, no verify needed by definition.
+    val intra = graft.operators.GraphOps
+      .sameGroupPairsSkewSafe(
+        fpCp.select(col("fp").as("grp"), col("doc_id").as("id")),
+        blockThreshold, nBlocks)
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
+        lit(0L).as("hamming"))
+    // Cross-cluster expansion: each verified DISTINCT-fp pair fans out to
+    // its member product through two fp equijoins — shuffles move the
+    // linear member table and the result-sized rep pairs; the quadratic
+    // appears only as join OUTPUT. No dedup needed: rep pairs are
+    // distinct and members are unique per fingerprint. No terminal sort
+    // — pair mass is quadratic in cluster sizes and production consumers
+    // (resolve/CC/reports) are order-free; Verify canonicalizes at dump
+    // time (the g1/g2 discipline).
+    val cross = repPairs
+      .join(fpCp.select(col("fp").as("fp1"), col("doc_id").as("a")), Seq("fp1"))
+      .join(fpCp.select(col("fp").as("fp2"), col("doc_id").as("b")), Seq("fp2"))
+      .select(
+        least(col("a"), col("b")).as("doc_id1"),
+        greatest(col("a"), col("b")).as("doc_id2"),
+        col("hamming"))
+    intra.unionByName(cross)
   }
 
   /** The measured candidate-volume route of [[bandedHammingPairs]]:
@@ -746,7 +795,6 @@ object Dedup {
       .filter(col("containment_micro") >= thresholdMicro)
       .select(col("id_a"), col("id_b"), col("shared"), col("n_grams_a"),
         col("containment_micro"))
-      .orderBy("id_a", "id_b")
   }
 
   /** d13: edit-distance-1 fuzzy pairs over a name column via symmetric
@@ -789,7 +837,6 @@ object Dedup {
       .dropDuplicates("name1", "name2")
       .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
       .filter(col("dist") <= 1)
-      .orderBy("name1", "name2")
   }
 
   /** d14: repeated-SPAN detection — the substring-granularity tier the
@@ -1024,7 +1071,6 @@ object Dedup {
         expr("cid1 DIV 1048576").as("doc_id1"), expr("cid1 % 1048576").as("chunk1"),
         expr("cid2 DIV 1048576").as("doc_id2"), expr("cid2 % 1048576").as("chunk2"),
         floor(col("jac") * 1000000.0).cast("long").as("jaccard_micro"))
-      .orderBy("doc_id1", "chunk1", "doc_id2", "chunk2")
   }
 
   /** d16: Bloom-ACCELERATED incremental exact dedup — d7's exact tier with
@@ -1181,7 +1227,6 @@ object Dedup {
       spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
       dfCutoff: Int = 50): DataFrame =
     winnowPairsOf(Tables(spark, dir).documents, k, w, dfCutoff)
-      .orderBy("doc_id1", "doc_id2")
 
   /** The winnowed pair pipeline over an arbitrary (doc_id, text) frame —
     * factored so the guarantee spec runs on a crafted corpus. Selection

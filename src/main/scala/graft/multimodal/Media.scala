@@ -669,6 +669,8 @@ object Media {
         pmod(col("doc_id2"), lit(1048576L)).as("frame2"),
         col("hamming"))
       .filter(col("media_id1") =!= col("media_id2"))
-      .orderBy("media_id1", "frame1", "media_id2", "frame2")
+    // No terminal sort: frame-pair mass is quadratic in shared-frame
+    // cluster sizes (35.5M rows at sf3) — Verify canonicalizes row
+    // order at dump time, production consumers are order-free.
   }
 }
