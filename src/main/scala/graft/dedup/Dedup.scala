@@ -622,64 +622,87 @@ object Dedup {
     // consumes its input in several plan branches, and each would
     // otherwise re-run the fingerprint kernel over the corpus.
     val fpCp = fp.select(col("doc_id"), col(fpCol).as("fp")).localCheckpoint(true)
-    // COLLAPSE exact-duplicate fingerprints before any pairing: the
-    // band/verify machinery runs once per DISTINCT fingerprint, and
-    // member pairs materialize only at the end, through result-shaped
-    // equijoins. On corpora with identical-fingerprint clusters (m12's
-    // shared frames: the sf3 probe measured 44 buckets of up to 15k
-    // frames, 1.07e9 band candidates, sub-split REVERTED because the
-    // clusters are real) this removes the quadratic from every shuffle,
-    // join, and verify — the only quadratic left is the output itself.
-    val clusters = fpCp
-      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
-      .localCheckpoint(true)
-    val banded = clusters
-      .select(col("doc_id"), col("fp"), posexplode(bands15(col("fp"))))
-      .toDF("doc_id", "fp", "band_id", "band")
-    val keyed0 = banded.select(
-      (col("band_id").cast("long") * 32768L + col("band")).as("grp"),
-      struct(col("doc_id"), col("fp")).as("id"))
-    val keyed =
-      if (!subSplit || !subSplitViable(maxHamming)) keyed0
-      else subSplitKeys(keyed0, maxHamming, candFactor)
-    // Verify BEFORE dedup: hamming is a cheap codegen'd xor+popcount on
-    // columns the join already carries, and it is the selective step —
-    // filtering first means the distinct's exchange moves the survivors
-    // (× band multiplicity ≤ 4), never the full candidate mass. Same
-    // rows out: hamming is a pure function of the pair. Identical
-    // fingerprints collapsed above never reach this join, so every pair
-    // here has hamming ≥ 1 — disjoint from the intra-cluster stream.
-    val repPairs = graft.operators.GraphOps
-      .sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
-      .select(
-        col("id1.fp").as("fp1"), col("id2.fp").as("fp2"),
-        bit_count(col("id1.fp").bitwiseXOR(col("id2.fp"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-    // Identical-fingerprint member pairs (hamming 0): a fp-keyed salted
-    // self-pairing — output-shaped work, no verify needed by definition.
-    val intra = graft.operators.GraphOps
-      .sameGroupPairsSkewSafe(
-        fpCp.select(col("fp").as("grp"), col("doc_id").as("id")),
-        blockThreshold, nBlocks)
-      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
-        lit(0L).as("hamming"))
-    // Cross-cluster expansion: each verified DISTINCT-fp pair fans out to
-    // its member product through two fp equijoins — shuffles move the
-    // linear member table and the result-sized rep pairs; the quadratic
-    // appears only as join OUTPUT. No dedup needed: rep pairs are
-    // distinct and members are unique per fingerprint. No terminal sort
-    // — pair mass is quadratic in cluster sizes and production consumers
-    // (resolve/CC/reports) are order-free; Verify canonicalizes at dump
-    // time (the g1/g2 discipline).
-    val cross = repPairs
-      .join(fpCp.select(col("fp").as("fp1"), col("doc_id").as("a")), Seq("fp1"))
-      .join(fpCp.select(col("fp").as("fp2"), col("doc_id").as("b")), Seq("fp2"))
-      .select(
-        least(col("a"), col("b")).as("doc_id1"),
-        greatest(col("a"), col("b")).as("doc_id2"),
-        col("hamming"))
-    intra.unionByName(cross)
+    // The band/verify stage over any (doc_id, fp) set — shared by the
+    // direct and collapsed routes; the sub-band router runs inside it.
+    def bandStage(rows: DataFrame): DataFrame = {
+      val banded = rows
+        .select(col("doc_id"), col("fp"), posexplode(bands15(col("fp"))))
+        .toDF("doc_id", "fp", "band_id", "band")
+      val keyed0 = banded.select(
+        (col("band_id").cast("long") * 32768L + col("band")).as("grp"),
+        struct(col("doc_id"), col("fp")).as("id"))
+      val keyed =
+        if (!subSplit || !subSplitViable(maxHamming)) keyed0
+        else subSplitKeys(keyed0, maxHamming, candFactor)
+      graft.operators.GraphOps.sameGroupPairsSkewSafe(keyed, blockThreshold, nBlocks)
+    }
+    // Measure-then-route on the duplicate ratio: the exact-dup COLLAPSE
+    // below pays two extra aggregates and two expansion joins, which a
+    // corpus of (near-)unique fingerprints never earns back — one
+    // approximate-distinct probe decides (the routes answer identically
+    // either way, so the estimator's ~2% error only moves the cost knee).
+    val st = fpCp.agg(count(lit(1)), approx_count_distinct(col("fp"))).head()
+    val (nRows, approxDistinct) = (st.getLong(0), st.getLong(1))
+    // The collapse pays when duplicate MASS is concentrated — Σ C(m,2)
+    // grows with cluster size, and scattered 2-row dups save less than
+    // the expansion joins cost. Average cluster size ≥ 2 (half the rows
+    // are duplicates) is the measured knee: m12's frame corpus sits at
+    // ~9× and wins 16×; d9's text corpus at ~1.1× loses seconds.
+    if (nRows < 2L * approxDistinct) {
+      // Low duplicate mass: pair the rows directly. Verify BEFORE
+      // dedup — hamming is a cheap codegen'd xor+popcount on columns
+      // the join already carries and is the selective step, so the
+      // distinct's exchange moves survivors (× band multiplicity ≤ 4),
+      // never the candidate mass. No terminal sort (Verify
+      // canonicalizes at dump time; the g1/g2 discipline).
+      bandStage(fpCp)
+        .select(
+          col("id1.doc_id").as("doc_id1"), col("id2.doc_id").as("doc_id2"),
+          bit_count(col("id1.fp").bitwiseXOR(col("id2.fp"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    } else {
+      // COLLAPSE exact-duplicate fingerprints before any pairing: the
+      // band/verify machinery runs once per DISTINCT fingerprint, and
+      // member pairs materialize only at the end, through result-shaped
+      // equijoins. On corpora with identical-fingerprint clusters (m12's
+      // shared frames: the sf3 probe measured 44 buckets of up to 15k
+      // frames, 1.07e9 band candidates, sub-split REVERTED because the
+      // clusters are real) this removes the quadratic from every
+      // shuffle, join, and verify — the only quadratic left is the
+      // output itself, which is the semantics.
+      val reps = fpCp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      // Identical fingerprints never reach this join, so every rep pair
+      // has hamming ≥ 1 — disjoint from the intra-cluster stream below.
+      val repPairs = bandStage(reps)
+        .select(
+          col("id1.fp").as("fp1"), col("id2.fp").as("fp2"),
+          bit_count(col("id1.fp").bitwiseXOR(col("id2.fp"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      // Identical-fingerprint member pairs (hamming 0): a fp-keyed
+      // salted self-pairing — output-shaped work, no verify needed by
+      // definition.
+      val intra = graft.operators.GraphOps
+        .sameGroupPairsSkewSafe(
+          fpCp.select(col("fp").as("grp"), col("doc_id").as("id")),
+          blockThreshold, nBlocks)
+        .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
+          lit(0L).as("hamming"))
+      // Cross-cluster expansion: each verified DISTINCT-fp pair fans out
+      // to its member product through two fp equijoins — shuffles move
+      // the linear member table and the result-sized rep pairs; the
+      // quadratic appears only as join OUTPUT. No dedup needed: rep
+      // pairs are distinct and members are unique per fingerprint.
+      val cross = repPairs
+        .join(fpCp.select(col("fp").as("fp1"), col("doc_id").as("a")), Seq("fp1"))
+        .join(fpCp.select(col("fp").as("fp2"), col("doc_id").as("b")), Seq("fp2"))
+        .select(
+          least(col("a"), col("b")).as("doc_id1"),
+          greatest(col("a"), col("b")).as("doc_id2"),
+          col("hamming"))
+      intra.unionByName(cross)
+    }
   }
 
   /** The measured candidate-volume route of [[bandedHammingPairs]]:

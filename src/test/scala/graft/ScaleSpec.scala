@@ -263,6 +263,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(max(col("grp"))).head().getLong(0)
     assert(revertMax < (1L << 17), "mega-cluster must REVERT to the salted path")
 
+    // Route-independence of the SEMANTICS: a mixed corpus (two
+    // identical-fp clusters — one pair of clusters within radius — plus
+    // unique fps and a boundary pair) takes the exact-dup COLLAPSE
+    // route (dup mass >> 5%); a hand recount over all pairs (share ≥1
+    // 15-bit band AND hamming ≤ 6) pins that collapse+expansion emits
+    // exactly the direct definition: intra-cluster, cross-cluster, and
+    // unique-to-unique pairs all present, nothing else.
+    val fpA = 0x0123456789ABCL
+    val fpB = fpA ^ ((1L << 20) | (1L << 36) | (1L << 50)) // hamming 3, shares band 0
+    val mixed = (0 until 30).map(i => (100L + i, fpA)) ++
+      (0 until 20).map(i => (200L + i, fpB)) ++
+      (0 until 20).map { i =>
+        val high = (i * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1) & ~32767L
+        (300L + i, (fpA & 32767L) | high) // share band 0 with the clusters
+      }
+    def bandsOf(v: Long) = (0 until 4).map(b => (v >> (b * 15)) & 32767L)
+    val expected = (for {
+      i <- mixed.indices; j <- mixed.indices if i < j
+      (ida, va) = mixed(i); (idb, vb) = mixed(j)
+      if bandsOf(va).zip(bandsOf(vb)).exists { case (x, y) => x == y }
+      h = java.lang.Long.bitCount(va ^ vb) if h <= 6
+    } yield (math.min(ida, idb), math.max(ida, idb), h.toLong)).toSet
+    val gotMixed = pairsOf(mixed, subSplit = true)
+    assert(gotMixed === expected)
+    // sanity on the recount itself: both intra tiers and the cross tier
+    // fired, and the corpus sits above the collapse knee (70 rows, 22
+    // distinct fps — avg cluster size > 2).
+    assert(expected.count(_._3 == 0L) === 30 * 29 / 2 + 20 * 19 / 2)
+    assert(expected.count(_._3 == 3L) === 30 * 20)
+
     // Default trigger never fires on the driver corpus (mass within
     // budget): m12's keyed path is byte-identical with the router armed.
     def m12key(r: org.apache.spark.sql.Row) =
