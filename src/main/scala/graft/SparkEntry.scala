@@ -106,6 +106,7 @@ object SparkEntry {
     "s13_mmr_rerank"     -> ((s: SparkSession, d: String) => similarity.Mmr.s13MmrRerank(s, d)),
     "s14_filtered_ann"   -> ((s: SparkSession, d: String) => Ann.s14FilteredAnn(s, d)),
     "s15_filtered_ivf"   -> ((s: SparkSession, d: String) => Ann.s15FilteredIvf(s, d)),
+    "s16_sq8_search"     -> ((s: SparkSession, d: String) => similarity.Sq.s16Sq8Search(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -2131,6 +2132,39 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s16: SQ8 end to end — per-dim corpus bounds, 8-bit codes, the
+    // PURE-INTEGER symmetric shortlist (bit-identical by construction),
+    // exact cosine refine. round() precedes the BIGINT cast on both
+    // engines (DuckDB CAST rounds where Spark truncates — the cast only
+    // ever sees round()'s integral doubles).
+    "s16_sq8_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT vec_id, unnest(generate_series(1, len(emb))) AS d, unnest(emb) AS v FROM e),
+        |b AS (SELECT d, min(v) AS lo, max(v) AS hi FROM x GROUP BY d),
+        |xc AS (
+        |  SELECT vec_id, x.d,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE CAST(least(greatest(round((v - lo) * 255.0 / (hi - lo)), 0), 255) AS BIGINT)
+        |    END AS code
+        |  FROM x JOIN b USING (d)),
+        |s AS (
+        |  SELECT qx.vec_id AS query_id, nx.vec_id AS neighbor_id,
+        |    sum((qx.code - nx.code) * (qx.code - nx.code)) AS dist2
+        |  FROM xc qx JOIN xc nx USING (d)
+        |  WHERE qx.vec_id < 10 AND nx.vec_id <> qx.vec_id
+        |  GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS srn
+        |  FROM s),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, neighbor_id) AS rnk
+        |  FROM sl JOIN e qe ON qe.vec_id = query_id JOIN e ne ON ne.vec_id = neighbor_id
+        |  WHERE srn <= 40)
         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     // s15: s3's fixed-seed assignment re-derived, queries probing their

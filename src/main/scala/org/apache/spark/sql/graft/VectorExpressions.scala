@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,6 +87,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  } else {
          |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
          |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ(aᵢ−bᵢ)² over two `array<int>` code vectors — the symmetric
+  * scalar-quantization (SQ8) distance of s16 as one fused integer loop
+  * in whole-stage codegen. Pure integer (codes are 0..255, so the sum
+  * fits a long for any realistic dimensionality), hence bit-identical
+  * to the DuckDB oracle's re-derivation by construction — no float
+  * accumulation order to reconcile. Null on length mismatch, mirroring
+  * [[CosineSimilarity]]'s discipline.
+  */
+case class IntSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = (x.getInt(i) - y.getInt(i)).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $d = (long) ($a.getInt($i) - $b.getInt($i));
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -922,6 +978,11 @@ object VectorExpressions {
   def cosineNative(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[IntSqDist]]. */
+  def intSqDistNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntSqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column wrapper for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -467,6 +467,35 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s16 SQ8: integer shortlist + exact refine holds recall@10 >= 0.9; kernel matches the HOF recount") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    // 8-bit-per-dim quantization over 64 dims is far finer than PQ's
+    // 8 codes per subspace — with a 4k shortlist cushion and exact
+    // refine, recall sits near 1.0; the floor guards regressions.
+    val got = topkSets(similarity.Sq.s16Sq8Search(spark, dir))
+    val r = recallAt10(got, truth)
+    assert(r >= 0.9, f"s16 SQ8 recall@10 = $r%.3f")
+    // The codegen'd integer L2 kernel is bit-identical to a Scala
+    // recount (including the length-mismatch null contract).
+    val rows = Seq(
+      (Seq(0, 255, 128, 7), Seq(255, 0, 128, 9)),
+      (Seq(1, 2, 3), Seq(1, 2, 3)),
+      (Seq(0), Seq(255))).toDF("a", "b")
+    val kern = rows.select(
+      org.apache.spark.sql.graft.VectorExpressions.intSqDistNative(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val ref = Seq(
+      Seq(0, 255, 128, 7).zip(Seq(255, 0, 128, 9)).map { case (x, y) => (x - y).toLong * (x - y) }.sum,
+      0L, 255L * 255L)
+    assert(kern.toSeq === ref)
+    val mism = Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b").select(
+      org.apache.spark.sql.graft.VectorExpressions.intSqDistNative(col("a"), col("b")))
+      .collect()
+    assert(mism.head.isNullAt(0), "length mismatch must be null, not a truncated sum")
+  }
+
   test("s13 MMR greedy: diversity beats redundant relevance, ties break on id") {
     import graft.similarity.Mmr
     def c(id: Long, emb: Array[Float], q: Array[Float]) =
