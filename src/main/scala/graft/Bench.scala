@@ -91,12 +91,23 @@ object Bench {
     // per-key times are own-cost and comparable round over round.
     val memoConsumers = Set(
       "d3_minhash_lsh", "d6_dedup_resolve", "d11_dedup_report", "t29_split_leakage")
-    val setupTimes: Seq[(String, Double)] =
+    // The setup build runs under the same fault-isolation discipline as
+    // the per-key loop below: a failure in the d3/d6 verified-pairs
+    // pipeline must report one red entry, not abort the sweep and lose
+    // the whole artifact (its consumers then fail or pay the build
+    // themselves — either way their own entries tell the story).
+    val (setupTimes, setupErrors): (Seq[(String, Double)], Seq[(String, String)]) =
       if (selected.exists(memoConsumers)) {
         val t0 = System.nanoTime()
-        dedup.Dedup.nearDupPairs(spark, sfDir).count()
-        Seq("setup:neardup_pairs_memo" -> (System.nanoTime() - t0) / 1e9)
-      } else Seq.empty
+        try {
+          dedup.Dedup.nearDupPairs(spark, sfDir).count()
+          (Seq("setup:neardup_pairs_memo" -> (System.nanoTime() - t0) / 1e9), Seq.empty)
+        } catch {
+          case e: Exception =>
+            (Seq.empty, Seq("setup:neardup_pairs_memo" ->
+              (e.getClass.getSimpleName + ": " + e.getMessage)))
+        }
+      } else (Seq.empty, Seq.empty)
     // Fault isolation: one throwing query must not take down the whole
     // sweep's artifact (a bench with 77 greens and 1 red should still
     // report the 77). Failures surface as a separate "errors" map — a
@@ -114,7 +125,7 @@ object Bench {
     }
     val (steal1, total1) = cpuJiffies()
     val times = results.collect { case (n, dt, None) => n -> dt }
-    val errors = results.collect { case (n, _, Some(e)) => n -> e }
+    val errors = setupErrors ++ results.collect { case (n, _, Some(e)) => n -> e }
     errors.foreach { case (n, e) => System.err.println(s"BENCH FAIL $n: $e") }
     val total = times.map(_._2).sum + setupTimes.map(_._2).sum
     val stealPct =

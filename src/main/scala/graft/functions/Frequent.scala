@@ -88,30 +88,46 @@ object Frequent {
     val spark = tokens.sparkSession
     import spark.implicits._
     val toks = tokens.select(col("token")).as[String]
-    // Pass 1: bounded per-partition summaries; the union is m×P rows.
-    val candidates = toks
-      .mapPartitions(it => misraGries(it, m))
-      .toDF("token", "mg_cnt")
-      .groupBy("token").agg(sum("mg_cnt").as("mg_cnt"))
-    val candList = candidates.select("token").collect().map(_.getString(0))
-    // Pass 2: exact recount of the bounded candidate set only. The
-    // membership filter is map-side (broadcast literal set), so the
-    // exchange carries at most |candidates| keys.
-    val exactCand = toks.toDF("token")
-      .filter(col("token").isin(candList.toIndexedSeq: _*))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(k)
-    val top = exactCand.collect()
-    val total = toks.count()
-    // Certificate: the k-th exact candidate count must beat the maximum
-    // possible count of any NON-candidate (N/(m+1)). Holds whenever the
-    // distribution has real heavy hitters.
-    val certified = top.length >= k && top.last.getLong(1) > total / (m + 1)
-    if (certified)
-      Some(spark.createDataFrame(spark.sparkContext.parallelize(top.toIndexedSeq, 1),
-        exactCand.schema))
-    else None
+    // Pass 1: bounded per-partition summaries (m×P rows) PLUS each
+    // partition's row count carried as a null-token sentinel — the corpus
+    // total the certificate needs falls out of the same scan instead of
+    // costing a third full pass. Persisted because two tiny aggregates
+    // consume it; without the pin the second would rescan the corpus.
+    val summaries = toks.mapPartitions { it =>
+      var n = 0L
+      val mg = misraGries(it.map { t => n += 1; t }, m)
+      // misraGries drains the iterator before returning, so n is final.
+      mg.map { case (t, c) => (t, c) } ++ Iterator((null: String, n))
+    }.toDF("token", "mg_cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = summaries.filter(col("token").isNull)
+        .agg(coalesce(sum("mg_cnt"), lit(0L))).head().getLong(0)
+      // The candidate set stays a DATAFRAME: merged it is bounded by m×P
+      // rows, which at production partition counts is 10⁵-10⁶ — far too
+      // many to splat into an `isin` literal list (analyzer/codegen blowup)
+      // or collect to the driver at all.
+      val candidates = summaries.filter(col("token").isNotNull)
+        .groupBy("token").agg(sum("mg_cnt").as("mg_cnt"))
+      // Pass 2: exact recount of the bounded candidate set only. The
+      // membership filter is a map-side BROADCAST semi-join, so the
+      // exchange carries at most |candidates| keys and no literal list
+      // ever reaches the plan.
+      val exactCand = toks.toDF("token")
+        .join(broadcast(candidates.select("token")), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(k)
+      val top = exactCand.collect()
+      // Certificate: the k-th exact candidate count must beat the maximum
+      // possible count of any NON-candidate (N/(m+1)). Holds whenever the
+      // distribution has real heavy hitters.
+      val certified = top.length >= k && top.last.getLong(1) > total / (m + 1)
+      if (certified)
+        Some(spark.createDataFrame(spark.sparkContext.parallelize(top.toIndexedSeq, 1),
+          exactCand.schema))
+      else None
+    } finally summaries.unpersist()
   }
 
   /** t30: exact top-10 frequent ≥5-char tokens over the document corpus

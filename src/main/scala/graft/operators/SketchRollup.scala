@@ -109,6 +109,21 @@ object ExactRollup {
     * included. Returns the number of day partitions touched.
     */
   def appendDelta(spark: SparkSession, store: String, delta: DataFrame): Int = {
+    // Layout precondition, checked loudly: the merge relies on dynamic
+    // partition overwrite replacing exactly the touched `day=N`
+    // directories. Applied to a store written WITHOUT partitionBy
+    // (exactly what buildDaily piped straight to parquet produces), the
+    // overwrite would ADD day=N directories while leaving the original
+    // unpartitioned files in place — subsequent reads would see both
+    // stale and merged cells (double counting), silently.
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val storeP = new org.apache.hadoop.fs.Path(store)
+    require(fsys.exists(storeP) &&
+      fsys.listStatus(storeP).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("day=")),
+      s"appendDelta requires a day-partitioned cell store (day=* directories) at $store — " +
+        "write the base build with .partitionBy(\"day\") or rebuild before folding deltas")
     val dc = buildDailyFrom(delta)
     val days = dc.select("day").distinct().collect().map(_.getLong(0))
     if (days.isEmpty) return 0

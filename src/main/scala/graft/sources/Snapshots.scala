@@ -7,34 +7,57 @@ import graft.Tables
 
 /** Snapshot-versioned table over plain parquet — the Iceberg/Delta
   * SNAPSHOT + TIME-TRAVEL contract re-expressed with nothing but
-  * immutable data files and per-version manifests (the storage half of
+  * immutable data files and a TWO-TIER manifest (the storage half of
   * the table-format story; [[Manifest]] is the pruning half).
   *
   * The core idea is that a snapshot is a MANIFEST OF IMMUTABLE FILES,
-  * not a copy of the data: committing a batch writes ONLY that batch's
-  * data files plus one tiny manifest listing `parent's files + new
-  * files`. Consequences, each of which is the property a 100 TB table
+  * not a copy of the data — and the manifest itself must scale the
+  * same way the data does. Storage layout (Iceberg's manifest-list
+  * shape):
+  *
+  *   - `manifest/chunks/c-*`: one immutable DELTA manifest per commit,
+  *     listing only that commit's data files (column `file`) —
+  *     O(batch) rows, written once, shared by every later version;
+  *   - `manifest/vN`: the version's MANIFEST LIST (column `chunk`) —
+  *     one row per inherited delta chunk, O(commits) rows. An append's
+  *     list is `parent's chunks + the new chunk`; a rewrite's list is
+  *     a single fresh chunk.
+  *
+  * Consequences, each of which is the property a 100 TB table
   * actually buys with a table format:
   *
-  *   - commit cost is O(batch), never O(table) — appending a day to a
-  *     100 TB fact table moves one day of bytes;
+  *   - commit cost is O(batch) data + O(batch) new manifest rows +
+  *     O(commits) list rows — NEVER O(table-files). The driver holds
+  *     only the chunk-path list (one string per commit) and the new
+  *     batch's own paths; the full file list never round-trips through
+  *     driver memory on the commit path (at 10⁶ files that round-trip
+  *     is the Iceberg problem manifest lists exist to solve);
   *   - every historical version stays readable FOREVER at zero storage
-  *     cost beyond its manifest (time travel: `readAsOf(v)`) because
-  *     data files are shared between snapshots, not rewritten;
+  *     cost beyond its list (time travel: `readAsOf(v)`) because data
+  *     files AND manifest chunks are shared between snapshots;
   *   - readers are isolated from writers for free — a reader that
-  *     resolved version v's file list keeps reading exactly those files
-  *     whatever commits land after it (files are never mutated, only
+  *     resolved version v's chunks keeps reading exactly those files
+  *     whatever commits land after it (chunks are never mutated, only
   *     ADDED and de-listed);
-  *   - maintenance (compaction) is just another commit: new manifest,
+  *   - the incremental read ([[readBetween]]) is a CHUNK-LIST set
+  *     difference — O(commits) driver work — and opens only the delta
+  *     chunks, so a consumer's cursor advance costs O(delta), not
+  *     O(history);
+  *   - maintenance (compaction) is just another commit: new chunk,
   *     content-identical file set, old versions untouched — h5's
   *     `Layout.compact` becomes snapshot-safe by construction.
   *
   * [[commit]]/[[commitRewrite]] are the single-writer fast path (one
   * driver owns the table); [[commitOptimistic]] adds the multi-writer
-  * OPTIMISTIC-CONCURRENCY protocol on top of the same manifests — the
-  * version-slot rename is the commit point, exactly the Hadoop-catalog
-  * convention (Iceberg's HadoopTableOperations: rename to the
-  * versioned metadata path, lose the race ⇒ rebase and retry).
+  * OPTIMISTIC-CONCURRENCY protocol on top of the same manifests — an
+  * atomic mkdir CLAIM of the version slot, then a VERIFIED rename of
+  * the staged list into it (exactly the Hadoop-catalog convention;
+  * Iceberg's HadoopTableOperations renames to the versioned metadata
+  * path and loses the race ⇒ rebase and retry). The rename is verified
+  * by an owner marker because a directory rename is NOT a CAS on the
+  * local filesystem: rename into an EXISTING directory silently nests
+  * the source inside it, so a paused writer whose stale claim was
+  * broken could otherwise pollute a slot a new winner already filled.
   *
   * Reference behavior: the loader re-runs ingest batches against an
   * ever-growing store and must never corrupt what earlier runs see
@@ -46,31 +69,68 @@ object Snapshots {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+
   /** Latest committed version, 0 if the table does not exist yet. */
   def currentVersion(spark: SparkSession, path: String): Long = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val dir = hpath(s"$path/manifest")
     val f = fs(spark)
     if (!f.exists(dir)) 0L
     else f.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("v")).map(_.drop(1).toLong).foldLeft(0L)(math.max)
   }
 
+  /** The chunk paths version `v`'s manifest list references — O(commits)
+    * strings, the ONLY manifest state the driver ever materializes for a
+    * version (never the per-file entries).
+    */
+  private def chunksOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/manifest/v$v").as[String].collect().toSeq
+  }
+
+  /** The file entries of version `v` as a DATASET (a union scan of its
+    * delta chunks) — manifest contents stay a Spark relation; callers
+    * that genuinely need driver-side paths (a parquet scan does) collect
+    * explicitly at their own seam.
+    */
+  private def filesOf(spark: SparkSession, path: String, v: Long): DataFrame =
+    spark.read.parquet(chunksOf(spark, path, v): _*)
+
+  /** Write one immutable delta chunk listing exactly `files`; returns the
+    * chunk path. O(batch) rows — the only per-file manifest rows a commit
+    * ever writes.
+    */
+  private def writeChunk(
+      spark: SparkSession, path: String, uid: String, files: Seq[String]): String = {
+    import spark.implicits._
+    val chunk = s"$path/manifest/chunks/c-$uid"
+    files.toDF("file").coalesce(1).write.mode("overwrite").parquet(chunk)
+    chunk
+  }
+
+  /** Write version `v`'s manifest list (one row per chunk path). */
+  private def writeList(
+      spark: SparkSession, dest: String, chunks: Seq[String]): Unit = {
+    import spark.implicits._
+    chunks.toDF("chunk").coalesce(1).write.mode("overwrite").parquet(dest)
+  }
+
   /** Commit `batch` as the next snapshot: write the batch's data files
-    * under an immutable per-version directory, then write manifest
-    * version N = manifest(N−1) ∪ {new files}. Only the batch moves;
-    * every inherited file is listed, never touched.
+    * under an immutable per-version directory, one delta chunk listing
+    * them, and manifest list N = list(N−1) + that chunk. Only the batch
+    * moves; every inherited file is referenced through its original
+    * chunk, never relisted — commit manifest cost is O(batch) entry rows
+    * plus O(commits) list rows, and the driver never holds the table's
+    * file list.
     */
   def commit(spark: SparkSession, path: String, batch: DataFrame): Long = {
     val v = currentVersion(spark, path) + 1
     batch.write.mode("overwrite").parquet(s"$path/data/batch-$v")
     val newFiles = spark.read.parquet(s"$path/data/batch-$v").inputFiles.toSeq
-    import spark.implicits._
-    val prev: Seq[String] =
-      if (v == 1) Seq.empty
-      else spark.read.parquet(s"$path/manifest/v${v - 1}")
-        .as[String].collect().toSeq
-    (prev ++ newFiles).toDF("file")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest/v$v")
+    val chunk = writeChunk(spark, path, s"v$v", newFiles)
+    val prev = if (v == 1) Seq.empty[String] else chunksOf(spark, path, v - 1)
+    writeList(spark, s"$path/manifest/v$v", prev :+ chunk)
     v
   }
 
@@ -90,8 +150,8 @@ object Snapshots {
       path: String,
       v: Long,
       staleClaimMs: Long): Boolean = {
-    val claim = new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v")
-    val slot = new org.apache.hadoop.fs.Path(s"$path/manifest/v$v")
+    val claim = hpath(s"$path/manifest/.claim-v$v")
+    val slot = hpath(s"$path/manifest/v$v")
     try {
       val uri = f.makeQualified(claim).toUri
       if (uri.getScheme == "file")
@@ -120,18 +180,55 @@ object Snapshots {
     }
   }
 
+  /** Publish a staged manifest list into version slot `v` — the VERIFIED
+    * commit point. The staged directory carries an `_owner-<uid>` marker
+    * (parquet readers ignore `_`-prefixed files); after the rename the
+    * marker must sit at the slot's TOP LEVEL, which proves the rename was
+    * a true move and not the local filesystem's silent mv-INTO-existing-
+    * destination (the failure mode when a paused writer's stale claim was
+    * broken and a new winner already filled the slot: the paused writer's
+    * rename then NESTS its staged dir inside the live slot, and a naive
+    * reader of the slot would see both lists). Returns true iff this
+    * writer's staged list IS the slot; on any failure the slot is left
+    * exactly as the other winner published it (a nested pollution dir is
+    * removed by ITS OWN deterministic name) and the staged copy is gone.
+    */
+  private[graft] def publishStaged(
+      f: org.apache.hadoop.fs.FileSystem,
+      staged: String,
+      slot: String,
+      uid: String): Boolean = {
+    val stagedP = hpath(staged)
+    val marker = s"_owner-$uid"
+    f.create(hpath(s"$staged/$marker"), true).close()
+    val renamed =
+      try f.rename(stagedP, hpath(slot))
+      catch { case _: java.io.IOException => false }
+    if (renamed && f.exists(hpath(s"$slot/$marker"))) true
+    else {
+      // Either the rename failed outright, or it "succeeded" by nesting
+      // us inside a slot someone else owns — undo precisely our debris.
+      val nested = hpath(s"$slot/${stagedP.getName}")
+      if (f.exists(nested)) f.delete(nested, true)
+      if (f.exists(stagedP)) f.delete(stagedP, true)
+      false
+    }
+  }
+
   /** Multi-writer APPEND commit under optimistic concurrency. Data
-    * files write first under a writer-unique immutable directory — no
-    * coordination, an abandoned attempt's files are exactly what
-    * [[removeOrphans]] reclaims. The commit point is an atomic
+    * files and the delta chunk write first under writer-unique immutable
+    * paths — no coordination, an abandoned attempt's files are exactly
+    * what [[removeOrphans]] reclaims. The commit point is an atomic
     * exclusive CLAIM of the next version slot ([[claimSlot]]'s mkdir
-    * CAS) followed by a rename of the staged manifest into the slot
-    * (uncontended — only the claim winner touches it; readers see the
-    * version only once the rename lands). A loser deletes its staged
-    * copy, REBASES on the new current version, and retries: appends
-    * commute, so a rebase is just `new base's files + this batch` — no
-    * validation needed; contrast [[commitRewriteOptimistic]], where a
-    * lost race is a real conflict. Returns the committed version.
+    * CAS) followed by a VERIFIED rename of the staged manifest list into
+    * the slot ([[publishStaged]] — the rename result is checked and the
+    * owner marker re-read, so a failed or nested rename can never report
+    * the batch as committed). A loser deletes its staged copy, REBASES
+    * on the new current version, and retries: appends commute, so a
+    * rebase is just `new base's chunks + this chunk` — an O(commits)
+    * list rewrite, no data or chunk movement; contrast
+    * [[commitRewriteOptimistic]], where a lost race is a real conflict.
+    * Returns the committed version.
     */
   def commitOptimistic(
       spark: SparkSession,
@@ -139,41 +236,44 @@ object Snapshots {
       batch: DataFrame,
       maxAttempts: Int = 8,
       staleClaimMs: Long = 600000L): Long = {
-    import spark.implicits._
     val f = fs(spark)
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     batch.write.mode("overwrite").parquet(s"$path/data/batch-$uid")
     val newFiles = spark.read.parquet(s"$path/data/batch-$uid").inputFiles.toSeq
+    // The delta chunk is base-independent: written once, reused verbatim
+    // by every rebase attempt.
+    val chunk = writeChunk(spark, path, uid, newFiles)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, path)
       val v = base + 1
-      val prev: Seq[String] =
-        if (base == 0) Seq.empty
-        else spark.read.parquet(s"$path/manifest/v$base").as[String].collect().toSeq
+      val prev = if (base == 0) Seq.empty[String] else chunksOf(spark, path, base)
       val staged = s"$path/manifest/.staged-$uid-$v"
-      (prev ++ newFiles).toDF("file")
-        .coalesce(1).write.mode("overwrite").parquet(staged)
+      writeList(spark, staged, prev :+ chunk)
       if (claimSlot(f, path, v, staleClaimMs)) {
-        f.rename(
-          new org.apache.hadoop.fs.Path(staged),
-          new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"))
-        f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v"), true)
-        return v
+        val published = publishStaged(f, staged, s"$path/manifest/v$v", uid)
+        // Claim bookkeeping: if we published, release our claim; if the
+        // publish failed despite a won claim (broken-stale-claim race —
+        // the slot was already someone else's), the marker for a live
+        // slot is dead weight either way.
+        f.delete(hpath(s"$path/manifest/.claim-v$v"), true)
+        if (published) return v
+      } else {
+        // Lost the race for slot v. The winner may not have renamed yet
+        // (its slot is claimed but not visible): give it a beat so the
+        // rebase reads the NEW manifest rather than spinning on the old.
+        f.delete(hpath(staged), true)
+        val deadline = System.currentTimeMillis() + 10000L
+        while (!f.exists(hpath(s"$path/manifest/v$v")) &&
+          f.exists(hpath(s"$path/manifest/.claim-v$v")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50L)
       }
-      // Lost the race for slot v. The winner may not have renamed yet
-      // (its slot is claimed but not visible): give it a beat so the
-      // rebase reads the NEW manifest rather than spinning on the old.
-      f.delete(new org.apache.hadoop.fs.Path(staged), true)
-      val deadline = System.currentTimeMillis() + 10000L
-      while (!f.exists(new org.apache.hadoop.fs.Path(s"$path/manifest/v$v")) &&
-        f.exists(new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v")) &&
-        System.currentTimeMillis() < deadline) Thread.sleep(50L)
       attempt += 1
     }
-    // Give up cleanly: reclaim our own batch so the failed attempt
-    // leaves no orphans, then surface the contention to the caller.
-    f.delete(new org.apache.hadoop.fs.Path(s"$path/data/batch-$uid"), true)
+    // Give up cleanly: reclaim our own batch and chunk so the failed
+    // attempt leaves no orphans, then surface the contention to the caller.
+    f.delete(hpath(s"$path/data/batch-$uid"), true)
+    f.delete(hpath(chunk), true)
     throw new java.util.ConcurrentModificationException(
       s"commitOptimistic: lost $maxAttempts version races on $path")
   }
@@ -183,11 +283,11 @@ object Snapshots {
     * file set it read, so a commit that lands AFTER someone else's
     * means silently dropping their rows — the one thing a table format
     * must never do. Hence serializable semantics, not retry: stage the
-    * manifest, attempt the slot rename for `plannedBase + 1` ONCE, and
-    * on a lost race throw `ConcurrentModificationException` — the
-    * caller re-plans the compaction against the new current version
-    * (Iceberg's RewriteFiles validation failure). Returns the committed
-    * version.
+    * manifest list, attempt the verified slot publish for
+    * `plannedBase + 1` ONCE, and on a lost race throw
+    * `ConcurrentModificationException` — the caller re-plans the
+    * compaction against the new current version (Iceberg's RewriteFiles
+    * validation failure). Returns the committed version.
     */
   def commitRewriteOptimistic(
       spark: SparkSession,
@@ -195,7 +295,6 @@ object Snapshots {
       rewritten: DataFrame,
       plannedBase: Long,
       staleClaimMs: Long = 600000L): Long = {
-    import spark.implicits._
     val f = fs(spark)
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val v = plannedBase + 1
@@ -208,34 +307,35 @@ object Snapshots {
     if (currentVersion(spark, path) != plannedBase) conflict()
     rewritten.write.mode("overwrite").parquet(s"$path/data/batch-$uid")
     val newFiles = spark.read.parquet(s"$path/data/batch-$uid").inputFiles.toSeq
+    val chunk = writeChunk(spark, path, uid, newFiles)
     val staged = s"$path/manifest/.staged-$uid-$v"
-    newFiles.toDF("file")
-      .coalesce(1).write.mode("overwrite").parquet(staged)
-    if (claimSlot(f, path, v, staleClaimMs)) {
-      f.rename(
-        new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"))
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/.claim-v$v"), true)
-      v
-    } else {
-      f.delete(new org.apache.hadoop.fs.Path(staged), true)
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/data/batch-$uid"), true)
+    writeList(spark, staged, Seq(chunk))
+    val won = claimSlot(f, path, v, staleClaimMs) && {
+      val published = publishStaged(f, staged, s"$path/manifest/v$v", uid)
+      f.delete(hpath(s"$path/manifest/.claim-v$v"), true)
+      published
+    }
+    if (won) v
+    else {
+      f.delete(hpath(staged), true)
+      f.delete(hpath(s"$path/data/batch-$uid"), true)
+      f.delete(hpath(chunk), true)
       conflict()
     }
   }
 
   /** Replace the current file set wholesale (compaction / rewrite
     * commit): `rewritten` is laid down as the new version's data files
-    * and the new manifest lists ONLY them. Old versions keep their own
-    * manifests and files — time travel across a compaction is exact.
+    * and the new manifest list references ONLY its fresh chunk. Old
+    * versions keep their own chunks and files — time travel across a
+    * compaction is exact.
     */
   def commitRewrite(spark: SparkSession, path: String, rewritten: DataFrame): Long = {
     val v = currentVersion(spark, path) + 1
     rewritten.write.mode("overwrite").parquet(s"$path/data/batch-$v")
     val newFiles = spark.read.parquet(s"$path/data/batch-$v").inputFiles.toSeq
-    import spark.implicits._
-    newFiles.toDF("file")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest/v$v")
+    val chunk = writeChunk(spark, path, s"v$v", newFiles)
+    writeList(spark, s"$path/manifest/v$v", Seq(chunk))
     v
   }
 
@@ -249,52 +349,59 @@ object Snapshots {
     * forever" monotonically leaks the space of every rewrite commit.
     * Returns the number of data files deleted.
     *
-    * The reclaim set is derived from MANIFEST ALGEBRA alone (expired ∖
-    * retained, a distributed anti-join) — never from listing the data
-    * tree — and deletion fans out to the executors; stray files no
-    * manifest ever referenced (a crashed write's leftovers) are a
-    * separate orphan-file sweep's job, as in Iceberg.
+    * The reclaim set is derived from MANIFEST ALGEBRA alone — first at
+    * the CHUNK tier (doomed chunks = expired lists' chunks ∖ retained
+    * lists' chunks, an O(commits) driver set difference), then a
+    * distributed anti-join over only the affected chunks' entries —
+    * never from listing the data tree; deletion fans out to the
+    * executors. De-listed chunks are reclaimed along with their files;
+    * stray files no manifest ever referenced (a crashed write's
+    * leftovers) are the orphan sweep's job, as in Iceberg.
     */
   def expire(spark: SparkSession, path: String, keepFrom: Long): Int = {
     import spark.implicits._
     val f = fs(spark)
     val latest = currentVersion(spark, path)
     require(keepFrom >= 1 && keepFrom <= latest, s"keepFrom $keepFrom out of [1, $latest]")
-    // PURE MANIFEST ALGEBRA, computed as a Spark job (Iceberg's
-    // expire_snapshots shape): doomed = (files referenced by expired
-    // manifests) ∖ (files referenced by retained manifests). No
-    // directory listing of the data tree ever happens — at 10⁶-file
-    // tables the listing is the latency, and every data file is
-    // introduced by exactly one commit, so the manifest difference IS
-    // the reclaim set. Manifests store Spark `inputFiles` URIs; both
-    // sides normalize to the scheme-free URI path (file:/// vs file:/).
-    // A previous expiry already dropped manifests below its own
-    // keepFrom, so only the versions still present participate.
     val present: Seq[Long] = f
-      .listStatus(new org.apache.hadoop.fs.Path(s"$path/manifest"))
+      .listStatus(hpath(s"$path/manifest"))
       .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
       .sorted.toSeq
     val expiredVs = present.filter(_ < keepFrom)
     val deleted =
       if (expiredVs.isEmpty) 0
       else {
-        val normPath = udf((s: String) => new java.net.URI(s).getPath)
-        def union(vs: Seq[Long]): DataFrame = vs
-          .map(v => spark.read.parquet(s"$path/manifest/v$v"))
-          .reduce(_.union(_))
-          .select(normPath(col("file")).as("file"))
-          .distinct()
-        val doomed = union(expiredVs)
-          .join(union(present.filter(_ >= keepFrom)), Seq("file"), "left_anti")
-        // Distributed delete: each task reclaims its partition's files
-        // with its own FileSystem client — the driver never holds the
-        // doomed list, only per-partition counts.
-        org.apache.spark.sql.graft.GraftInternals
-          .distributedDelete(doomed.as[String])
+        // Chunk-tier algebra: a chunk referenced by ANY retained version
+        // survives with all its entries; only chunks referenced
+        // exclusively by expired versions can carry doomed files.
+        val retainedChunks = present.filter(_ >= keepFrom)
+          .flatMap(v => chunksOf(spark, path, v)).distinct
+        val doomedChunks = expiredVs
+          .flatMap(v => chunksOf(spark, path, v)).distinct
+          .filterNot(retainedChunks.toSet)
+        if (doomedChunks.isEmpty) 0
+        else {
+          // File-tier anti-join (a Spark job over manifest entries, the
+          // driver never holds either file list): a doomed chunk's file
+          // could in principle be relisted by a retained chunk — keep the
+          // reference count exact rather than assuming chunk disjointness.
+          // Manifests store Spark `inputFiles` URIs; both sides normalize
+          // to the scheme-free URI path (file:/// vs file:/).
+          val normPath = udf((s: String) => new java.net.URI(s).getPath)
+          def entries(chunks: Seq[String]): DataFrame =
+            spark.read.parquet(chunks: _*)
+              .select(normPath(col("file")).as("file")).distinct()
+          val doomed =
+            if (retainedChunks.isEmpty) entries(doomedChunks)
+            else entries(doomedChunks)
+              .join(entries(retainedChunks), Seq("file"), "left_anti")
+          val n = org.apache.spark.sql.graft.GraftInternals
+            .distributedDelete(doomed.as[String])
+          doomedChunks.foreach(c => f.delete(hpath(c), true))
+          n
+        }
       }
-    expiredVs.foreach { v =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/v$v"), true)
-    }
+    expiredVs.foreach(v => f.delete(hpath(s"$path/manifest/v$v"), true))
     deleted
   }
 
@@ -307,24 +414,28 @@ object Snapshots {
     * ([[org.apache.spark.sql.graft.GraftInternals.distributedListing]]),
     * the referenced-set anti-join runs as a Spark job, and deletion is
     * executor-side — the driver holds only the O(versions) top-level
-    * directory names and the delete count. Files younger than `graceMs`
-    * are spared (an in-flight commit writes data before its manifest —
-    * the standard orphan-sweep race guard). Returns files deleted.
+    * directory names, the O(commits) chunk paths and the delete count.
+    * Files younger than `graceMs` are spared (an in-flight commit writes
+    * data before its manifest — the standard orphan-sweep race guard).
+    * A crashed optimistic writer's OTHER leftovers go in the same pass:
+    * staged lists that never published, claim markers whose slot never
+    * materialized, and delta chunks no present version references.
+    * Returns data files deleted.
     */
   def removeOrphans(spark: SparkSession, path: String, graceMs: Long = 3600000L): Int = {
     import spark.implicits._
     val f = fs(spark)
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
-    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val dataDir = hpath(s"$path/data")
+    val manifestDir = hpath(s"$path/manifest")
     if (!f.exists(dataDir) || !f.exists(manifestDir)) return 0
     val batchDirs = f.listStatus(dataDir).map(_.getPath.toString).toSeq
     if (batchDirs.isEmpty) return 0
     val present = f.listStatus(manifestDir)
       .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
+    if (present.isEmpty) return 0
+    val liveChunks = present.flatMap(v => chunksOf(spark, path, v)).distinct
     val normPath = udf((s: String) => new java.net.URI(s).getPath)
-    val referenced = present
-      .map(v => spark.read.parquet(s"$path/manifest/v$v"))
-      .reduce(_.union(_))
+    val referenced = spark.read.parquet(liveChunks: _*)
       .select(normPath(col("file")).as("file"))
       .distinct()
     val cutoff = System.currentTimeMillis() - graceMs
@@ -337,59 +448,65 @@ object Snapshots {
       .select("file")
     val orphans = listed.join(referenced, Seq("file"), "left_anti")
     val n = org.apache.spark.sql.graft.GraftInternals.distributedDelete(orphans.as[String])
-    // A crashed optimistic writer's other leftovers: a staged manifest
-    // that never won (or never attempted) its slot rename, or a claim
-    // marker whose slot never materialized. O(writers) entries in one
-    // directory, so the driver handles these directly.
+    // A crashed optimistic writer's manifest debris: a staged list that
+    // never won (or never attempted) its slot publish, a claim marker
+    // whose slot never materialized, or a delta chunk no present version
+    // references. O(writers + commits) entries, driver-handled.
     f.listStatus(manifestDir)
       .filter { s =>
         val nm = s.getPath.getName
         s.getModificationTime < cutoff &&
           (nm.startsWith(".staged-") ||
             (nm.startsWith(".claim-") &&
-              !f.exists(new org.apache.hadoop.fs.Path(s"$path/manifest/${nm.stripPrefix(".claim-")}"))))
+              !f.exists(hpath(s"$path/manifest/${nm.stripPrefix(".claim-")}"))))
       }
       .foreach(s => f.delete(s.getPath, true))
+    val chunksDir = hpath(s"$path/manifest/chunks")
+    if (f.exists(chunksDir)) {
+      val live = liveChunks.map(c => hpath(c).getName).toSet
+      f.listStatus(chunksDir)
+        .filter(s => s.getModificationTime < cutoff && !live(s.getPath.getName))
+        .foreach(s => f.delete(s.getPath, true))
+    }
     n
   }
 
   /** Time travel: the table exactly as of version `v` — a scan of
-    * precisely the files version v's manifest lists. No directory
-    * listing of the data tree ever happens (at 100 TB the listing is
-    * the latency), and no later commit can change what this returns.
+    * precisely the files version v's chunks list. No directory listing
+    * of the data tree ever happens (at 100 TB the listing is the
+    * latency), and no later commit can change what this returns. The
+    * driver materializes the file paths HERE because the scan needs
+    * them — never on the commit path.
     */
   def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
     import spark.implicits._
-    val files = spark.read.parquet(s"$path/manifest/v$v").as[String].collect()
+    val files = filesOf(spark, path, v).as[String].collect()
     require(files.nonEmpty, s"snapshot v$v of $path is empty or missing")
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** INCREMENTAL read: exactly the rows ADDED between versions `fromV`
-    * (exclusive) and `toV` (inclusive) — the manifest set difference, so
-    * the consumer of a snapshot table never rescans history (Iceberg's
-    * incremental scan / Delta's change feed for the append-only case).
-    * Exact because data files are immutable and append commits only ADD
-    * files: the difference IS the delta. A rewrite commit (compaction)
-    * breaks the append precondition by design — its manifest replaces
-    * the file set — so consumers pin their cursor to pre-compaction
-    * versions or resync, the same contract real table formats document.
+    * (exclusive) and `toV` (inclusive) — the CHUNK-LIST set difference,
+    * so the consumer of a snapshot table never rescans history
+    * (Iceberg's incremental scan / Delta's change feed for the
+    * append-only case). Exact because chunks are immutable and append
+    * commits only ADD a chunk: the list difference IS the delta, an
+    * O(commits) driver set difference that then opens ONLY the delta
+    * chunks — at 10⁶-file tables neither version's file list is ever
+    * read, much less materialized. A rewrite commit (compaction) breaks
+    * the append precondition by design — its list replaces the chunk
+    * set — so consumers pin their cursor to pre-compaction versions or
+    * resync, the same contract real table formats document.
     */
   def readBetween(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     import spark.implicits._
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
-    // The set difference runs as a Spark anti-join over the two manifest
-    // relations (manifests are parquet datasets, not driver lists), so
-    // the driver materializes O(delta) file paths — never either
-    // version's full list. At 10⁶-file tables the manifests are
-    // themselves data; only what the scan genuinely needs (the delta's
-    // paths, which must reach the reader anyway) ever leaves the cluster.
-    val upto = spark.read.parquet(s"$path/manifest/v$toV")
+    val upto = chunksOf(spark, path, toV)
+    val base = if (fromV == 0) Set.empty[String] else chunksOf(spark, path, fromV).toSet
+    val freshChunks = upto.filterNot(base)
     val fresh: IndexedSeq[String] =
-      (if (fromV == 0) upto
-       else upto.join(
-         spark.read.parquet(s"$path/manifest/v$fromV"), Seq("file"), "left_anti"))
-        .as[String].collect().toIndexedSeq
+      if (freshChunks.isEmpty) IndexedSeq.empty
+      else spark.read.parquet(freshChunks: _*).as[String].collect().toIndexedSeq
     // Empty delta: schema-correct empty frame off the target version's
     // own files (never the manifest's string schema).
     if (fresh.isEmpty) readAsOf(spark, path, toV).filter(lit(false))
@@ -411,7 +528,7 @@ object Snapshots {
       // day-cut contract — treat it as corrupt and restage from scratch.
       if (currentVersion(spark, base) > 0) {
         val f = fs(spark)
-        f.delete(new org.apache.hadoop.fs.Path(base), true)
+        f.delete(hpath(base), true)
       }
       val ev = Tables(spark, dir).events
         .select(col("event_id"), col("event_type"),
@@ -429,21 +546,12 @@ object Snapshots {
     base
   }
 
-  /** h10: TIME TRAVEL on the correctness gate — the same aggregate
-    * (rows per event type) answered against snapshots v1, v2 and v3 of
-    * the staged table, all three read AFTER every commit has landed.
-    * The oracle recomputes each version's answer from the raw table
-    * with the same day cuts, so the driver hash-checks that historical
-    * versions read back exactly the data they held at commit time —
-    * file sharing, manifest isolation and the append path all on one
-    * gate.
-    */
   /** h11: the INCREMENTAL-consumption contract on the correctness gate —
     * the delta between snapshots v1 and v3 of the staged table (i.e.
     * batches 2 and 3, never batch 1, never a rescan of v1's files)
     * aggregated per event type. The oracle re-derives "everything after
     * the first day cut" from the raw table, so the gate fails if the
-    * manifest set difference reads a byte too much or too little.
+    * chunk-list set difference reads a byte too much or too little.
     */
   def h11IncrementalRead(spark: SparkSession, dir: String): DataFrame = {
     val base = staged(spark, dir)
@@ -453,6 +561,15 @@ object Snapshots {
       .orderBy("event_type")
   }
 
+  /** h10: TIME TRAVEL on the correctness gate — the same aggregate
+    * (rows per event type) answered against snapshots v1, v2 and v3 of
+    * the staged table, all three read AFTER every commit has landed.
+    * The oracle recomputes each version's answer from the raw table
+    * with the same day cuts, so the driver hash-checks that historical
+    * versions read back exactly the data they held at commit time —
+    * file sharing, manifest isolation and the append path all on one
+    * gate.
+    */
   def h10TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val base = staged(spark, dir)
     val per = (1L to 3L).map { v =>

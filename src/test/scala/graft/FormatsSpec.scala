@@ -267,6 +267,72 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sources.Snapshots.removeOrphans(spark, p, graceMs = 0L) === 0)
   }
 
+  test("snapshots: two-tier manifests — commit writes O(batch) entries, chunks are shared") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_tier"
+    (1 to 4).foreach { i =>
+      sources.Snapshots.commit(spark, p,
+        Seq((i.toLong, "x"), (i + 10L, "y")).toDF("id", "v").repartition(2))
+    }
+    def list(v: Int): Seq[String] =
+      spark.read.parquet(s"$p/manifest/v$v").as[String].collect().toSeq
+    // The version manifest is a LIST OF CHUNKS — one row per commit, not
+    // one per file: the commit path never rewrites the table's file list.
+    assert(list(4).length === 4 && list(1).length === 1)
+    // Inherited history is REFERENCED, byte-shared: v4's list carries v1's
+    // chunk verbatim (no relisting of v1's entries anywhere in commit 4).
+    assert(list(4).contains(list(1).head))
+    // The newest chunk holds exactly the newest batch's files — the
+    // O(batch) guarantee at the entry tier.
+    val newChunk = (list(4).toSet -- list(3).toSet).head
+    val entries = spark.read.parquet(newChunk).as[String].collect()
+    assert(entries.length === spark.read.parquet(s"$p/data/batch-4").inputFiles.length)
+    assert(entries.forall(_.contains("batch-4")))
+    // The union of chunks still reads the whole table.
+    assert(sources.Snapshots.readAsOf(spark, p, 4L).count() === 8L)
+    // A rewrite's list is a single fresh chunk, and expiring history to it
+    // reclaims the de-listed chunks along with their files.
+    val v5 = sources.Snapshots.commitRewrite(
+      spark, p, sources.Snapshots.readAsOf(spark, p, 4L).coalesce(1))
+    assert(list(5).length === 1)
+    sources.Snapshots.expire(spark, p, keepFrom = v5)
+    val chunksLeft = new java.io.File(s"$p/manifest/chunks").listFiles().map(_.getName).toSet
+    assert(chunksLeft === list(5).map(c => new java.io.File(c).getName).toSet,
+      s"de-listed chunks must be reclaimed by expiry, got $chunksLeft")
+    assert(sources.Snapshots.readAsOf(spark, p, 5L).count() === 8L)
+  }
+
+  test("snapshots: slot publish is verified — a nested rename never reports committed") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_publish"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    sources.Snapshots.commit(spark, p, Seq((1L, "a")).toDF("id", "v"))
+    sources.Snapshots.commit(spark, p, Seq((2L, "b")).toDF("id", "v"))
+    // The ADVICE hazard: a paused writer whose stale claim was broken
+    // wakes and renames its staged list into slot v2 — which a new winner
+    // already filled. On the local FS that rename "succeeds" by NESTING
+    // the source inside the destination; publish must detect it via the
+    // owner marker, report failure, and leave the slot byte-exact.
+    val staged = s"$p/manifest/.staged-deadbeef-2"
+    Seq("bogus-chunk").toDF("chunk").coalesce(1).write.parquet(staged)
+    assert(!sources.Snapshots.publishStaged(f, staged, s"$p/manifest/v2", "deadbeef"))
+    // No pollution: the nested debris is gone and the slot still answers
+    // exactly the real winner's manifest (one chunk per commit, 2 rows).
+    assert(!new java.io.File(s"$p/manifest/v2/.staged-deadbeef-2").exists())
+    assert(spark.read.parquet(s"$p/manifest/v2").count() === 2L)
+    assert(sources.Snapshots.readAsOf(spark, p, 2L).count() === 2L)
+    // And a publish into a FREE slot lands with the marker at top level —
+    // the positive half of the verification.
+    val chunks2 = spark.read.parquet(s"$p/manifest/v2").as[String].collect().toSeq
+    val staged3 = s"$p/manifest/.staged-cafe-3"
+    chunks2.toDF("chunk").coalesce(1).write.parquet(staged3)
+    assert(sources.Snapshots.publishStaged(f, staged3, s"$p/manifest/v3", "cafe"))
+    assert(new java.io.File(s"$p/manifest/v3/_owner-cafe").exists())
+    assert(sources.Snapshots.readAsOf(spark, p, 3L).count() === 2L)
+  }
+
   test("snapshots: optimistic multi-writer commits — every racer lands, stale rewrite aborts") {
     val ss = spark
     import ss.implicits._

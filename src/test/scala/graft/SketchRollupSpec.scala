@@ -278,6 +278,27 @@ class SketchRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatched.count() === 0L)
   }
 
+  test("appendDelta refuses an unpartitioned cell store (double-count hazard)") {
+    import graft.operators.ExactRollup
+    val ss = spark
+    import ss.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv-flat").toString
+    val day = 86400000000000L
+    val rows = Seq((1L, "view", 100L, day, 1.0)).toDF(
+      "event_id", "event_type", "user_id", "ts", "value")
+    // Written WITHOUT partitionBy: dynamic overwrite against this layout
+    // would add day=N dirs while leaving the flat files in place —
+    // appendDelta must fail fast instead of silently double-counting.
+    ExactRollup.buildDailyFrom(rows)
+      .write.mode("overwrite").parquet(s"$tmp/cells_flat")
+    val e = intercept[IllegalArgumentException] {
+      ExactRollup.appendDelta(spark, s"$tmp/cells_flat", rows)
+    }
+    assert(e.getMessage.contains("day-partitioned"))
+    // And the store is byte-untouched: still exactly the flat build.
+    assert(spark.read.parquet(s"$tmp/cells_flat").count() === 1L)
+  }
+
   test("q27 keyed form: the SUM stat block answers from the cell store on gate data") {
     // Pins that the rewrite fires on the DRIVER's parquet (ts arrives as
     // the MICROS widening projection there, the shape the rule matches
