@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphIter, GraphOps, Relational}
+import graft.operators.{GraphIter, GraphOps, Louvain, Relational}
 import graft.functions.TextFuncs
 import graft.dedup.Dedup
 import graft.multimodal.Media
@@ -71,6 +71,8 @@ object SparkEntry {
     "g19_butterfly_count" -> ((s: SparkSession, d: String) => GraphOps.g19ButterflyCount(s, d)),
     "g20_link_prediction" -> ((s: SparkSession, d: String) => GraphOps.g20LinkPrediction(s, d)),
     "g21_temporal_reach" -> ((s: SparkSession, d: String) => GraphIter.g21TemporalReach(s, d)),
+    "g22_weighted_paths" -> ((s: SparkSession, d: String) => GraphIter.g22WeightedPaths(s, d)),
+    "g23_louvain"        -> Louvain.g23Louvain _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -2532,6 +2534,95 @@ object SparkEntry {
         |            ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
         |  CAST(dist AS BIGINT) AS dist
         |FROM m ORDER BY node""".stripMargin,
+    // g22: the same unrolled-relaxation shape as g9's BFS oracle, but the
+    // recursion carries the accumulated WEIGHT instead of the hop count —
+    // min over all ≤6-edge walks of the summed edge weights (the bounded-
+    // round Bellman-Ford semantics the Spark side computes). The state
+    // space stays tiny because weights are small integers: distinct
+    // (node, dist, r) triples are bounded by V × 43 × 7.
+    "g22_weighted_paths" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    GREATEST(1, 8 - CAST(count(DISTINCT l_orderkey) AS BIGINT)) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM e0 UNION SELECT dst, src, w FROM e0),
+        |relax AS (
+        |  SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist, 0 AS r
+        |  FROM supplier WHERE s_suppkey < 5
+        |  UNION
+        |  SELECT e.dst AS node, relax.dist + e.w AS dist, relax.r + 1 AS r
+        |  FROM relax JOIN e ON relax.node = e.src WHERE relax.r < 6),
+        |m AS (SELECT node, min(dist) AS dist FROM relax GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM m ORDER BY node""".stripMargin,
+    // g23: deterministic Louvain, unrolled — the same parity-gated
+    // integer local-move algebra as operators.Louvain, one generated CTE
+    // chain per round (the rounds are mechanical), then the community
+    // contraction, two level-2 rounds, and the fold + min-member
+    // canonicalization. (SELECT SUM(w) FROM e) is 2m throughout — the
+    // contraction preserves total weight.
+    "g23_louvain" -> {
+      def round(i: Int, prev: String, e: String, k: String, parity: Int): String =
+        s"""cd$i AS MATERIALIZED (SELECT com, SUM(k) AS cd FROM $prev JOIN $k USING (node) GROUP BY com),
+           |kic$i AS MATERIALIZED (
+           |  SELECT e.src AS node, l.com AS c, SUM(e.w) AS kic
+           |  FROM $e e JOIN $prev l ON e.dst = l.node WHERE e.src <> e.dst GROUP BY 1, 2),
+           |best$i AS MATERIALIZED (
+           |  SELECT node, c AS bc, score AS bscore FROM (
+           |    SELECT q.*, row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
+           |    FROM (
+           |      SELECT kic.node, kic.c,
+           |        (SELECT SUM(w) FROM e) * kic.kic -
+           |          k.k * (cd.cd - CASE WHEN l.com = kic.c THEN k.k ELSE CAST(0 AS BIGINT) END) AS score
+           |      FROM kic$i kic
+           |      JOIN $k k ON k.node = kic.node
+           |      JOIN $prev l ON l.node = kic.node
+           |      JOIN cd$i cd ON cd.com = kic.c) q) WHERE rn = 1),
+           |stay$i AS MATERIALIZED (
+           |  SELECT l.node, l.com,
+           |    (SELECT SUM(w) FROM e) * COALESCE(kic.kic, CAST(0 AS BIGINT)) -
+           |      k.k * (cd.cd - k.k) AS sscore
+           |  FROM $prev l JOIN $k k ON k.node = l.node JOIN cd$i cd ON cd.com = l.com
+           |  LEFT JOIN kic$i kic ON kic.node = l.node AND kic.c = l.com),
+           |l$i AS MATERIALIZED (
+           |  SELECT s.node,
+           |    CASE WHEN s.node % 2 = $parity AND b.bscore > s.sscore THEN b.bc ELSE s.com END AS com
+           |  FROM stay$i s LEFT JOIN best$i b ON b.node = s.node)""".stripMargin
+      val l1rounds = (1 to 4).map(i => round(i, s"l${i - 1}", "e", "k", i % 2)).mkString(",\n")
+      val l2rounds = Seq(
+        round(5, "l20", "e2", "k2", 1),
+        round(6, "l5", "e2", "k2", 0)).mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+         |k AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM e GROUP BY 1),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS com FROM e),
+         |$l1rounds,
+         |e2 AS MATERIALIZED (
+         |  SELECT ls.com AS src, ld.com AS dst, SUM(e.w) AS w
+         |  FROM e JOIN l4 ls ON e.src = ls.node JOIN l4 ld ON e.dst = ld.node
+         |  GROUP BY 1, 2),
+         |k2 AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM e2 GROUP BY 1),
+         |l20 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS com FROM e2),
+         |$l2rounds,
+         |fold AS MATERIALIZED (
+         |  SELECT l4.node, COALESCE(r.com, l4.com) AS com
+         |  FROM l4 LEFT JOIN l6 r ON r.node = l4.com),
+         |canon AS MATERIALIZED (SELECT com, MIN(node) AS community FROM fold GROUP BY com)
+         |SELECT
+         |  CASE WHEN f.node % 2 = 0 THEN 'c_' || CAST(f.node // 2 AS VARCHAR)
+         |       ELSE 's_' || CAST(f.node // 2 AS VARCHAR) END AS node,
+         |  CASE WHEN c.community % 2 = 0 THEN 'c_' || CAST(c.community // 2 AS VARCHAR)
+         |       ELSE 's_' || CAST(c.community // 2 AS VARCHAR) END AS community
+         |FROM fold f JOIN canon c ON c.com = f.com
+         |ORDER BY node""".stripMargin
+    },
     "d10_semantic_dedup" ->
       """WITH ct AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
         |            FROM embeddings WHERE vec_id < 8),

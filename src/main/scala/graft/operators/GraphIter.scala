@@ -148,7 +148,6 @@ object GraphIter {
           concat(lit("c_"), expr("label DIV 2").cast("string")))
           .otherwise(concat(lit("s_"), expr("label DIV 2").cast("string")))
           .as("component"))
-      .orderBy("node")
   }
 
   /** g5: components of the customer→nation→region tree — community
@@ -166,7 +165,6 @@ object GraphIter {
       .select(col("n_name").as("src"), col("r_name").as("dst"))
     connectedComponents(custEdges.unionByName(nationEdges))
       .select(col("node"), col("label").as("component"))
-      .orderBy("node")
   }
 
   /** Power-iteration PageRank over an undirected edge list, fixed iteration
@@ -300,7 +298,6 @@ object GraphIter {
           .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
           .as("node"),
         col("rank").as("rank_micro"))
-      .orderBy("node")
   }
 
   /** Personalized PageRank in the same exact integer micro-units as
@@ -380,7 +377,6 @@ object GraphIter {
           .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
           .as("node"),
         col("rank").as("rank_micro"))
-      .orderBy("node")
   }
 
   /** Bounded multi-source BFS over an undirected edge list: the distance
@@ -481,6 +477,137 @@ object GraphIter {
     settled
   }
 
+  /** Generalized bounded-round MIN-RELAXATION traversal — the reusable
+    * superstep under g9's BFS, g21's temporal reach, and g22's weighted
+    * shortest paths, exposed as an API so a NEW pattern (the Cypher
+    * `MATCH (a)-[r1]->(x)-[r2]->(b) WHERE <per-edge predicates>` shape
+    * the reference runs in Neo4j, mysql2neo4j.py:262/:381) is one
+    * `relax` lambda instead of a new operator.
+    *
+    * Contract: `edges` is a directed edge table `(src, dst, <property
+    * columns>)` (symmetrize first for undirected semantics); `init` is
+    * `(node, state: long)`; `relax(state, round)` is a Column over the
+    * edge's property columns and the source node's current `state`,
+    * producing the candidate state the edge offers its `dst` — or NULL
+    * to refuse the edge (the per-edge/per-hop predicate). States fold by
+    * MIN, so after R rounds `state(n)` = min over all ≤R-edge walks from
+    * an init node to `n` of the folded relax chain — exact for any
+    * monotone relax (candidate ≥ source state): hop count (`s + 1`),
+    * non-negative edge weights (`s + w`), foremost arrival times
+    * (`IF(d ≥ s, d, NULL)`).
+    *
+    * Scale shape: per round ONE equijoin of the frontier against the
+    * src-pinned edge list, a map-side-combined min per dst, and a min
+    * fold into the running state table — O(frontier-degree sum) work,
+    * never path enumeration. With `earlyExit` the frontier is only the
+    * nodes whose state IMPROVED (one extra join + an isEmpty action per
+    * round — Dijkstra-ish work bounds, the right default for converging
+    * relaxations); without it the frontier is the raw candidate table
+    * and rounds run fixed (the g10/g12 fixed-round discipline — no
+    * per-round driver action at all, right for small known round
+    * counts). Results are identical either way: min-folding makes
+    * re-relaxation idempotent. Every round's tables are eagerly
+    * checkpointed; lineage stays O(1) in depth.
+    */
+  def minRelaxTraverse(
+      edges: DataFrame,
+      init: DataFrame,
+      maxRounds: Int,
+      earlyExit: Boolean = true)(
+      relax: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    var dist = init.select(col("node"), col("state"))
+      .groupBy("node").agg(min("state").as("state"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val cand = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), relax(col("state"), round).as("state"))
+        .filter(col("state").isNotNull)
+        .groupBy("node").agg(min("state").as("state"))
+      val next = dist.unionByName(cand)
+        .groupBy("node").agg(min("state").as("state"))
+        .localCheckpoint(true)
+      val nextFrontier =
+        if (earlyExit) {
+          // Improved-only frontier: nodes strictly below their previous
+          // state (or newly reached) — the only sources that can still
+          // produce a better walk next round.
+          val improved = next
+            .join(dist.withColumnRenamed("state", "prev"), Seq("node"), "left")
+            .filter(col("prev").isNull || col("state") < col("prev"))
+            .select("node", "state")
+            .localCheckpoint(true)
+          done = improved.isEmpty
+          improved
+        } else cand.localCheckpoint(true)
+      if (frontier ne dist) frontier.unpersist()
+      dist.unpersist()
+      dist = next
+      frontier = nextFrontier
+    }
+    if (frontier ne dist) frontier.unpersist()
+    e.unpersist()
+    dist
+  }
+
+  /** Weighted single-source(-set) shortest paths — the GDS
+    * `shortestPath`/Dijkstra capability over NON-NEGATIVE integer edge
+    * weights, as bounded-round synchronous Bellman–Ford on
+    * [[minRelaxTraverse]]: after `rounds` rounds each node holds the
+    * exact min-cost over all walks of ≤ `rounds` edges from the seed
+    * set (the fixed-round semantics both this and the unrolled oracle
+    * compute — deterministic whether or not the relaxation has
+    * converged; with `earlyExit` it stops as soon as no state improves,
+    * at which point the answer IS the unbounded shortest path).
+    * Undirected: edges symmetrize here; parallel edges keep the
+    * cheapest weight.
+    */
+  def weightedShortestPaths(
+      edges: DataFrame, seeds: DataFrame, rounds: Int = 6): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+    val init = seeds.select(col("node")).distinct().withColumn("state", lit(0L))
+    minRelaxTraverse(sym, init, rounds)((s, _) => s + col("w"))
+      .select(col("node"), col("state").as("dist"))
+  }
+
+  /** g22: WEIGHTED shortest paths from the hub suppliers (s_suppkey < 5)
+    * over the customer–supplier graph, the reference's overlap-strength
+    * idea as traversal cost: edge weight = `greatest(1, 8 −
+    * n_distinct_orders)` between the pair, so heavily-transacting
+    * relationships are CHEAP to cross and one-off ones EXPENSIVE (the
+    * interval-overlap relationship weighting of mysql2neo4j.py:268-357,
+    * inverted into a distance). Integer weights in [1, 7]; 6 relaxation
+    * rounds (g9's depth budget); min-cost can and does route around
+    * hop-shorter-but-weight-heavier paths — the thing g9's unweighted
+    * BFS cannot express. Same packed-long bipartite ids as g6/g9,
+    * decoded only on the final result.
+    */
+  def g22WeightedPaths(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(greatest(lit(1L), lit(8L) - countDistinct(col("l_orderkey"))).as("w"))
+    val seeds = t.supplier.filter(col("s_suppkey") < 5)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    weightedShortestPaths(edges, seeds, rounds)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("dist"))
+  }
+
   /** Shared substrate of the landmark centralities (g16/g17): the packed
     * customer–supplier edge list, the fixed landmark seed set
     * (s_suppkey < 4), and the labeled BFS over them. One definition, so
@@ -517,7 +644,6 @@ object GraphIter {
       .groupBy("node")
       .agg(sum(expr("1000000 DIV dist")).as("h_micro"))
       .select(decodePacked(col("node")).as("node"), col("h_micro"))
-      .orderBy("node")
 
   /** g16: landmark closeness centrality on the customer–supplier graph —
     * per node, how many of the fixed landmark suppliers reach it within
@@ -534,7 +660,6 @@ object GraphIter {
       .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"))
       .select(decodePacked(col("node")).as("node"),
         col("n_reached"), col("sum_dist"))
-      .orderBy("node")
 
   /** Synchronous label propagation over an undirected edge list: labels
     * start as the node id; each superstep every node adopts the most
@@ -619,7 +744,6 @@ object GraphIter {
         .otherwise(concat(lit("s_"), shiftright(c, 1).cast("string")))
     labelPropagation(edges, cadence = 4)
       .select(decode(col("node")).as("node"), decode(col("label")).as("label"))
-      .orderBy("node")
   }
 
   /** g9: hop distance from the "hub" suppliers (s_suppkey < 5) to every
@@ -646,7 +770,6 @@ object GraphIter {
           .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
           .as("node"),
         col("dist"))
-      .orderBy("node")
   }
 
   /** Bounded-round k-core peeling over an undirected edge list: each
@@ -712,7 +835,6 @@ object GraphIter {
           .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
           .as("node"),
         col("deg"))
-      .orderBy("node")
   }
 
   /** g7: per-node triangle counts on the same-nation supplier co-purchase
@@ -740,7 +862,6 @@ object GraphIter {
     t.supplier.select(col("s_suppkey").as("suppkey"))
       .join(perNode, Seq("suppkey"), "left")
       .select(col("suppkey"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-      .orderBy("suppkey")
   }
 
   /** Ordered (a < b) same-nation supplier co-purchase edges — g7's graph,
@@ -809,7 +930,6 @@ object GraphIter {
         when(col("deg") >= 2,
           expr("(2 * n_triangles * 1000000) DIV (deg * (deg - 1))"))
           .otherwise(lit(0L)))
-      .orderBy("suppkey")
   }
 
   /** g21: TEMPORAL (time-respecting) reachability — foremost-arrival BFS
@@ -858,31 +978,29 @@ object GraphIter {
     * can pin the time-respecting semantics on a crafted graph (an edge
     * that precedes the taint's arrival must NOT relay it — exactly what
     * static reachability gets wrong).
+    *
+    * Expressed through [[minRelaxTraverse]] (hand-rolled supersteps
+    * until r13): foremost arrival IS the min-relaxation with
+    * `relax(s) = IF(d ≥ s, d, NULL)` — the time predicate is the
+    * per-edge refusal, the foremost fold is the min. Three fixed rounds
+    * (customer→supplier→customer→supplier), no early-exit action, same
+    * packed-long bipartite encoding as g6/g9; output contract (side,
+    * node_id, foremost_day) and values are bit-identical to the
+    * unrolled form (driver gate + crafted spec pin it).
     */
   def temporalReachCore(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    // Round 1: seed customers contaminate suppliers at the first shipment
-    // on/after their arrival.
-    val sArr1 = edges.join(seeds, Seq("c"))
-      .filter(col("d") >= col("arr"))
-      .groupBy(col("s")).agg(min(col("d")).as("arr"))
-      .localCheckpoint(true)
-    // Round 2: contaminated suppliers reach customers via later shipments.
-    val cArr = edges.join(sArr1, Seq("s"))
-      .filter(col("d") >= col("arr"))
-      .groupBy(col("c")).agg(min(col("d")).as("arr"))
-      // Seeds stay foremost at their own arrival (min with 0).
-      .unionByName(seeds)
-      .groupBy(col("c")).agg(min(col("arr")).as("arr"))
-      .localCheckpoint(true)
-    // Round 3: suppliers again — earlier of round 1 or a fresh relay.
-    val sArr2 = edges.join(cArr, Seq("c"))
-      .filter(col("d") >= col("arr"))
-      .groupBy(col("s")).agg(min(col("d")).as("arr"))
-      .unionByName(sArr1)
-      .groupBy(col("s")).agg(min(col("arr")).as("arr"))
-    cArr.select(lit("customer").as("side"), col("c").as("node_id"), col("arr").as("foremost_day"))
-      .unionByName(sArr2.select(lit("supplier").as("side"), col("s").as("node_id"),
-        col("arr").as("foremost_day")))
-      .orderBy("side", "node_id")
+    val sym = edges
+      .select((col("c").cast("long") * 2).as("src"),
+        (col("s").cast("long") * 2 + 1).as("dst"), col("d"))
+      .unionByName(edges.select((col("s").cast("long") * 2 + 1).as("src"),
+        (col("c").cast("long") * 2).as("dst"), col("d")))
+    val init = seeds.select((col("c").cast("long") * 2).as("node"), col("arr").as("state"))
+    minRelaxTraverse(sym, init, maxRounds = 3, earlyExit = false)(
+      (s, _) => when(col("d") >= s, col("d")))
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("side"),
+        shiftright(col("node"), 1).as("node_id"),
+        col("state").as("foremost_day"))
   }
 }

@@ -288,7 +288,6 @@ object GraphOps {
       .distinct()
       .groupBy(col("custkey"))
       .agg(count(lit(1)).as("degree"))
-      .orderBy("custkey")
   }
 
   /** g4: 2-hop neighborhood size — customers reachable through a shared
@@ -354,7 +353,6 @@ object GraphOps {
         .select(col("custkey"),
           (org.apache.spark.sql.graft.BitmapAggregates
             .blobUnionCount(col("sbm"), blob) - 1L).as("n_two_hop"))
-        .orderBy("custkey")
     } else {
       // Large-middle fallback: shuffle join on suppkey, then the
       // customer-side OR-union aggregate (in-place byte OR, no per-row
@@ -363,7 +361,6 @@ object GraphOps {
         .groupBy("custkey")
         .agg((org.apache.spark.sql.graft.BitmapAggregates
           .bitmapOrCount(col("bm")) - 1L).as("n_two_hop"))
-        .orderBy("custkey")
     }
   }
 
@@ -393,7 +390,6 @@ object GraphOps {
       .select(col("a.custkey").as("custkey"), col("b.custkey").as("other"))
       .groupBy("custkey")
       .agg((approx_count_distinct(col("other"), rsd) - 1L).as("n_two_hop_approx"))
-      .orderBy("custkey")
   }
 
   /** g8: iterative parent-pointer expansion over a generic child→parent
@@ -452,7 +448,6 @@ object GraphOps {
       .select(col("n_name").as("child"), col("r_name").as("parent"))
     expandHierarchy(custEdges.unionByName(nationEdges))
       .select("node", "ancestor", "depth", "path")
-      .orderBy("node", "depth", "ancestor")
   }
 
   /** g13: node similarity on the supplier side of the bipartite purchase
@@ -518,7 +513,6 @@ object GraphOps {
       .filter(col("rank") <= k)
       .select(col("s1").as("node"), col("s2").as("neighbor"),
         col("common"), col("jaccard_micro"), col("rank"))
-      .orderBy("node", "rank")
   }
 
   /** g20: LINK PREDICTION by the Resource-Allocation index (Zhou, Lü &
@@ -585,7 +579,6 @@ object GraphOps {
       .filter(col("rank") <= k)
       .select(col("s1").as("node"), col("s2").as("neighbor"),
         col("common"), col("ra_nano"), col("rank"))
-      .orderBy("node", "rank")
   }
 
   /** g11: news co-occurrence EDGES from the typed extraction — the step
@@ -637,7 +630,6 @@ object GraphOps {
           "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))")).as("p"))
       .groupBy(col("p.p1").as("person1"), col("p.p2").as("person2"))
       .agg(count(lit(1)).as("n_items"))
-      .orderBy("person1", "person2")
   }
 
   /** g19: BUTTERFLY counts per supplier — the bipartite analog of
@@ -691,7 +683,6 @@ object GraphOps {
     butterflyCount(edges, blockThreshold, nBlocks, centerCap)
       .join(t.supplier.select(col("s_suppkey").as("suppkey")), Seq("suppkey"), "right")
       .select(col("suppkey"), coalesce(col("n_butterflies"), lit(0L)).as("n_butterflies"))
-      .orderBy("suppkey")
   }
 
   /** Core of [[g19ButterflyCount]] over an arbitrary bipartite edge list

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic fixed-round LOUVAIN community detection (Blondel,
+  * Guillaume, Lambiotte & Lefebvre 2008, "Fast unfolding of communities
+  * in large networks") — the modularity-optimizing member of the
+  * community family (g5 CC / g10 LPA / g12 k-core cover the rest), the
+  * one a Neo4j GDS user reaches for first against the reference's
+  * relationship graph (mysql2neo4j.py loads exactly such a colleague/
+  * hometown graph for community browsing).
+  *
+  * Every stochastic degree of freedom in textbook Louvain is pinned so
+  * the result is ENGINE-REPRODUCIBLE and a DuckDB oracle can unroll the
+  * identical algebra (the g10/g12 fixed-round discipline):
+  *
+  *   - SYNCHRONOUS local moves: every node scores against the
+  *     round-START labels; moves apply simultaneously (no sequential
+  *     visit order to agree on);
+  *   - PARITY GATING: round r only lets nodes with `node % 2 == r % 2`
+  *     move — the red/blue coloring that breaks the two-node swap
+  *     oscillation synchronous label updates are prone to,
+  *     deterministically;
+  *   - INTEGER modularity gain: moving i into community c is scored as
+  *     `2m·k_{i,c} − k_i·(Σ_c − k_i·[i∈c])` — the ΔQ numerator over the
+  *     common 1/(2m)² denominator, exact in 64-bit integers for integer
+  *     edge weights (a floating ΔQ would flap argmax ties across
+  *     engines); ties break on the SMALLEST community id; a move needs
+  *     a STRICTLY better score than staying;
+  *   - fixed round counts per level and ONE explicit contraction
+  *     (communities → super-nodes, weights summed, intra-community
+  *     mass as self-loops), then the same rule on the contracted graph.
+  *
+  * Scale shape: each round is one k_{i,c} aggregate over the edge list
+  * (map-side combined), one community-degree aggregate over the label
+  * table, a struct-argmax per node, and the gated label update —
+  * O(E) + O(V) per round, no pair enumeration, lineage cut per round by
+  * eager checkpoints. The contraction SHRINKS the edge list to one row
+  * per community pair, so level 2 is strictly cheaper than level 1 —
+  * the property that makes multi-level Louvain viable at 100 TB.
+  */
+object Louvain {
+
+  /** `rounds` synchronous parity-gated local-move rounds over a
+    * SYMMETRIC weighted edge list `(src, dst, w)` (both directions
+    * present; intra-node mass as `src == dst` self-loop rows, already
+    * direction-doubled), starting from `labels0 (node, com)`.
+    * `twoM` = total symmetric weight Σ w (= 2m). `parity0` offsets the
+    * gate so a second level can continue the alternation.
+    */
+  private def localMoveRounds(
+      sym: DataFrame,
+      labels0: DataFrame,
+      rounds: Int,
+      twoM: Long,
+      parity0: Int = 1): DataFrame = {
+    // Weighted degree INCLUDING self-loops (a contracted community's
+    // internal mass travels with it; it cancels in score differences but
+    // must be consistent on both sides of every comparison).
+    val k = sym.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+      .localCheckpoint(true)
+    var labels = labels0.localCheckpoint(true)
+    (0 until rounds).foreach { i =>
+      val parity = (parity0 + i) % 2
+      val comdeg = labels.join(k, Seq("node"))
+        .groupBy("com").agg(sum("k").as("cd"))
+      // k_{i,c}: weight from i to community c over its NEIGHBORS (self
+      // loops excluded — a node's own mass is not a vote for a
+      // community; it stays internal wherever the node goes).
+      val kic = sym.filter(col("src") =!= col("dst"))
+        .join(labels.select(col("node").as("dst"), col("com").as("c")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("c")).agg(sum("w").as("kic"))
+        .localCheckpoint(true)
+      // Candidate score per neighbor community; Σ_c drops k_i when c is
+      // already i's community (i must not count against itself).
+      val cand = kic
+        .join(k, Seq("node"))
+        .join(labels, Seq("node"))
+        .join(comdeg.withColumnRenamed("com", "c"), Seq("c"))
+        .select(col("node"), col("c"),
+          (lit(twoM) * col("kic") -
+            col("k") * (col("cd") -
+              when(col("com") === col("c"), col("k")).otherwise(lit(0L)))).as("score"))
+      // argmax by (score desc, community asc) — the negation trick turns
+      // min-id ties into a plain struct max (the g10 argmax shape).
+      val best = cand
+        .groupBy("node")
+        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("bc"), col("m.score").as("bscore"))
+      // Staying score under the SAME algebra (k_{i,cur} may be absent —
+      // no neighbor left in the current community scores as 0).
+      val stay = labels
+        .join(k, Seq("node"))
+        .join(comdeg, Seq("com"))
+        .join(kic.withColumnRenamed("c", "com"), Seq("node", "com"), "left")
+        .select(col("node"), col("com"),
+          (lit(twoM) * coalesce(col("kic"), lit(0L)) -
+            col("k") * (col("cd") - col("k"))).as("sscore"))
+      val next = stay
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(parity) &&
+            col("bscore") > col("sscore"), col("bc"))
+            .otherwise(col("com")).as("com"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      kic.unpersist()
+      labels = next
+    }
+    k.unpersist()
+    labels
+  }
+
+  /** Two-level deterministic Louvain over a symmetric weighted edge list
+    * (no self-loops expected at level 1). Returns `(node, community)`
+    * with the community CANONICALIZED to its minimum member node id —
+    * stable across engines and levels, like CC labels.
+    */
+  def louvain(
+      sym: DataFrame,
+      level1Rounds: Int = 4,
+      level2Rounds: Int = 2): DataFrame = {
+    val e1 = sym.localCheckpoint(true)
+    val twoM = e1.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    val init = e1.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("com"))
+    val l1 = localMoveRounds(e1, init, level1Rounds, twoM, parity0 = 1)
+    // EXPLICIT CONTRACTION: communities become super-nodes; inter-
+    // community weights sum (symmetry is preserved — both directions of
+    // an edge map consistently); intra-community mass lands on the
+    // (c, c) self-loop, direction-doubled exactly like every other row.
+    val e2 = e1
+      .join(l1.select(col("node").as("src"), col("com").as("cs")), Seq("src"))
+      .join(l1.select(col("node").as("dst"), col("com").as("cd2")), Seq("dst"))
+      .groupBy(col("cs").as("src"), col("cd2").as("dst"))
+      .agg(sum("w").as("w"))
+      .localCheckpoint(true)
+    val init2 = e2.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("com"))
+    val l2 = localMoveRounds(
+      e2, init2, level2Rounds, twoM, parity0 = (1 + level1Rounds) % 2)
+    // Fold levels: node → level-1 community → level-2 community, then
+    // canonicalize each final community to its min member.
+    val folded = l1.select(col("node"), col("com").as("c1"))
+      .join(l2.select(col("node").as("c1"), col("com")), Seq("c1"), "left")
+      .select(col("node"), coalesce(col("com"), col("c1")).as("com"))
+    e1.unpersist(); e2.unpersist()
+    folded.select(col("node"), col("com"))
+      .join(
+        folded.groupBy("com").agg(min("node").as("community")), Seq("com"))
+      .select(col("node"), col("community"))
+  }
+
+  /** g23: Louvain on the packed customer–supplier graph, edge weight =
+    * number of distinct orders between the pair (the tie-strength
+    * weighting of the reference's relationship properties,
+    * mysql2neo4j.py:268-357). 4 level-1 rounds + contraction + 2
+    * level-2 rounds, output decoded to the same display ids as g5/g10;
+    * community = min member node (CC-style canonical label).
+    */
+  def g23Louvain(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(countDistinct(col("l_orderkey")).as("w"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    def decode(c: Column) =
+      when(pmod(c, lit(2)) === 0, concat(lit("c_"), shiftright(c, 1).cast("string")))
+        .otherwise(concat(lit("s_"), shiftright(c, 1).cast("string")))
+    louvain(sym)
+      .select(decode(col("node")).as("node"), decode(col("community")).as("community"))
+  }
+}

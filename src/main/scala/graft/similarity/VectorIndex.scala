@@ -44,6 +44,22 @@ object VectorIndex {
       .getOrElse(throw new IllegalStateException(s"no bucket count in $metaPath: $meta"))
   }
 
+  /** The argmax-cell assignment of a vector batch against a centroid
+    * matrix — the ONE definition both [[build]] and [[append]] write
+    * through (and the spec replays), so the incremental path can never
+    * drift from the bulk one.
+    */
+  private[graft] def assignCells(embeddings: DataFrame, cdf: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id").asc)
+    embeddings
+      .crossJoin(broadcast(cdf))
+      .withColumn("c_sim", Ann.cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+  }
+
   /** Train deterministic spherical k-means centroids on `embeddings`
     * ((vec_id, embedding) rows) and persist centroids + the bucketed
     * cell assignment. `buckets` sizes the probe parallelism — on a
@@ -64,15 +80,7 @@ object VectorIndex {
     fs.delete(new org.apache.hadoop.fs.Path(cellsPath(path)), true)
     // Assign from the STORED centroids so the index is internally
     // consistent with what query() will read back.
-    val cdf = spark.read.parquet(centroidsPath(path))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cent_id").asc)
-    embeddings
-      .crossJoin(broadcast(cdf))
-      .withColumn("c_sim", Ann.cosine(col("embedding"), col("c_emb")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+    assignCells(embeddings, spark.read.parquet(centroidsPath(path)))
       .write
       .mode("overwrite")
       .format("parquet")
@@ -96,19 +104,26 @@ object VectorIndex {
     * quantizer is fixed at build time — the standard IVF ingest contract;
     * re-train with [[build]] when drift warrants it) and bucketed-append
     * into the cell layout, O(batch) like every graft ingest path.
+    *
+    * Precondition (ENFORCED, the TermIndex.append contract): the batch's
+    * vec_ids are disjoint from the indexed corpus. A re-appended vec_id
+    * would silently duplicate its cell row — every probe would then rank
+    * it twice and k-th place would be wrong by one — so the batch is
+    * semi-checked against the stored cells (a batch-sized probe, O(batch)
+    * like the append itself) and a violation fails loudly.
     */
   def append(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
     val cdf = centroids(spark, path)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cent_id").asc)
-    cellTable(spark, path) // ensure registered before bucketed append
+    val existing = cellTable(spark, path) // ensure registered before bucketed append
     val buckets = readBuckets(spark, path)
-    embeddings
-      .crossJoin(broadcast(cdf))
-      .withColumn("c_sim", Ann.cosine(col("embedding"), col("c_emb")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding").as("emb"), col("cent_id").as("cell"))
+    val dup = embeddings.select(col("vec_id"))
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"VectorIndex.append: vec_id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        s"is already indexed at $path — appends must be disjoint " +
+        "(rebuild or dedup the batch first)")
+    assignCells(embeddings, cdf)
       .write
       .mode("append")
       .format("parquet")
@@ -116,6 +131,52 @@ object VectorIndex {
       .sortBy("cell")
       .option("path", cellsPath(path))
       .saveAsTable(cellTableName(path))
+  }
+
+  /** COMPACT the appended cell layout: every append leaves one file per
+    * (task × touched bucket), so a long-lived index accretes small files
+    * and the probe's scan cost drifts up. Rewrite the cells through the
+    * SAME bucket spec — pre-partitioned by the bucket hash so each task
+    * holds exactly one bucket and writes exactly one file — then swap
+    * directories via the backup-rename discipline (Layout.compact's
+    * crash-safe pattern: the original or the compacted layout exists at
+    * every instant, never neither). Content, bucket count and the
+    * exchange-free probe plan are all preserved (spec-pinned); only the
+    * file count changes. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val name = cellTableName(path)
+    val buckets = readBuckets(spark, path)
+    val cp = new Path(cellsPath(path))
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: Path): Int =
+      fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetCount(cp)
+    val tmp = new Path(cellsPath(path) + ".compact-tmp")
+    val tmpName = name + "_ctmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // repartition by the bucket columns into exactly `buckets` partitions:
+    // HashPartitioning and the bucket spec share the murmur3 pmod, so each
+    // task carries one bucket's rows and the write emits one file per
+    // bucket — the canonical compacted layout.
+    cellTable(spark, path)
+      .repartition(buckets, col("cell"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .option("path", tmp.toString)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName") // external: data stays
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val bak = new Path(cellsPath(path) + ".compact-bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(cp, bak), s"backup rename failed for $cp")
+    require(fs.rename(tmp, cp), s"atomic swap failed for $cp")
+    fs.delete(bak, true)
+    cellTable(spark, path) // re-register over the compacted layout
+    (before, parquetCount(cp))
   }
 
   /** The bucketed cell assignment, re-registered in this session's

@@ -190,6 +190,45 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("vector index lifecycle: guarded-disjoint append folds == rebuild, compaction is content-identical") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecidx-life").toString
+    val emb = Tables(spark, dir).embeddings
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    similarity.VectorIndex.build(spark, b1, s"$tmp/idx")
+    similarity.VectorIndex.append(spark, b2, s"$tmp/idx")
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Fold == rebuild under the FIXED quantizer: the incrementally-built
+    // cell table must equal assigning the whole corpus against the stored
+    // centroids in one shot (the SignatureIndex append==rebuild contract).
+    val expected = cellsOf(similarity.VectorIndex.assignCells(
+      emb, similarity.VectorIndex.centroids(spark, s"$tmp/idx")))
+    assert(cellsOf(similarity.VectorIndex.cellTable(spark, s"$tmp/idx")) === expected)
+    // Re-appending an indexed vec_id must fail LOUDLY (a silent duplicate
+    // cell row would double-rank that vector in every probe).
+    val e = intercept[IllegalArgumentException] {
+      similarity.VectorIndex.append(spark, b2.limit(1), s"$tmp/idx")
+    }
+    assert(e.getMessage.contains("disjoint"))
+    // Compaction: strictly fewer files (one per bucket), identical cell
+    // content, identical query answers — layout maintenance, never a
+    // semantic change.
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val preQ = similarity.VectorIndex.query(spark, queries, s"$tmp/idx")
+      .collect().map(_.toString).toSeq
+    val (nBefore, nAfter) = similarity.VectorIndex.compact(spark, s"$tmp/idx")
+    assert(nAfter <= 8 && nAfter < nBefore,
+      s"compaction must collapse to ≤1 file per bucket: $nBefore -> $nAfter")
+    assert(cellsOf(similarity.VectorIndex.cellTable(spark, s"$tmp/idx")) === expected)
+    val postQ = similarity.VectorIndex.query(spark, queries, s"$tmp/idx")
+      .collect().map(_.toString).toSeq
+    assert(postQ === preQ, "compaction changed query answers")
+  }
+
   test("filtered query inside the IVF tier: pre-filter under the cell probe, post-filter starves") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-vecidx-filt").toString

@@ -923,6 +923,64 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a contact BEFORE the supplier's arrival must not relay the taint")
   }
 
+  test("g22 weighted paths: min-cost routes around hop-shorter paths, rounds bound the walk") {
+    val ss = spark
+    import ss.implicits._
+    // Direct 1→2 costs 10; the two-hop detour 1→3→2 costs 3. A chain
+    // 1→4→5→6 (1 each) beats the direct w=100 edge. Node 7 is isolated.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L),
+      (1L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (1L, 6L, 100L)
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def run(rounds: Int): Map[Long, Long] =
+      operators.GraphIter.weightedShortestPaths(edges, seeds, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = run(6)
+    assert(full === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    assert(!full.contains(7L), "an unreachable node must be absent, not zero/∞")
+    // Bounded-round semantics pinned: with 1 round only single edges
+    // count (node 2 at its direct weight 10); with 2 the detour wins.
+    assert(run(1) === Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 4L -> 1L, 6L -> 100L))
+    // Round 2: the detour to 2 lands (1→3→2 = 3); node 6 still only has
+    // its direct w=100 edge (the 3-edge chain needs round 3).
+    assert(run(2)(2L) === 3L && run(2)(5L) === 2L && run(2)(6L) === 100L)
+  }
+
+  test("g23 louvain: two triangles joined by a bridge split into the modularity communities") {
+    val ss = spark
+    import ss.implicits._
+    // The canonical modularity fixture: triangles {1,2,3} and {4,5,6}
+    // joined by one bridge 3–4. The modularity optimum is the two
+    // triangles (merging across the bridge loses; singletons lose);
+    // any community scheme that can't find it isn't doing modularity.
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }
+    val sym = (e0 ++ e0.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    val got = operators.Louvain.louvain(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"expected the two-triangle split with min-member labels, got $got")
+  }
+
+  test("minRelaxTraverse: per-hop edge predicates express a Cypher MATCH no fixed shape covers") {
+    val ss = spark
+    import ss.implicits._
+    // MATCH (a)-[:A]->(x)-[:B]->(b): hop 1 may only cross label-A edges,
+    // hop 2 only label-B — per-round refusal via a NULL relax. 1-[B]->4
+    // must not be entered on hop 1 even though it exists; 2-[A]->5 must
+    // not be entered on hop 2.
+    val edges = Seq(
+      (1L, 2L, "A"), (2L, 3L, "B"), (1L, 4L, "B"), (2L, 5L, "A")
+    ).toDF("src", "dst", "lbl")
+    val init = Seq((1L, 0L)).toDF("node", "state")
+    val got = operators.GraphIter.minRelaxTraverse(edges, init, maxRounds = 2)(
+      (s, r) => when(col("lbl") === (if (r == 1) "A" else "B"), s + 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      s"per-hop predicates must gate each round's edge set, got $got")
+  }
+
   test("q25 grouping sets: Expand fans out exactly the requested marginals") {
     val q25 = operators.Relational.q25GroupingSets(spark, dir)
     val expand = q25.queryExecution.optimizedPlan.collect {
