@@ -73,6 +73,7 @@ object SparkEntry {
     "g21_temporal_reach" -> ((s: SparkSession, d: String) => GraphIter.g21TemporalReach(s, d)),
     "g22_weighted_paths" -> ((s: SparkSession, d: String) => GraphIter.g22WeightedPaths(s, d)),
     "g23_louvain"        -> Louvain.g23Louvain _,
+    "g24_betweenness"    -> ((s: SparkSession, d: String) => GraphIter.g24Betweenness(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -2558,6 +2559,59 @@ object SparkEntry {
         |            ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
         |  CAST(dist AS BIGINT) AS dist
         |FROM m ORDER BY node""".stripMargin,
+    // g24: Brandes' two phases unrolled for the fixed horizon (3): BFS
+    // min-distances, per-layer path counts σ, then backward dependency
+    // accumulation in the SAME integer micro-unit fixed point as the
+    // Spark side (per-term DIV, order-independent integer sums).
+    "g24_betweenness" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |pv AS MATERIALIZED (SELECT s_suppkey * 2 + 1 AS lm FROM supplier WHERE s_suppkey < 3),
+        |r AS (
+        |  SELECT lm, lm AS node, 0 AS dist FROM pv
+        |  UNION
+        |  SELECT r.lm, e.dst AS node, r.dist + 1 AS dist
+        |  FROM r JOIN e ON r.node = e.src WHERE r.dist < 3),
+        |bfs AS MATERIALIZED (SELECT lm, node, min(dist) AS dist FROM r GROUP BY 1, 2),
+        |s0 AS MATERIALIZED (SELECT lm, lm AS node, CAST(1 AS BIGINT) AS sig FROM pv),
+        |s1 AS MATERIALIZED (
+        |  SELECT s0.lm, e.dst AS node, SUM(s0.sig) AS sig
+        |  FROM s0 JOIN e ON s0.node = e.src
+        |  JOIN bfs b ON b.lm = s0.lm AND b.node = e.dst AND b.dist = 1
+        |  GROUP BY 1, 2),
+        |s2 AS MATERIALIZED (
+        |  SELECT s1.lm, e.dst AS node, SUM(s1.sig) AS sig
+        |  FROM s1 JOIN e ON s1.node = e.src
+        |  JOIN bfs b ON b.lm = s1.lm AND b.node = e.dst AND b.dist = 2
+        |  GROUP BY 1, 2),
+        |s3 AS MATERIALIZED (
+        |  SELECT s2.lm, e.dst AS node, SUM(s2.sig) AS sig
+        |  FROM s2 JOIN e ON s2.node = e.src
+        |  JOIN bfs b ON b.lm = s2.lm AND b.node = e.dst AND b.dist = 3
+        |  GROUP BY 1, 2),
+        |del2 AS MATERIALIZED (
+        |  SELECT s2.lm, s2.node, SUM(s2.sig * (1000000 + 0) // s3.sig) AS delta
+        |  FROM s2 JOIN e ON s2.node = e.src
+        |  JOIN s3 ON s3.lm = s2.lm AND s3.node = e.dst
+        |  GROUP BY 1, 2),
+        |del1 AS MATERIALIZED (
+        |  SELECT s1.lm, s1.node,
+        |    SUM(s1.sig * (1000000 + COALESCE(d2.delta, 0)) // s2.sig) AS delta
+        |  FROM s1 JOIN e ON s1.node = e.src
+        |  JOIN s2 ON s2.lm = s1.lm AND s2.node = e.dst
+        |  LEFT JOIN del2 d2 ON d2.lm = s2.lm AND d2.node = s2.node
+        |  GROUP BY 1, 2),
+        |bc AS (
+        |  SELECT node, SUM(delta) AS bc_micro
+        |  FROM (SELECT * FROM del1 UNION ALL SELECT * FROM del2)
+        |  GROUP BY node HAVING SUM(delta) > 0)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+        |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
+        |  CAST(bc_micro AS BIGINT) AS bc_micro
+        |FROM bc ORDER BY node""".stripMargin,
     // g23: deterministic Louvain, unrolled — the same parity-gated
     // integer local-move algebra as operators.Louvain, one generated CTE
     // chain per round (the rounds are mechanical), then the community

@@ -497,17 +497,21 @@ object GraphIter {
     * (`IF(d ≥ s, d, NULL)`).
     *
     * Scale shape: per round ONE equijoin of the frontier against the
-    * src-pinned edge list, a map-side-combined min per dst, and a min
-    * fold into the running state table — O(frontier-degree sum) work,
-    * never path enumeration. With `earlyExit` the frontier is only the
-    * nodes whose state IMPROVED (one extra join + an isEmpty action per
-    * round — Dijkstra-ish work bounds, the right default for converging
-    * relaxations); without it the frontier is the raw candidate table
-    * and rounds run fixed (the g10/g12 fixed-round discipline — no
-    * per-round driver action at all, right for small known round
-    * counts). Results are identical either way: min-folding makes
-    * re-relaxation idempotent. Every round's tables are eagerly
-    * checkpointed; lineage stays O(1) in depth.
+    * once-checkpointed edge list, a map-side-combined min per dst, and
+    * a min fold — O(frontier-degree sum) work, never path enumeration.
+    * The edge side is NOT force-repartitioned: a bounded frontier
+    * broadcasts (the common traversal regime — zero edge movement per
+    * round); a caller whose frontiers stay corpus-sized pre-partitions
+    * `edges` by src once and the shuffle join reuses that layout. With
+    * `earlyExit` the frontier is only the nodes whose state IMPROVED
+    * (one extra join + an isEmpty action per round — Dijkstra-ish work
+    * bounds, the right default for converging relaxations); without it
+    * the frontier is the raw candidate table and rounds run fixed (the
+    * g10/g12 fixed-round discipline — no per-round driver action at
+    * all, right for small known round counts). Results are identical
+    * either way: min-folding makes re-relaxation idempotent. Every
+    * round's tables are eagerly checkpointed; lineage stays O(1) in
+    * depth.
     */
   def minRelaxTraverse(
       edges: DataFrame,
@@ -515,44 +519,62 @@ object GraphIter {
       maxRounds: Int,
       earlyExit: Boolean = true)(
       relax: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint(true)
-    var dist = init.select(col("node"), col("state"))
+    val e = edges.localCheckpoint(true)
+    val init2 = init.select(col("node"), col("state"))
       .groupBy("node").agg(min("state").as("state"))
       .localCheckpoint(true)
-    var frontier = dist
-    var round = 0
-    var done = false
-    while (round < maxRounds && !done) {
-      round += 1
-      val cand = e
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), relax(col("state"), round).as("state"))
-        .filter(col("state").isNotNull)
-        .groupBy("node").agg(min("state").as("state"))
-      val next = dist.unionByName(cand)
+    def candOf(frontier: DataFrame, round: Int): DataFrame = e
+      .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), relax(col("state"), round).as("state"))
+      .filter(col("state").isNotNull)
+      .groupBy("node").agg(min("state").as("state"))
+    if (earlyExit) {
+      var dist = init2
+      var frontier = dist
+      var round = 0
+      var done = false
+      while (round < maxRounds && !done) {
+        round += 1
+        val next = dist.unionByName(candOf(frontier, round))
+          .groupBy("node").agg(min("state").as("state"))
+          .localCheckpoint(true)
+        // Improved-only frontier: nodes strictly below their previous
+        // state (or newly reached) — the only sources that can still
+        // produce a better walk next round.
+        val improved = next
+          .join(dist.withColumnRenamed("state", "prev"), Seq("node"), "left")
+          .filter(col("prev").isNull || col("state") < col("prev"))
+          .select("node", "state")
+          .localCheckpoint(true)
+        done = improved.isEmpty
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
+        dist = next
+        frontier = improved
+      }
+      if (frontier ne dist) frontier.unpersist()
+      e.unpersist()
+      dist
+    } else {
+      // Fixed rounds: no per-round driver action AND no per-round fold —
+      // each round only needs the previous round's candidates, so the
+      // running min folds ONCE at the end over init ∪ every round's
+      // candidate table (min-idempotence makes the two shapes identical;
+      // per-round folding would pay an extra O(V) aggregate per round).
+      val cands = scala.collection.mutable.ListBuffer[DataFrame](init2)
+      var frontier = init2
+      (1 to maxRounds).foreach { r =>
+        val cand = candOf(frontier, r).localCheckpoint(true)
+        cands += cand
+        frontier = cand
+      }
+      val out = cands.reduce(_.unionByName(_))
         .groupBy("node").agg(min("state").as("state"))
         .localCheckpoint(true)
-      val nextFrontier =
-        if (earlyExit) {
-          // Improved-only frontier: nodes strictly below their previous
-          // state (or newly reached) — the only sources that can still
-          // produce a better walk next round.
-          val improved = next
-            .join(dist.withColumnRenamed("state", "prev"), Seq("node"), "left")
-            .filter(col("prev").isNull || col("state") < col("prev"))
-            .select("node", "state")
-            .localCheckpoint(true)
-          done = improved.isEmpty
-          improved
-        } else cand.localCheckpoint(true)
-      if (frontier ne dist) frontier.unpersist()
-      dist.unpersist()
-      dist = next
-      frontier = nextFrontier
+      cands.foreach(_.unpersist())
+      e.unpersist()
+      out
     }
-    if (frontier ne dist) frontier.unpersist()
-    e.unpersist()
-    dist
   }
 
   /** Weighted single-source(-set) shortest paths — the GDS
@@ -606,6 +628,130 @@ object GraphIter {
           .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
           .as("node"),
         col("dist"))
+  }
+
+  /** PIVOT-SAMPLED BETWEENNESS (Brandes 2001, "A Faster Algorithm for
+    * Betweenness Centrality"; pivot sampling per Brandes & Pich 2007) —
+    * the member of the GDS centrality family g16/g17 leave open: "how
+    * much shortest-path traffic ROUTES THROUGH this node", the broker
+    * score a graph analyst asks of the reference's colleague graph
+    * right after closeness. Exact all-pairs betweenness is O(V·E) and
+    * never runs at corpus scale; the standard estimator runs Brandes'
+    * two phases from a bounded PIVOT set within a bounded HORIZON
+    * (`maxDepth`), both documented accuracy levers (more pivots /
+    * deeper horizon = more of the true sum, each pivot a fixed number
+    * of O(E) supersteps — the g16 landmark discipline applied to
+    * dependency accumulation).
+    *
+    * Phase 1 (forward): per-pivot BFS layers (exact-depth frontiers,
+    * the g9 anti-join shape) and path counts σ — σ(w) = Σ σ(v) over
+    * DAG predecessors, one equijoin + sum per layer. Phase 2
+    * (backward): dependencies in integer MICRO-UNITS, deepest layer
+    * first — δ(v) = Σ_{w ∈ succ(v)} σ(v)·(1 000 000 + δ(w)) DIV σ(w).
+    * The per-term integer division is the determinism trick: terms are
+    * exact integers, integer sums are order-independent, so the result
+    * is bit-stable across engines and partitionings (a float δ would
+    * flap the hash gate), at the cost of ≤1 micro-unit truncation per
+    * term — fixed-point semantics, identical in the DuckDB oracle.
+    * BC(v) = Σ over pivots of δ(v), reported where > 0.
+    *
+    * Scale shape: every step is a frontier⋈edges equijoin or a keyed
+    * aggregate — O(pivots · E) per layer, never path enumeration (σ
+    * COUNTS paths; nothing materializes them). σ magnitudes are the
+    * one budget to watch: σ ≤ (max degree)^maxDepth, which is why the
+    * horizon is bounded (depth 3 keeps σ·1e6·degree far inside int64
+    * at any realistic degree; the crafted spec pins the arithmetic).
+    */
+  def betweennessCore(
+      edges: DataFrame, pivots: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 2, "betweenness needs a horizon of at least 2 hops")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    // Forward: exact-depth layers per pivot (first-reached-at-d, the g9
+    // anti-join), settled kept as a lazy union of the layer checkpoints.
+    val layers = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var frontier = pivots.select(col("lm"), col("lm").as("node")).distinct()
+      .localCheckpoint(true)
+    layers += frontier
+    var settled = frontier
+    (1 to maxDepth).foreach { _ =>
+      val next = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(settled, Seq("lm", "node"), "left_anti")
+        .localCheckpoint(true)
+      layers += next
+      settled = settled.unionByName(next)
+      frontier = next
+    }
+    // σ per layer: σ(pivot) = 1; σ(w at depth d) = Σ σ(v at d−1) over
+    // edges (v, w) — the semi-join against layer d keeps the DAG edges.
+    val sig = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    sig += layers(0).withColumn("sig", lit(1L)).localCheckpoint(true)
+    (1 to maxDepth).foreach { d =>
+      sig += sym.join(sig(d - 1).withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("lm"), col("dst").as("node"), col("sig"))
+        .join(layers(d), Seq("lm", "node"), "left_semi")
+        .groupBy("lm", "node").agg(sum("sig").as("sig"))
+        .localCheckpoint(true)
+    }
+    // Backward: δ at the deepest layer is 0; each shallower layer folds
+    // its successors' (σ, δ) through the integer fixed-point term.
+    var deltaDeeper: DataFrame = null
+    val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    ((maxDepth - 1) to 1 by -1).foreach { d =>
+      val wSide =
+        if (deltaDeeper == null)
+          sig(d + 1).select(col("lm"), col("node").as("dst"),
+            col("sig").as("sigw"), lit(0L).as("delw"))
+        else sig(d + 1)
+          .join(deltaDeeper.withColumnRenamed("delta", "delw0"), Seq("lm", "node"), "left")
+          .select(col("lm"), col("node").as("dst"), col("sig").as("sigw"),
+            coalesce(col("delw0"), lit(0L)).as("delw"))
+      val contrib = sym
+        .join(wSide, Seq("dst"))
+        .select(col("lm"), col("src").as("node"), col("sigw"), col("delw"))
+        .join(sig(d).withColumnRenamed("sig", "sigv"), Seq("lm", "node"))
+        .select(col("lm"), col("node"),
+          expr("sigv * (1000000 + delw) DIV sigw").as("term"))
+        .groupBy("lm", "node").agg(sum("term").as("delta"))
+        .localCheckpoint(true)
+      deltas += contrib
+      deltaDeeper = contrib
+    }
+    val out = deltas.reduce(_.unionByName(_))
+      .groupBy("node").agg(sum("delta").as("bc_micro"))
+      .filter(col("bc_micro") > 0)
+      .localCheckpoint(true)
+    (layers ++ sig ++ deltas).foreach(_.unpersist())
+    sym.unpersist()
+    out
+  }
+
+  /** g24: pivot betweenness on the packed customer–supplier graph —
+    * pivots = the hub suppliers s_suppkey < 3, horizon 3 (supplier →
+    * customers → suppliers → customers), fixed so the DuckDB oracle can
+    * unroll the two Brandes phases exactly.
+    */
+  def g24Betweenness(spark: SparkSession, dir: String, maxDepth: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val pivots = t.supplier.filter(col("s_suppkey") < 3)
+      .select((col("s_suppkey") * 2 + 1).as("lm"))
+    betweennessCore(edges, pivots, maxDepth)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("c_"), expr("node DIV 2").cast("string")))
+          .otherwise(concat(lit("s_"), expr("node DIV 2").cast("string")))
+          .as("node"),
+        col("bc_micro"))
   }
 
   /** Shared substrate of the landmark centralities (g16/g17): the packed

@@ -64,49 +64,52 @@ object Louvain {
     var labels = labels0.localCheckpoint(true)
     (0 until rounds).foreach { i =>
       val parity = (parity0 + i) % 2
-      val comdeg = labels.join(k, Seq("node"))
-        .groupBy("com").agg(sum("k").as("cd"))
+      // (node, com, k) — the V-sized dimension every per-node step joins.
+      val nk = labels.join(k, Seq("node")).localCheckpoint(true)
+      val comdeg = nk.groupBy("com").agg(sum("k").as("cd"))
+        .localCheckpoint(true)
       // k_{i,c}: weight from i to community c over its NEIGHBORS (self
       // loops excluded — a node's own mass is not a vote for a
-      // community; it stays internal wherever the node goes).
+      // community; it stays internal wherever the node goes). This is
+      // the round's ONE edge-sized relation; everything below folds it
+      // in a single pass (the sf10 probe showed materializing it and
+      // re-reading it for a separate staying-score join was 60% of the
+      // round: |kic| ≈ |E| in early rounds by construction).
       val kic = sym.filter(col("src") =!= col("dst"))
         .join(labels.select(col("node").as("dst"), col("com").as("c")), Seq("dst"))
         .groupBy(col("src").as("node"), col("c")).agg(sum("w").as("kic"))
-        .localCheckpoint(true)
       // Candidate score per neighbor community; Σ_c drops k_i when c is
-      // already i's community (i must not count against itself).
-      val cand = kic
-        .join(k, Seq("node"))
-        .join(labels, Seq("node"))
+      // already i's community (i must not count against itself). For
+      // c == com this expression IS the staying score, so one aggregate
+      // extracts both the argmax (score desc, min community — the
+      // negation trick) and the stay score, in a single kic pass.
+      val scored = kic
+        .join(nk, Seq("node"))
         .join(comdeg.withColumnRenamed("com", "c"), Seq("c"))
-        .select(col("node"), col("c"),
+        .select(col("node"), col("c"), col("com"),
           (lit(twoM) * col("kic") -
             col("k") * (col("cd") -
               when(col("com") === col("c"), col("k")).otherwise(lit(0L)))).as("score"))
-      // argmax by (score desc, community asc) — the negation trick turns
-      // min-id ties into a plain struct max (the g10 argmax shape).
-      val best = cand
+      val agg = scored
         .groupBy("node")
-        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("m"))
-        .select(col("node"), (-col("m.nc")).as("bc"), col("m.score").as("bscore"))
-      // Staying score under the SAME algebra (k_{i,cur} may be absent —
-      // no neighbor left in the current community scores as 0).
-      val stay = labels
-        .join(k, Seq("node"))
+        .agg(
+          max(struct(col("score"), (-col("c")).as("nc"))).as("m"),
+          max(when(col("c") === col("com"), col("score"))).as("kicStay"))
+      // Staying score when NO neighbor is left in the current community:
+      // k_{i,cur} = 0 — a V-sized expression over nk⋈comdeg, no edge data.
+      val next = nk
         .join(comdeg, Seq("com"))
-        .join(kic.withColumnRenamed("c", "com"), Seq("node", "com"), "left")
-        .select(col("node"), col("com"),
-          (lit(twoM) * coalesce(col("kic"), lit(0L)) -
-            col("k") * (col("cd") - col("k"))).as("sscore"))
-      val next = stay
-        .join(best, Seq("node"), "left")
+        .join(agg, Seq("node"), "left")
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(parity) &&
-            col("bscore") > col("sscore"), col("bc"))
+            col("m.score") > coalesce(col("kicStay"),
+              -col("k") * (col("cd") - col("k"))),
+            -col("m.nc"))
             .otherwise(col("com")).as("com"))
         .localCheckpoint(true)
       labels.unpersist()
-      kic.unpersist()
+      nk.unpersist()
+      comdeg.unpersist()
       labels = next
     }
     k.unpersist()

@@ -947,6 +947,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(2)(2L) === 3L && run(2)(5L) === 2L && run(2)(6L) === 100L)
   }
 
+  test("g24 betweenness: hand-computed Brandes dependencies, integer fixed point pinned") {
+    val ss = spark
+    import ss.implicits._
+    // Path with a detour: 1−2−3−4 plus 1−5−3. From pivot 1 (depth 3):
+    // σ: 2→1, 5→1, 3→2, 4→2. δ(3) = σ3·1e6 DIV σ4 = 1e6;
+    // δ(2) = δ(5) = 1·(1e6+δ3) DIV σ3 = 1e6. Node 4 (leaf) and the
+    // pivot itself carry no dependency.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 3L)).toDF("src", "dst")
+    val got = operators.GraphIter
+      .betweennessCore(edges, Seq(Tuple1(1L)).toDF("lm"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1000000L, 3L -> 1000000L, 5L -> 1000000L), s"got $got")
+    // Truncation semantics pinned: three depth-1 branches converge on 9
+    // (σ9 = 3), which alone reaches 10. δ(9) = 3·1e6 DIV 3 = 1e6; each
+    // branch gets δ = 1·(1e6 + 1e6) DIV 3 = 666666 — the fixed-point
+    // floor both engines must take identically.
+    val tri = Seq((1L, 2L), (1L, 7L), (1L, 8L), (2L, 9L), (7L, 9L), (8L, 9L), (9L, 10L))
+      .toDF("src", "dst")
+    val got2 = operators.GraphIter
+      .betweennessCore(tri, Seq(Tuple1(1L)).toDF("lm"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(2L -> 666666L, 7L -> 666666L, 8L -> 666666L, 9L -> 1000000L),
+      s"got $got2")
+  }
+
   test("g23 louvain: two triangles joined by a bridge split into the modularity communities") {
     val ss = spark
     import ss.implicits._
