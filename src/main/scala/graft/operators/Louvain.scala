@@ -156,6 +156,40 @@ object Louvain {
       .select(col("node"), col("community"))
   }
 
+  /** MODULARITY of a labeling over a symmetric weighted edge list, in
+    * integer MICRO-UNITS — the GDS `modularity` stats surface: how good
+    * is this community split, as a number a pipeline can threshold or
+    * compare across runs. Q = Σ_c [ in_c/(2m) − (Σ_c/(2m))² ] with
+    * in_c = intra-community symmetric weight (self-loops included,
+    * direction-doubled like every sym row) and Σ_c the community degree
+    * mass. All integer arithmetic: per-community terms are exact
+    * integers (the squared fraction computed via the two-step
+    * quotient/remainder expansion so nothing overflows at 2m up to
+    * ~10⁹ and truncation stays ≤1µ per community), and integer sums
+    * are order-independent — the same determinism discipline as the
+    * gain scores. One edge-relation pass (the intra filter) + one
+    * V-sized aggregate; returns micro-units in [−10⁶, 10⁶).
+    */
+  def modularityMicro(sym: DataFrame, labels: DataFrame): Long = {
+    val twoM = sym.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    if (twoM == 0L) return 0L
+    val k = sym.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+    val nl = labels.select(col("node"), col("com"))
+    val inC = sym
+      .join(nl.withColumnRenamed("node", "src"), Seq("src"))
+      .join(nl.select(col("node").as("dst"), col("com").as("com2")), Seq("dst"))
+      .filter(col("com") === col("com2"))
+      .groupBy("com").agg(sum("w").as("in_sym"))
+    val terms = nl.join(k, Seq("node"))
+      .groupBy("com").agg(sum("k").as("cd"))
+      .join(inC, Seq("com"), "left")
+      .select(expr(
+        s"coalesce(in_sym, CAST(0 AS BIGINT)) * 1000000 DIV $twoM - " +
+          s"((cd * cd DIV $twoM) * 1000000 + (cd * cd % $twoM) * 1000000 DIV $twoM) DIV $twoM")
+        .as("term"))
+    terms.agg(coalesce(sum("term"), lit(0L))).head().getLong(0)
+  }
+
   /** g23: Louvain on the packed customer–supplier graph, edge weight =
     * number of distinct orders between the pair (the tie-strength
     * weighting of the reference's relationship properties,

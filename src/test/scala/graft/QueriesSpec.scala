@@ -986,6 +986,17 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
       s"expected the two-triangle split with min-member labels, got $got")
+    // Modularity metric (integer micro-units) certifies the split IS the
+    // optimum among the natural alternatives — hand-computed: the
+    // two-triangle split scores 2·(6/14 − (7/14)²) = 0.357142; one
+    // all-in community scores exactly 0; singletons score −Σd²/(2m)² =
+    // −34/196 = −0.173469 (micro floors per community term).
+    def q(lab: Map[Long, Long]): Long = operators.Louvain.modularityMicro(
+      sym, lab.toSeq.toDF("node", "com"))
+    val found = q(got)
+    assert(found === 357142L, s"Q(two triangles) = $found")
+    assert(q((1L to 6L).map(_ -> 1L).toMap) === 0L)
+    assert(q((1L to 6L).map(n => n -> n).toMap) === -173468L)
   }
 
   test("minRelaxTraverse: per-hop edge predicates express a Cypher MATCH no fixed shape covers") {
