@@ -74,6 +74,7 @@ object SparkEntry {
     "g22_weighted_paths" -> ((s: SparkSession, d: String) => GraphIter.g22WeightedPaths(s, d)),
     "g23_louvain"        -> Louvain.g23Louvain _,
     "g24_betweenness"    -> ((s: SparkSession, d: String) => GraphIter.g24Betweenness(s, d)),
+    "g25_random_walks"   -> ((s: SparkSession, d: String) => GraphIter.g25RandomWalks(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -179,6 +180,8 @@ object SparkEntry {
     "h9_manifest_prune"  -> ((s: SparkSession, d: String) => sources.Manifest.h9ManifestPrune(s, d)),
     "h10_time_travel"    -> ((s: SparkSession, d: String) => sources.Snapshots.h10TimeTravel(s, d)),
     "h11_incremental_read" -> ((s: SparkSession, d: String) => sources.Snapshots.h11IncrementalRead(s, d)),
+    "h12_stats_prune"    -> ((s: SparkSession, d: String) => sources.Snapshots.h12StatsPrune(s, d)),
+    "h13_merge_into"     -> ((s: SparkSession, d: String) => sources.Snapshots.h13MergeInto(s, d)),
     "t28_shuffle_export" -> ((s: SparkSession, d: String) => functions.Export.t28ShuffleExport(s, d))
   )
 
@@ -1827,6 +1830,45 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events, min(day) AS first_day
         |FROM d, b WHERE day > cut1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // h12: the pruned-scan answer == the last day window from raw rows —
+    // the gate fails if manifest pruning drops or duplicates a file.
+    "h12_stats_prune" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |b AS (SELECT min(day) + 2 * (max(day) - min(day)) // 3 AS cut2 FROM d)
+        |SELECT event_type, count(*) AS n_events,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM d, b WHERE day > cut2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // h13: the expected post-MERGE table state rebuilt with set algebra
+    // over the raw rows — updates re-typed, inserts appended, deletes and
+    // matched originals removed; the sum-of-ids checksum makes the hash
+    // sensitive to exact row membership, not just counts.
+    "h13_merge_into" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |mx AS (SELECT max(event_id) AS mid, min(day) AS lo FROM d),
+        |upd AS (SELECT event_id, 'merged' AS event_type, day FROM d
+        |        WHERE event_id % 97 = 0),
+        |ins AS (SELECT mid + g AS event_id, 'inserted' AS event_type,
+        |          lo AS day
+        |        FROM mx, generate_series(1, 500) AS t(g)),
+        |delk AS (SELECT event_id FROM d
+        |         WHERE event_id % 89 = 0 AND event_id % 97 <> 0),
+        |srckeys AS (SELECT event_id FROM upd
+        |            UNION ALL SELECT event_id FROM ins
+        |            UNION ALL SELECT event_id FROM delk),
+        |kept AS (SELECT * FROM d
+        |         WHERE event_id NOT IN (SELECT event_id FROM srckeys)),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM ins)
+        |SELECT event_type, count(*) AS n_events, min(day) AS first_day,
+        |  max(day) AS last_day, CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e13_path_analysis" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
@@ -2612,6 +2654,42 @@ object SparkEntry {
         |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node,
         |  CAST(bc_micro AS BIGINT) AS bc_micro
         |FROM bc ORDER BY node""".stripMargin,
+    // g25: the deterministic walks recomputed step by step — the same
+    // dst-ordered adjacency indexing and integer mixer as the Spark
+    // side, one generated CTE per hop.
+    "g25_random_walks" -> {
+      val hops = (1 to 4).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT w.walker, adj.dst AS node
+           |  FROM w${t - 1} w JOIN adj ON w.node = adj.src
+           |   AND adj.idx = ((w.walker % 1048573) * 31 + $t * 7 +
+           |                  (adj.src % 1048573) * 13) % adj.deg)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 4).map { t =>
+        s"SELECT walker, CAST($t AS BIGINT) AS step, node FROM w$t"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM e),
+         |w0 AS (SELECT s_suppkey * 2 + 1 AS walker, s_suppkey * 2 + 1 AS node
+         |       FROM supplier WHERE s_suppkey < 16),
+         |$hops,
+         |allw AS (
+         |  $union)
+         |SELECT
+         |  CASE WHEN walker % 2 = 0 THEN 'c_' || CAST(walker // 2 AS VARCHAR)
+         |       ELSE 's_' || CAST(walker // 2 AS VARCHAR) END AS walker,
+         |  step,
+         |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+         |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node
+         |FROM allw ORDER BY 1, 2, 3""".stripMargin
+    },
     // g23: deterministic Louvain, unrolled — the same parity-gated
     // integer local-move algebra as operators.Louvain, one generated CTE
     // chain per round (the rounds are mechanical), then the community

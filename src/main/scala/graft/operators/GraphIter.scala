@@ -630,6 +630,93 @@ object GraphIter {
         col("dist"))
   }
 
+  /** DETERMINISTIC RANDOM WALKS — the GDS `randomWalk` / node2vec
+    * SAMPLING substrate (Grover & Leskovec 2016 take these walks as the
+    * corpus for skip-gram embeddings; DeepWalk, Perozzi et al. 2014, is
+    * the unbiased case implemented here): from each seed, `steps` hops
+    * where hop t out of node u picks neighbor index
+    * `mix(walker, t, u) mod deg(u)` over the node's dst-ordered adjacency
+    * list. The "randomness" is a fixed integer MIXER instead of an RNG —
+    * the same determinism discipline as the suite's fixed-round
+    * iterations: walks are reproducible across engines, partitionings
+    * and reruns, which is what lets the DuckDB oracle recompute them
+    * exactly (swap in `xxhash64` for better mixing when cross-engine
+    * reproducibility isn't needed; the operator shape is identical).
+    * Operands are reduced mod 1048573 before the multiply so the mixer
+    * stays far inside int64 on engines that TRAP on overflow (DuckDB)
+    * as well as ones that wrap (the JVM).
+    *
+    * Scale shape: the adjacency (src, dst, idx, deg) is built ONCE —
+    * one repartition by src feeding both window functions — and
+    * checkpointed; each step is one frontier⋈adjacency equijoin on the
+    * pinned src layout (only the O(walkers) frontier moves) followed by
+    * the index filter. Cost per step is the frontier's total neighbor
+    * fan-out scan, never path enumeration, and the walk table the loop
+    * emits is O(walkers · steps) — the node2vec corpus size, linear in
+    * the seed budget however big the graph is.
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    val adj = sym
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("src")).cast("long"))
+      .localCheckpoint(true)
+    var cur = seeds.select(col("walker"), col("node")).distinct()
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ListBuffer[DataFrame](
+      cur.withColumn("step", lit(0L)))
+    (1 to steps).foreach { t =>
+      val nxt = cur.join(adj, cur("node") === adj("src"))
+        .filter(col("idx") ===
+          (col("walker") % 1048573L * 31 + lit(t.toLong) * 7 +
+            col("src") % 1048573L * 13) % col("deg"))
+        .select(col("walker"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out += nxt.withColumn("step", lit(t.toLong))
+      cur = nxt
+    }
+    val res = out.reduce(_.unionByName(_))
+      .select(col("walker"), col("step"), col("node"))
+    adj.unpersist()
+    res
+  }
+
+  /** g25: deterministic random walks on the packed bipartite
+    * customer–supplier graph — 4 hops from the first 16 suppliers, the
+    * embedding-corpus sampler over the reference's person–org
+    * relationship graph (walk corpora are what the graph side feeds a
+    * representation learner). Walker id = seed node; output decodes the
+    * packed ids. A walker seeded on an isolated node simply stops (its
+    * step-0 row still reports it).
+    */
+  def g25RandomWalks(spark: SparkSession, dir: String, steps: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = t.supplier.filter(col("s_suppkey") < 16)
+      .select((col("s_suppkey") * 2 + 1).as("walker"),
+        (col("s_suppkey") * 2 + 1).as("node"))
+    // Generic packed-id decode (decodePacked is pinned to a column
+    // literally named "node"; here BOTH walker and node decode).
+    def dec(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(2)) === 0,
+        concat(lit("c_"), shiftright(c, 1).cast("string")))
+        .otherwise(concat(lit("s_"), shiftright(c, 1).cast("string")))
+    randomWalks(edges, seeds, steps)
+      .select(dec(col("walker")).as("walker"), col("step"),
+        dec(col("node")).as("node"))
+  }
+
   /** PIVOT-SAMPLED BETWEENNESS (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; pivot sampling per Brandes & Pich 2007) —
     * the member of the GDS centrality family g16/g17 leave open: "how

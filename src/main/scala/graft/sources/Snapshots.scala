@@ -89,13 +89,23 @@ object Snapshots {
     spark.read.parquet(s"$path/manifest/v$v").as[String].collect().toSeq
   }
 
+  /** Union scan of a chunk set. Chunks written before a table adopted
+    * file stats carry only `file`; stats-bearing chunks add
+    * `min_<col>`/`max_<col>` pairs — mergeSchema reconciles the two
+    * generations (footer-level work over O(commits) tiny files), and a
+    * stats-less entry simply reads back NULL bounds, which every pruning
+    * consumer treats as "unknown ⇒ keep".
+    */
+  private def readChunks(spark: SparkSession, chunks: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(chunks: _*)
+
   /** The file entries of version `v` as a DATASET (a union scan of its
     * delta chunks) — manifest contents stay a Spark relation; callers
     * that genuinely need driver-side paths (a parquet scan does) collect
     * explicitly at their own seam.
     */
   private def filesOf(spark: SparkSession, path: String, v: Long): DataFrame =
-    spark.read.parquet(chunksOf(spark, path, v): _*)
+    readChunks(spark, chunksOf(spark, path, v)).select("file")
 
   /** Write one immutable delta chunk listing exactly `files`; returns the
     * chunk path. O(batch) rows — the only per-file manifest rows a commit
@@ -116,6 +126,37 @@ object Snapshots {
     chunks.toDF("chunk").coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
+  /** Write one immutable delta chunk carrying per-file MIN/MAX bounds for
+    * `statsCols` next to each file entry — Iceberg's column-stats
+    * manifest entries, the metadata that turns a snapshot read into a
+    * PLANNED scan ([[readAsOfPruned]]) and a MERGE into a partial rewrite
+    * ([[mergeInto]]). The bounds come from ONE executor-side aggregate
+    * over the freshly written batch (`input_file_name()` groupBy —
+    * O(batch) rows in, O(batch-files) rows out); the driver never sees
+    * row data and the chunk stays O(batch). Stats columns are stored as
+    * LONG bounds (`min_<col>`/`max_<col>`) — the integer-key/day/ts
+    * family every pruning predicate in the suite ranges over; a column
+    * that cannot cast to long would surface as an analysis error here,
+    * at write time, not silently at plan time.
+    */
+  private def writeStatsChunk(
+      spark: SparkSession,
+      path: String,
+      uid: String,
+      dataDir: String,
+      statsCols: Seq[String]): String = {
+    val chunk = s"$path/manifest/chunks/c-$uid"
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).cast("long").as(s"min_$c"),
+        max(col(c)).cast("long").as(s"max_$c"))
+    }
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(chunk)
+    chunk
+  }
+
   /** Commit `batch` as the next snapshot: write the batch's data files
     * under an immutable per-version directory, one delta chunk listing
     * them, and manifest list N = list(N−1) + that chunk. Only the batch
@@ -124,11 +165,18 @@ object Snapshots {
     * plus O(commits) list rows, and the driver never holds the table's
     * file list.
     */
-  def commit(spark: SparkSession, path: String, batch: DataFrame): Long = {
+  def commit(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      statsCols: Seq[String] = Nil): Long = {
     val v = currentVersion(spark, path) + 1
-    batch.write.mode("overwrite").parquet(s"$path/data/batch-$v")
-    val newFiles = spark.read.parquet(s"$path/data/batch-$v").inputFiles.toSeq
-    val chunk = writeChunk(spark, path, s"v$v", newFiles)
+    val dataDir = s"$path/data/batch-$v"
+    batch.write.mode("overwrite").parquet(dataDir)
+    val chunk =
+      if (statsCols.isEmpty)
+        writeChunk(spark, path, s"v$v", spark.read.parquet(dataDir).inputFiles.toSeq)
+      else writeStatsChunk(spark, path, s"v$v", dataDir, statsCols)
     val prev = if (v == 1) Seq.empty[String] else chunksOf(spark, path, v - 1)
     writeList(spark, s"$path/manifest/v$v", prev :+ chunk)
     v
@@ -389,7 +437,7 @@ object Snapshots {
           // to the scheme-free URI path (file:/// vs file:/).
           val normPath = udf((s: String) => new java.net.URI(s).getPath)
           def entries(chunks: Seq[String]): DataFrame =
-            spark.read.parquet(chunks: _*)
+            readChunks(spark, chunks)
               .select(normPath(col("file")).as("file")).distinct()
           val doomed =
             if (retainedChunks.isEmpty) entries(doomedChunks)
@@ -435,7 +483,7 @@ object Snapshots {
     if (present.isEmpty) return 0
     val liveChunks = present.flatMap(v => chunksOf(spark, path, v)).distinct
     val normPath = udf((s: String) => new java.net.URI(s).getPath)
-    val referenced = spark.read.parquet(liveChunks: _*)
+    val referenced = readChunks(spark, liveChunks)
       .select(normPath(col("file")).as("file"))
       .distinct()
     val cutoff = System.currentTimeMillis() - graceMs
@@ -485,6 +533,156 @@ object Snapshots {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Scan PLANNING against the manifest stats: the files of version `v`
+    * whose `[min_col, max_col]` bounds can intersect `[lo, hi]`, plus
+    * every file with unknown bounds (stats-less chunk generation or an
+    * all-NULL column) — pruning must be a SUPERSET guarantee, never a
+    * filter. Returns (survivors, total) so callers can assert the skip
+    * actually happened. The decision runs over the manifest RELATION
+    * (O(table-files) manifest rows, zero data files opened); only the
+    * surviving paths reach the driver — the same seam [[readAsOf]]
+    * already owns.
+    */
+  private[graft] def pruneFiles(
+      spark: SparkSession, path: String, v: Long,
+      column: String, lo: Long, hi: Long): (Seq[String], Long) = {
+    import spark.implicits._
+    val ents = readChunks(spark, chunksOf(spark, path, v))
+    val total = ents.count()
+    val (mn, mx) = (s"min_$column", s"max_$column")
+    val survivors =
+      if (!ents.columns.contains(mn) || !ents.columns.contains(mx)) ents
+      else ents.filter(col(mn).isNull || col(mx).isNull ||
+        (col(mx) >= lo && col(mn) <= hi))
+    (survivors.select("file").as[String].collect().toSeq, total)
+  }
+
+  /** Time travel with DATA SKIPPING (Iceberg scan planning): read version
+    * `v` opening ONLY the files whose manifest stats admit rows with
+    * `column ∈ [lo, hi]`. File granularity means the result is a SUPERSET
+    * of the matching rows — the caller still applies the row predicate,
+    * which Spark then ALSO pushes into the surviving parquet footers
+    * (two-tier skipping: manifest prunes whole files without opening
+    * them; footers prune row groups inside survivors). On a time-ordered
+    * ingest (the universal fact-table layout) a narrow time predicate
+    * prunes all but the matching commits' files — the scan cost becomes
+    * O(matching data), not O(table), which is the entire point of
+    * keeping stats in the manifest tier.
+    */
+  def readAsOfPruned(
+      spark: SparkSession, path: String, v: Long,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val (files, _) = pruneFiles(spark, path, v, column, lo, hi)
+    if (files.isEmpty) readAsOf(spark, path, v).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Copy-on-write MERGE INTO the current snapshot (the Delta/Iceberg
+    * MERGE semantics: source rows REPLACE matched target rows by
+    * `keyCol`, unmatched source rows INSERT, and rows the source flags
+    * via `deleteCol` DELETE their target key). What makes this a table-
+    * format operation rather than a full rewrite:
+    *
+    *   - **file-level pruning**: only CANDIDATE files — those whose
+    *     manifest `min_/max_<keyCol>` bounds intersect the source's key
+    *     range (one probe aggregate over the source; stats-less files are
+    *     conservatively candidates) — are read, anti-joined against the
+    *     source keys, and rewritten. A file no source key can touch is
+    *     NEVER opened and its bytes never move; on a key-clustered table
+    *     a point-ish merge rewrites O(touched files), not O(table);
+    *   - **chunk-level manifest rewrite** (Iceberg's per-manifest
+    *     rewrite): an affected chunk is replaced by a survivor chunk
+    *     listing its non-candidate entries (stats preserved, O(chunk)
+    *     rows); untouched chunks are INHERITED by path. Manifest cost is
+    *     O(affected-chunk entries + batch), never O(table-files), and
+    *     the driver holds only chunk paths + candidate file paths;
+    *   - the merged output commits as a fresh data batch + stats chunk,
+    *     so the NEXT merge prunes against it too. Old versions keep
+    *     their chunks — time travel across a merge is exact, and expire's
+    *     file-level reference counting already handles files shared
+    *     between an original chunk and its survivor rewrite.
+    *
+    * Single-writer commit (the [[commit]] fast path); under concurrency
+    * a merge is a rewrite — route the final publish through
+    * [[commitRewriteOptimistic]]'s planned-base conflict semantics.
+    * Source keys must be unique (one MERGE action per key — the ambiguity
+    * every MERGE implementation rejects). Returns the committed version.
+    *
+    * Reference behavior: the loader's idempotent re-ingest updates
+    * existing entities in place and inserts the new ones
+    * (mysql2neo4j.py's MERGE-per-node loads, as one batch commit).
+    */
+  def mergeInto(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      keyCol: String,
+      deleteCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
+    import spark.implicits._
+    val v0 = currentVersion(spark, path)
+    require(v0 >= 1, s"mergeInto: no committed snapshot at $path")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+    // Source rows that survive into the table (updates + inserts) vs ALL
+    // source keys (updates, inserts AND deletes — every matched target
+    // row drops; only non-deleted source rows come back).
+    val outRows = deleteCol.map(dc => source.filter(!col(dc)).drop(dc)).getOrElse(source)
+    val srcKeys = source.select(col(keyCol)).distinct()
+
+    // Probe: the source's key envelope (two driver scalars, cost
+    // independent of the table) drives file-level candidate selection.
+    val b = source.agg(
+      min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+    require(!b.isNullAt(0), "mergeInto: empty source")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+
+    val (mn, mx) = (s"min_$keyCol", s"max_$keyCol")
+    var untouched = Vector.empty[String]
+    var survivorChunks = Vector.empty[String]
+    var candFiles = Vector.empty[String]
+    chunksOf(spark, path, v0).zipWithIndex.foreach { case (c, i) =>
+      val ents = spark.read.parquet(c)
+      if (!(ents.columns.contains(mn) && ents.columns.contains(mx))) {
+        // No key stats: every file is conservatively a candidate and the
+        // whole chunk is superseded by the rewrite.
+        candFiles ++= ents.select("file").as[String].collect()
+      } else {
+        val isCand = col(mn).isNull || col(mx).isNull ||
+          (col(mx) >= lo && col(mn) <= hi)
+        val cands = ents.filter(isCand).select("file").as[String].collect()
+        if (cands.isEmpty) untouched :+= c
+        else {
+          candFiles ++= cands
+          val surv = ents.filter(!isCand)
+          if (surv.head(1).nonEmpty) {
+            val sc = s"$path/manifest/chunks/c-$uid-s$i"
+            surv.coalesce(1).write.mode("overwrite").parquet(sc)
+            survivorChunks :+= sc
+          }
+        }
+      }
+    }
+
+    // Row-level COW over ONLY the candidate files: keep their unmatched
+    // rows, splice in the surviving source rows. One distributed job;
+    // untouched files are never opened.
+    val merged =
+      if (candFiles.isEmpty) outRows
+      else spark.read.parquet(candFiles: _*)
+        .join(srcKeys, Seq(keyCol), "left_anti")
+        .unionByName(outRows)
+    val v = v0 + 1
+    val dataDir = s"$path/data/batch-$uid"
+    merged.write.mode("overwrite").parquet(dataDir)
+    val newChunk =
+      if (statsCols.isEmpty)
+        writeChunk(spark, path, uid, spark.read.parquet(dataDir).inputFiles.toSeq)
+      else writeStatsChunk(spark, path, uid, dataDir, statsCols)
+    writeList(spark, s"$path/manifest/v$v", untouched ++ survivorChunks :+ newChunk)
+    v
+  }
+
   /** INCREMENTAL read: exactly the rows ADDED between versions `fromV`
     * (exclusive) and `toV` (inclusive) — the CHUNK-LIST set difference,
     * so the consumer of a snapshot table never rescans history
@@ -506,7 +704,7 @@ object Snapshots {
     val freshChunks = upto.filterNot(base)
     val fresh: IndexedSeq[String] =
       if (freshChunks.isEmpty) IndexedSeq.empty
-      else spark.read.parquet(freshChunks: _*).as[String].collect().toIndexedSeq
+      else readChunks(spark, freshChunks).select("file").as[String].collect().toIndexedSeq
     // Empty delta: schema-correct empty frame off the target version's
     // own files (never the manifest's string schema).
     if (fresh.isEmpty) readAsOf(spark, path, toV).filter(lit(false))
@@ -537,13 +735,91 @@ object Snapshots {
       val (lo, hi) = (days.getLong(0), days.getLong(1))
       val cut1 = lo + (hi - lo) / 3
       val cut2 = lo + 2 * (hi - lo) / 3
-      commit(spark, base, ev.filter(col("day") <= cut1))
-      commit(spark, base, ev.filter(col("day") > cut1 && col("day") <= cut2))
-      commit(spark, base, ev.filter(col("day") > cut2))
+      // Day-cut ingest batches carry day AND key stats in their chunks:
+      // the time-ordered layout every fact table has, which is exactly
+      // what makes h12's manifest pruning and h13's merge candidate
+      // selection representative.
+      val stats = Seq("day", "event_id")
+      commit(spark, base, ev.filter(col("day") <= cut1), stats)
+      commit(spark, base, ev.filter(col("day") > cut1 && col("day") <= cut2), stats)
+      commit(spark, base, ev.filter(col("day") > cut2), stats)
       marker.getParentFile.mkdirs()
       marker.createNewFile()
     }
     base
+  }
+
+  /** The staged table's day cuts, re-derived the way [[staged]] derived
+    * them (one probe aggregate over the raw table — the oracle recomputes
+    * the identical integer arithmetic).
+    */
+  private def dayCuts(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val ev = Tables(spark, dir).events
+      .select(expr("ts DIV 86400000000000").cast("long").as("day"))
+    val days = ev.agg(min("day"), max("day")).head()
+    val (lo, hi) = (days.getLong(0), days.getLong(1))
+    (lo, hi, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+  }
+
+  /** h12: DATA SKIPPING on the correctness gate — the last ingest
+    * window's aggregate answered through [[readAsOfPruned]], which plans
+    * the scan off the manifest's per-file day bounds (here: batches 1-2's
+    * files pruned without being opened — at a million-file table this is
+    * the difference between a planned scan and reading everything). The
+    * row predicate is still applied (pruning is file-granular, a superset
+    * guarantee); the oracle re-derives the same day window from raw rows,
+    * so a prune that drops a byte too much hash-mismatches, and the
+    * FormatsSpec pins that files were actually skipped.
+    */
+  def h12StatsPrune(spark: SparkSession, dir: String): DataFrame = {
+    val base = staged(spark, dir)
+    val (_, hi, _, cut2) = dayCuts(spark, dir)
+    readAsOfPruned(spark, base, 3L, "day", cut2 + 1, hi)
+      .filter(col("day") > cut2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+  }
+
+  /** h13: MERGE INTO on the correctness gate — one batch carrying all
+    * three MERGE actions against the staged snapshot table (updates:
+    * every event_id ≡ 0 mod 97 re-typed 'merged'; inserts: 500 fresh ids
+    * past the max; deletes: event_id ≡ 0 mod 89 and not already an
+    * update), committed copy-on-write, then the FINAL table state
+    * aggregated per type with a sum-of-ids checksum. The oracle rebuilds
+    * the expected final state from the raw table with set algebra, so a
+    * merge that loses a kept row, resurrects a deleted key, double-
+    * applies an update, or drops an untouched file's rows fails the
+    * hash. Re-running the merge commits a new version but the final
+    * state is IDEMPOTENT (same source ⇒ same table), which is what lets
+    * the gate and the bench share one staged table.
+    */
+  def h13MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = staged(spark, dir)
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        expr("ts DIV 86400000000000").cast("long").as("day"))
+    val b = ev.agg(max("event_id"), min("day")).head()
+    val (maxId, loDay) = (b.getLong(0), b.getLong(1))
+    val updates = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), lit("merged").as("event_type"), col("day"),
+        lit(false).as("_deleted"))
+    val inserts = spark.range(1, 501)
+      .select((lit(maxId) + col("id")).as("event_id"),
+        lit("inserted").as("event_type"), lit(loDay).as("day"),
+        lit(false).as("_deleted"))
+    val deletes = ev.filter(col("event_id") % 89 === 0 && col("event_id") % 97 =!= 0)
+      .select(col("event_id"), col("event_type"), col("day"),
+        lit(true).as("_deleted"))
+    val source = updates.unionByName(inserts).unionByName(deletes)
+    val v = mergeInto(spark, base, source, "event_id",
+      deleteCol = Some("_deleted"), statsCols = Seq("day", "event_id"))
+    readAsOf(spark, base, v)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        sum(col("event_id")).as("sum_ids"))
   }
 
   /** h11: the INCREMENTAL-consumption contract on the correctness gate —

@@ -544,4 +544,116 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got === Set((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 12L), (9L, "c", 99L)))
   }
+
+  test("snapshots: manifest stats prune files at plan time; unknown bounds are superset-safe") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_prune"
+    def batch(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+      ss.range(lo, hi + 1).select(col("id"), (col("id") * 2).as("v"))
+    sources.Snapshots.commit(spark, p, batch(1, 10), Seq("id"))
+    sources.Snapshots.commit(spark, p, batch(100, 110), Seq("id"))
+    val v3 = sources.Snapshots.commit(spark, p, batch(200, 210), Seq("id"))
+    // Planning off the manifest bounds keeps only the middle commit's
+    // files — whole files skipped without being opened.
+    val (surv, total) = sources.Snapshots.pruneFiles(spark, p, v3, "id", 100L, 110L)
+    assert(surv.nonEmpty && surv.size < total,
+      s"expected a real skip, got ${surv.size}/$total files")
+    // Pruned read + the row predicate == unpruned read + the predicate.
+    val pruned = sources.Snapshots.readAsOfPruned(spark, p, v3, "id", 100L, 110L)
+      .filter(col("id").between(100L, 110L))
+    val full = sources.Snapshots.readAsOf(spark, p, v3)
+      .filter(col("id").between(100L, 110L))
+    assert(pruned.as[(Long, Long)].collect().sorted === full.as[(Long, Long)].collect().sorted)
+    // A stats-less (legacy) chunk's files have UNKNOWN bounds: they must
+    // always survive pruning — file skipping is a superset guarantee.
+    val v4 = sources.Snapshots.commit(spark, p, batch(300, 310))
+    val legacyFiles = sources.Snapshots.readBetween(spark, p, v3, v4).inputFiles.toSet
+    val (surv2, _) = sources.Snapshots.pruneFiles(spark, p, v4, "id", 100L, 110L)
+    assert(legacyFiles.subsetOf(surv2.toSet),
+      "stats-less files must be conservatively kept by the pruner")
+    // And a pruning column no chunk carries stats for disables skipping
+    // entirely rather than guessing.
+    val (surv3, total3) = sources.Snapshots.pruneFiles(spark, p, v4, "v", 0L, 1L)
+    assert(surv3.size.toLong === total3)
+  }
+
+  test("snapshots: merge rewrites only key-intersecting files; untouched bytes never move") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_merge"
+    val v1 = sources.Snapshots.commit(spark, p,
+      ss.range(1, 7).select(col("id"), lit("old").as("v")), Seq("id"))
+    val v2 = sources.Snapshots.commit(spark, p,
+      ss.range(100, 106).select(col("id"), lit("old").as("v")), Seq("id"))
+    val lowFiles = sources.Snapshots.readBetween(spark, p, 0L, v1).inputFiles.toSet
+    val highFiles = sources.Snapshots.readBetween(spark, p, v1, v2).inputFiles.toSet
+    val lowMtimes = lowFiles.map { f =>
+      f -> new java.io.File(new java.net.URI(f)).lastModified()
+    }.toMap
+    // One batch, all three MERGE actions, keys confined to the high range.
+    val source = Seq(
+      (101L, "upd", false), (108L, "ins", false), (100L, "old", true)
+    ).toDF("id", "v", "_del")
+    val v3 = sources.Snapshots.mergeInto(spark, p, source, "id",
+      deleteCol = Some("_del"), statsCols = Seq("id"))
+    val after = sources.Snapshots.readAsOf(spark, p, v3)
+    val got = after.as[(Long, String)].collect().toSet
+    val expected = (1L to 6L).map(i => (i, "old")).toSet ++
+      Set((101L, "upd"), (108L, "ins")) ++
+      Seq(102L, 103L, 104L, 105L).map(i => (i, "old"))
+    assert(got === expected)
+    // The low-range files were inherited by path and never rewritten;
+    // every high-range (candidate) file is gone from the new version.
+    val files3 = after.inputFiles.toSet
+    assert(lowFiles.subsetOf(files3), "untouched files must be inherited, not rewritten")
+    assert(files3.intersect(highFiles).isEmpty, "candidate files must be superseded")
+    lowMtimes.foreach { case (f, t) =>
+      assert(new java.io.File(new java.net.URI(f)).lastModified() === t,
+        s"untouched file rewritten by merge: $f")
+    }
+    // Time travel across the merge is exact.
+    assert(sources.Snapshots.readAsOf(spark, p, v2).as[(Long, String)].collect().toSet
+      === ((1L to 6L) ++ (100L to 105L)).map(i => (i, "old")).toSet)
+    // The merge is idempotent: the same source applied again commits a
+    // new version with the identical final state.
+    val v4 = sources.Snapshots.mergeInto(spark, p, source, "id",
+      deleteCol = Some("_del"), statsCols = Seq("id"))
+    assert(sources.Snapshots.readAsOf(spark, p, v4).as[(Long, String)].collect().toSet
+      === expected)
+  }
+
+  test("snapshots: merge splits a mixed-range chunk — survivor entries stay referenced") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_merge_split"
+    // ONE commit whose files split by key range (range partitioning), so
+    // the merge must rewrite the chunk's manifest: candidates out,
+    // survivors re-listed, survivor FILES untouched on disk.
+    val both = ss.range(1, 11).select(col("id"), lit("old").as("v"))
+      .unionByName(ss.range(200, 211).select(col("id"), lit("old").as("v")))
+      .repartitionByRange(2, col("id"))
+    val v1 = sources.Snapshots.commit(spark, p, both, Seq("id"))
+    val filesBefore = sources.Snapshots.readAsOf(spark, p, v1).inputFiles.toSet
+    assert(filesBefore.size >= 2)
+    val source = Seq((205L, "upd", false)).toDF("id", "v", "_del")
+    val v2 = sources.Snapshots.mergeInto(spark, p, source, "id",
+      deleteCol = Some("_del"), statsCols = Seq("id"))
+    val after = sources.Snapshots.readAsOf(spark, p, v2)
+    assert(after.filter(col("id") === 205L).as[(Long, String)].head() === ((205L, "upd")))
+    assert(after.count() === 21L)
+    // The low-range file survived INSIDE the rewritten chunk's manifest.
+    val files2 = after.inputFiles.toSet
+    val survived = filesBefore.intersect(files2)
+    assert(survived.nonEmpty, "non-candidate files of the split chunk must stay referenced")
+    assert(filesBefore.diff(files2).nonEmpty, "candidate files must be superseded")
+    // A stats-less table still merges correctly — every file is
+    // conservatively a candidate (full COW), answers identical.
+    val p2 = s"$tmp/snap_merge_legacy"
+    sources.Snapshots.commit(spark, p2, ss.range(1, 6).select(col("id"), lit("old").as("v")))
+    val v = sources.Snapshots.mergeInto(spark, p2,
+      Seq((3L, "upd", false)).toDF("id", "v", "_del"), "id", deleteCol = Some("_del"))
+    assert(sources.Snapshots.readAsOf(spark, p2, v).as[(Long, String)].collect().toSet
+      === Set((1L, "old"), (2L, "old"), (3L, "upd"), (4L, "old"), (5L, "old")))
+  }
 }

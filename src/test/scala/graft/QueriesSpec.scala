@@ -972,6 +972,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got2")
   }
 
+  test("g25 random walks: hand-computed mixer choices, isolated seeds stop at step 0") {
+    val ss = spark
+    import ss.implicits._
+    // Adjacency (dst-ordered): 1→[2,3,4] deg 3, 2→[1,3] deg 2,
+    // 3→[1,2] deg 2, 4→[1] deg 1. mix(w,t,u) = w·31 + t·7 + u·13 (all
+    // operands < 1048573 here, so the mod-reduction is the identity).
+    // Walker 10 from node 1: t1 330%3=0→2, t2 350%2=0→1, t3 344%3=2→4.
+    // Walker 11 from node 4: t1 400%1=0→1, t2 368%3=2→4, t3 414%1=0→1.
+    // Walker 99 seeds an isolated node: step-0 row only, walk stops.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((10L, 1L), (11L, 4L), (99L, 99L)).toDF("walker", "node")
+    val got = operators.GraphIter.randomWalks(edges, seeds, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (10L, 0L, 1L), (10L, 1L, 2L), (10L, 2L, 1L), (10L, 3L, 4L),
+      (11L, 0L, 4L), (11L, 1L, 1L), (11L, 2L, 4L), (11L, 3L, 1L),
+      (99L, 0L, 99L)), s"got $got")
+  }
+
   test("g23 louvain: two triangles joined by a bridge split into the modularity communities") {
     val ss = spark
     import ss.implicits._
