@@ -169,17 +169,40 @@ object Snapshots {
       spark: SparkSession,
       path: String,
       batch: DataFrame,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      uid: Option[String] = None): Long = {
     val v = currentVersion(spark, path) + 1
-    val dataDir = s"$path/data/batch-$v"
+    val dataDir = s"$path/data/batch-${uid.getOrElse(v.toString)}"
     batch.write.mode("overwrite").parquet(dataDir)
+    val chunkUid = uid.getOrElse(s"v$v")
     val chunk =
       if (statsCols.isEmpty)
-        writeChunk(spark, path, s"v$v", spark.read.parquet(dataDir).inputFiles.toSeq)
-      else writeStatsChunk(spark, path, s"v$v", dataDir, statsCols)
+        writeChunk(spark, path, chunkUid, spark.read.parquet(dataDir).inputFiles.toSeq)
+      else writeStatsChunk(spark, path, chunkUid, dataDir, statsCols)
     val prev = if (v == 1) Seq.empty[String] else chunksOf(spark, path, v - 1)
     writeList(spark, s"$path/manifest/v$v", prev :+ chunk)
     v
+  }
+
+  /** EXACTLY-ONCE streaming ingest commit: append microbatch `batchId`
+    * unless the current version already references its chunk. The replay
+    * guard is ATOMIC WITH THE COMMIT ITSELF — the chunk is named by the
+    * batch id and only becomes referenced when the version's manifest
+    * list lands, so a foreachBatch replay after any crash point either
+    * finds the chunk referenced (committed — skip) or not (the data/chunk
+    * writes are overwrite-idempotent — recommit). No side markers whose
+    * write could race the crash: this is Iceberg/Delta's
+    * stamp-the-batch-id-in-the-snapshot discipline. Returns the table
+    * version holding the batch.
+    */
+  def ingestBatch(
+      batch: DataFrame, batchId: Long, path: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = batch.sparkSession
+    val tag = s"ingest-$batchId"
+    val v0 = currentVersion(spark, path)
+    if (v0 >= 1 && chunksOf(spark, path, v0).exists(_.endsWith(s"/c-$tag"))) v0
+    else commit(spark, path, batch, statsCols, uid = Some(tag))
   }
 
   /** Atomic claim of a version slot: exclusive `mkdir` of a per-version
@@ -378,13 +401,53 @@ object Snapshots {
     * versions keep their own chunks and files — time travel across a
     * compaction is exact.
     */
-  def commitRewrite(spark: SparkSession, path: String, rewritten: DataFrame): Long = {
+  def commitRewrite(
+      spark: SparkSession, path: String, rewritten: DataFrame,
+      statsCols: Seq[String] = Nil): Long = {
     val v = currentVersion(spark, path) + 1
-    rewritten.write.mode("overwrite").parquet(s"$path/data/batch-$v")
-    val newFiles = spark.read.parquet(s"$path/data/batch-$v").inputFiles.toSeq
-    val chunk = writeChunk(spark, path, s"v$v", newFiles)
+    val dataDir = s"$path/data/batch-$v"
+    rewritten.write.mode("overwrite").parquet(dataDir)
+    val chunk =
+      if (statsCols.isEmpty)
+        writeChunk(spark, path, s"v$v", spark.read.parquet(dataDir).inputFiles.toSeq)
+      else writeStatsChunk(spark, path, s"v$v", dataDir, statsCols)
     writeList(spark, s"$path/manifest/v$v", Seq(chunk))
     v
+  }
+
+  /** CLUSTERING COMPACTION through the snapshot format (Iceberg
+    * `rewrite_data_files` with a sort order / Delta OPTIMIZE ZORDER BY):
+    * rewrite the current version range-clustered on `clusterCols` (one
+    * column = range sort; two = the h5 Morton z-curve, locality in both)
+    * and commit with fresh per-file stats. Content is byte-for-byte the
+    * same multiset — what changes is WHERE rows sit: after N streaming
+    * appends each spanning the full key range, every file's min/max
+    * covers everything and [[readAsOfPruned]] can skip NOTHING; after
+    * clustering, files are tight, disjoint key ranges and a point/range
+    * predicate prunes to O(matching) files (spec-pinned: pruning goes
+    * from vacuous to selective across this call, answers identical).
+    * Stats-driven skipping and clustering are two halves of ONE design —
+    * either alone is dead weight, together scan cost tracks query
+    * selectivity instead of table size. Old versions keep their chunks;
+    * time travel across the compaction is exact, and the superseded
+    * files are [[expire]]'s to reclaim. Single-writer; under concurrency
+    * use [[commitRewriteOptimistic]] with the same clustered frame.
+    */
+  def compactClustered(
+      spark: SparkSession, path: String, clusterCols: Seq[String],
+      nFiles: Int = 16): Long = {
+    require(clusterCols.nonEmpty && clusterCols.size <= 2,
+      "cluster on one column (range) or two (z-curve)")
+    val cur = readAsOf(spark, path, currentVersion(spark, path))
+    val keyed =
+      if (clusterCols.size == 1) cur.withColumn("_ck", col(clusterCols.head))
+      else cur.withColumn("_ck",
+        Layout.zValue(col(clusterCols.head), col(clusterCols(1))))
+    val clustered = keyed
+      .repartitionByRange(nFiles, col("_ck"))
+      .sortWithinPartitions("_ck")
+      .drop("_ck")
+    commitRewrite(spark, path, clustered, statsCols = clusterCols)
   }
 
   /** Snapshot EXPIRY (Iceberg's `expire_snapshots`): drop every version

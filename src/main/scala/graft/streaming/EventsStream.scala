@@ -356,6 +356,31 @@ object EventsStream {
       .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, path))
       .start()
 
+  /** Streaming ingest INTO THE SNAPSHOT TABLE FORMAT: every microbatch
+    * lands as one versioned, stats-carrying commit
+    * ([[graft.sources.Snapshots.ingestBatch]] — the replay guard is the
+    * batch-id-named chunk, atomic with the manifest publish, so restart
+    * replays are exactly-once without side markers). Downstream
+    * consumers get the whole table contract on a live stream: time
+    * travel to any microbatch boundary, `readBetween` as an exact
+    * change feed (each version IS one microbatch), stats-pruned scans,
+    * and [[graft.sources.Snapshots.compactClustered]] as the
+    * maintenance pass when the append files accumulate — the full
+    * lakehouse loop (stream in → snapshot isolation → incremental out)
+    * instead of a bare parquet landing zone.
+    */
+  def snapshotIngestSink(
+      events: DataFrame,
+      path: String,
+      checkpointDir: String,
+      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sources.Snapshots.ingestBatch(b, id, path, statsCols); ()
+      }
+      .start()
+
   /** Streaming e8: the retention matrix as a LIVE DELTA FEED — one
     * `RetentionInc` per (user, active hour) first observation, with
     * `cohort_hour` pinned to the hour the user was first seen. The

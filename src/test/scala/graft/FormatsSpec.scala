@@ -623,6 +623,38 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       === expected)
   }
 
+  test("snapshots: clustering compaction turns vacuous pruning selective; content identical") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_cluster"
+    // Three appends, EACH spanning the full key range (interleaved ids,
+    // one file per batch): every file's min/max covers everything, so
+    // stats pruning can skip nothing — the post-ingest state every
+    // streaming table decays into.
+    def b(off: Long) = ss.range(0, 300).filter(col("id") % 3 === off)
+      .select(col("id"), (col("id") * 7).as("v")).coalesce(1)
+    (0L to 2L).foreach(i => sources.Snapshots.commit(spark, p, b(i), Seq("id")))
+    val v3 = sources.Snapshots.currentVersion(spark, p)
+    val before = sources.Snapshots.readAsOf(spark, p, v3)
+      .as[(Long, Long)].collect().sorted
+    val (s0, t0) = sources.Snapshots.pruneFiles(spark, p, v3, "id", 100L, 110L)
+    assert(s0.size.toLong === t0,
+      "interleaved appends: every file overlaps the range — pruning is vacuous")
+    // Cluster-compact on the key: same rows, tight disjoint file ranges.
+    val v4 = sources.Snapshots.compactClustered(spark, p, Seq("id"), nFiles = 6)
+    val after = sources.Snapshots.readAsOf(spark, p, v4)
+      .as[(Long, Long)].collect().sorted
+    assert(after === before, "compaction must not change content")
+    val (s1, t1) = sources.Snapshots.pruneFiles(spark, p, v4, "id", 100L, 110L)
+    assert(t1 >= 6L && s1.size <= 2,
+      s"clustered table must prune to O(matching) files, kept ${s1.size}/$t1")
+    assert(sources.Snapshots.readAsOfPruned(spark, p, v4, "id", 100L, 110L)
+      .filter(col("id").between(100L, 110L)).count() === 11L)
+    // Time travel across the compaction is exact.
+    assert(sources.Snapshots.readAsOf(spark, p, v3).as[(Long, Long)].collect().sorted
+      === before)
+  }
+
   test("snapshots: merge splits a mixed-range chunk — survivor entries stay referenced") {
     val ss = spark
     import ss.implicits._

@@ -754,4 +754,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === batch)
     assert(got.size === 20)
   }
+
+  test("snapshot ingest sink: one version per microbatch, replays exactly-once, delta feed exact") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap-ingest").toString
+    val table = s"$tmp/table"
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.snapshotIngestSink(
+      mem.toDF(), table, s"$tmp/ckpt", statsCols = Seq("event_id"))
+    mem.addData(Ev(1, 1, "view", 1000, 1.0), Ev(2, 1, "click", 2000, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, 2, "view", 3000, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val v = graft.sources.Snapshots.currentVersion(spark, table)
+    assert(v === 2L, "each microbatch must land as exactly one snapshot version")
+    assert(graft.sources.Snapshots.readAsOf(spark, table, v).count() === 3L)
+    // The change feed between versions IS microbatch 2, nothing else.
+    assert(graft.sources.Snapshots.readBetween(spark, table, 1L, 2L)
+      .select("event_id").as[Long].collect().toSet === Set(3L))
+    // A restart replay of an already-committed batch id is a no-op: the
+    // batch-id-named chunk is already referenced by the current version.
+    val vr = graft.sources.Snapshots.ingestBatch(
+      Seq(Ev(3, 2, "view", 3000, 3.0)).toDF(), 1L, table, Seq("event_id"))
+    assert(vr === 2L)
+    assert(graft.sources.Snapshots.readAsOf(spark, table, 2L).count() === 3L)
+    // A genuinely new batch id commits the next version.
+    val vn = graft.sources.Snapshots.ingestBatch(
+      Seq(Ev(4, 2, "click", 4000, 4.0)).toDF(), 7L, table, Seq("event_id"))
+    assert(vn === 3L)
+    assert(graft.sources.Snapshots.readAsOf(spark, table, 3L).count() === 4L)
+    // The streamed-in table carries stats: pruning by event_id skips files.
+    val (surv, total) = graft.sources.Snapshots.pruneFiles(
+      spark, table, 3L, "event_id", 4L, 4L)
+    assert(surv.size.toLong < total, s"expected a skip, kept ${surv.size}/$total")
+  }
 }
