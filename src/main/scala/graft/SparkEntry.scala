@@ -75,6 +75,7 @@ object SparkEntry {
     "g23_louvain"        -> Louvain.g23Louvain _,
     "g24_betweenness"    -> ((s: SparkSession, d: String) => GraphIter.g24Betweenness(s, d)),
     "g25_random_walks"   -> ((s: SparkSession, d: String) => GraphIter.g25RandomWalks(s, d)),
+    "g26_node2vec_walks" -> ((s: SparkSession, d: String) => GraphIter.g26Node2vecWalks(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -2679,6 +2680,50 @@ object SparkEntry {
          |  FROM e),
          |w0 AS (SELECT s_suppkey * 2 + 1 AS walker, s_suppkey * 2 + 1 AS node
          |       FROM supplier WHERE s_suppkey < 16),
+         |$hops,
+         |allw AS (
+         |  $union)
+         |SELECT
+         |  CASE WHEN walker % 2 = 0 THEN 'c_' || CAST(walker // 2 AS VARCHAR)
+         |       ELSE 's_' || CAST(walker // 2 AS VARCHAR) END AS walker,
+         |  step,
+         |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+         |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node
+         |FROM allw ORDER BY 1, 2, 3""".stripMargin
+    },
+    // g26: the biased walks recomputed hop by hop — per candidate the
+    // same return/common/far integer weights (1/4/2), the same
+    // dst-ordered cumulative pick against the mixer, one generated CTE
+    // per hop carrying (walker, prev, node).
+    "g26_node2vec_walks" -> {
+      def mix(t: Int) =
+        s"((walker % 1048573) * 31 + $t * 7 + (src % 1048573) * 13)"
+      val hops = (1 to 3).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT walker, src AS prev, dst AS node FROM (
+           |    SELECT c.*,
+           |      SUM(wgt) OVER (PARTITION BY walker ORDER BY dst) AS cum,
+           |      SUM(wgt) OVER (PARTITION BY walker) AS tot
+           |    FROM (
+           |      SELECT w.walker, w.prev, a.src, a.dst,
+           |        CASE WHEN a.dst = w.prev THEN 1
+           |             WHEN EXISTS (SELECT 1 FROM e x
+           |                          WHERE x.src = w.prev AND x.dst = a.dst) THEN 4
+           |             ELSE 2 END AS wgt
+           |      FROM w${t - 1} w JOIN e a ON w.node = a.src) c)
+           |  WHERE cum - wgt <= ${mix(t)} % tot
+           |    AND ${mix(t)} % tot < cum)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 3).map { t =>
+        s"SELECT walker, CAST($t AS BIGINT) AS step, node FROM w$t"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |w0 AS (SELECT s_suppkey * 2 + 1 AS walker,
+         |         s_suppkey * 2 + 1 AS prev, s_suppkey * 2 + 1 AS node
+         |       FROM supplier WHERE s_suppkey < 8),
          |$hops,
          |allw AS (
          |  $union)

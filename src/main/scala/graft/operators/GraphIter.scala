@@ -687,6 +687,101 @@ object GraphIter {
     res
   }
 
+  /** SECOND-ORDER (node2vec-BIASED) walks — the p/q sibling of
+    * [[randomWalks]] (Grover & Leskovec 2016): hop t out of node v,
+    * having ARRIVED FROM prev u, weights each neighbor x by the walk's
+    * search posture — `wReturn` when x == u (the 1/p return bias),
+    * `wCommon` when (u, x) is an edge (distance 1 from u: BFS-ish,
+    * community-local), `wFar` otherwise (distance 2: DFS-ish,
+    * exploratory) — then picks by the deterministic mixer against the
+    * CUMULATIVE integer weights over the dst-ordered candidates
+    * (r = mix(walker,t,v) mod Σw; first candidate whose running sum
+    * exceeds r). Step 1 has no prev, so prev = the seed itself: x == u
+    * can't happen among neighbors and every candidate is distance 1 —
+    * the algebra degrades to the uniform first-order choice by itself.
+    *
+    * Scale shape: per step ONE frontier⋈adjacency equijoin (candidates
+    * = the frontier's neighbor fan-out) plus the one join node2vec
+    * inherently adds over first-order — the (prev, x) adjacency test,
+    * an equijoin of the candidate set against the src-pinned edge list
+    * — then a per-walker window for the cumulative pick (frontier has
+    * exactly one row per live walker, so partitions are walker-sized).
+    * All integer arithmetic: reproducible across engines, oracle-exact.
+    */
+  def biasedWalks(
+      edges: DataFrame, seeds: DataFrame, steps: Int,
+      wReturn: Long = 1L, wCommon: Long = 4L, wFar: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    var cur = seeds.select(col("walker"), col("node")).distinct()
+      .withColumn("prev", col("node"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ListBuffer[DataFrame](
+      cur.select(col("walker"), lit(0L).as("step"), col("node")))
+    val byWalker = Window.partitionBy("walker")
+    (1 to steps).foreach { t =>
+      val cand = cur.join(sym, cur("node") === sym("src"))
+        .select(col("walker"), col("prev"), col("src"), col("dst"))
+      val flagged = cand.join(
+          sym.select(col("src").as("p_src"), col("dst").as("p_dst"),
+            lit(1L).as("is_nbr")),
+          col("prev") === col("p_src") && col("dst") === col("p_dst"), "left")
+        .withColumn("wgt",
+          when(col("dst") === col("prev"), lit(wReturn))
+            .when(col("is_nbr").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)))
+      val nxt = flagged
+        .withColumn("cum", sum("wgt").over(byWalker.orderBy("dst")))
+        .withColumn("tot", sum("wgt").over(byWalker))
+        .withColumn("r",
+          (col("walker") % 1048573L * 31 + lit(t.toLong) * 7 +
+            col("src") % 1048573L * 13) % col("tot"))
+        .filter(col("cum") - col("wgt") <= col("r") && col("r") < col("cum"))
+        .select(col("walker"), col("src").as("prev"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out += nxt.select(col("walker"), lit(t.toLong).as("step"), col("node"))
+      cur = nxt
+    }
+    val res = out.reduce(_.unionByName(_))
+    sym.unpersist()
+    res
+  }
+
+  /** g26: node2vec-biased walks on the packed bipartite graph — 3 hops
+    * from the first 8 suppliers with (wReturn, wCommon, wFar) =
+    * (1, 4, 2), i.e. return discouraged 4×, triadic closure favored 2×
+    * over exploration (p = 4, q = 2 in node2vec terms, scaled to
+    * integers). The biased corpus is what node2vec actually trains on;
+    * g25 is the DeepWalk special case. Note the bipartite structure
+    * makes EVERY 2-hop non-return candidate "far" (no (u, x) edge joins
+    * two same-side nodes), so the bias this graph exercises is the
+    * return penalty — the crafted spec covers the wCommon branch on a
+    * triangle graph.
+    */
+  def g26Node2vecWalks(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = t.supplier.filter(col("s_suppkey") < 8)
+      .select((col("s_suppkey") * 2 + 1).as("walker"),
+        (col("s_suppkey") * 2 + 1).as("node"))
+    def dec(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(2)) === 0,
+        concat(lit("c_"), shiftright(c, 1).cast("string")))
+        .otherwise(concat(lit("s_"), shiftright(c, 1).cast("string")))
+    biasedWalks(edges, seeds, steps)
+      .select(dec(col("walker")).as("walker"), col("step"),
+        dec(col("node")).as("node"))
+  }
+
   /** g25: deterministic random walks on the packed bipartite
     * customer–supplier graph — 4 hops from the first 16 suppliers, the
     * embedding-corpus sampler over the reference's person–org

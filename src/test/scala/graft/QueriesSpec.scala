@@ -991,6 +991,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (99L, 0L, 99L)), s"got $got")
   }
 
+  test("g26 biased walks: hand-computed p/q weighting, return penalty steers the pick") {
+    val ss = spark
+    import ss.implicits._
+    // Triangle 1-2-3 plus pendant 2-4; weights (ret, common, far) =
+    // (1, 4, 2). Walker 5 from 1: t1 v=1 prev=1, cands [2,3] both
+    // common (4,4), r=175%8=7 → 3; t2 v=3 prev=1, cands [1(ret:1),
+    // 2(common:4)], r=208%5=3 → 2. Walker 6 from 4: t1 → 2 (only
+    // neighbor); t2 v=2 prev=4, cands [1(far:2), 3(far:2), 4(ret:1)],
+    // r=226%5=1 → 1 (exploration beats the penalized return).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)).toDF("src", "dst")
+    val seeds = Seq((5L, 1L), (6L, 4L)).toDF("walker", "node")
+    val got = operators.GraphIter.biasedWalks(edges, seeds, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (5L, 0L, 1L), (5L, 1L, 3L), (5L, 2L, 2L),
+      (6L, 0L, 4L), (6L, 1L, 2L), (6L, 2L, 1L)), s"got $got")
+    // The p-lever is live: making return nearly free (wReturn = 100)
+    // flips walker 6's second hop back to 4 (cum window: 1→2, 3→4,
+    // 4→104; r = 226 % 104 = 18 → the return candidate).
+    val sticky = operators.GraphIter
+      .biasedWalks(edges, seeds, steps = 2, wReturn = 100L, wCommon = 4L, wFar = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sticky.contains((6L, 2L, 4L)), s"got $sticky")
+  }
+
   test("g23 louvain: two triangles joined by a bridge split into the modularity communities") {
     val ss = spark
     import ss.implicits._
