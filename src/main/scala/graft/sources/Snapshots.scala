@@ -700,29 +700,47 @@ object Snapshots {
     require(!b.isNullAt(0), "mergeInto: empty source")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
 
+    // Candidate planning is ONE Spark job over the union of every
+    // chunk's entries (chunk provenance recovered from the entry file's
+    // parent directory) — never a per-chunk driver loop, so planning a
+    // merge against a table with thousands of commits costs one manifest
+    // scan, not thousands of tiny jobs. Stats-less generations surface
+    // as NULL bounds after mergeSchema and are conservatively candidates.
     val (mn, mx) = (s"min_$keyCol", s"max_$keyCol")
-    var untouched = Vector.empty[String]
-    var survivorChunks = Vector.empty[String]
-    var candFiles = Vector.empty[String]
-    chunksOf(spark, path, v0).zipWithIndex.foreach { case (c, i) =>
+    val chunkList = chunksOf(spark, path, v0)
+    val allEnts = readChunks(spark, chunkList)
+    val isCand: org.apache.spark.sql.Column =
+      if (!(allEnts.columns.contains(mn) && allEnts.columns.contains(mx))) lit(true)
+      else col(mn).isNull || col(mx).isNull || (col(mx) >= lo && col(mn) <= hi)
+    val planned = allEnts
+      .withColumn("chunk",
+        regexp_extract(input_file_name(), "^(.*/c-[^/]+)/", 1))
+      .filter(isCand)
+      .select(col("chunk"), col("file"))
+      .collect()
+    val candFiles = planned.map(_.getString(1)).toVector
+    // Chunk identity across path-rendering differences (file:/ vs
+    // file:///) goes through the chunk's unique c-<uid> directory name.
+    val affectedNames = planned.map(r => hpath(r.getString(0)).getName).toSet
+    val (affected, untouched) =
+      chunkList.partition(c => affectedNames(hpath(c).getName))
+    // Affected chunks are re-listed without their candidates (Iceberg's
+    // per-manifest rewrite): O(affected-chunk entries) total, survivors
+    // keep their stats rows, a chunk whose files are all candidates is
+    // simply superseded.
+    val survivorChunks = affected.zipWithIndex.flatMap { case (c, i) =>
       val ents = spark.read.parquet(c)
-      if (!(ents.columns.contains(mn) && ents.columns.contains(mx))) {
-        // No key stats: every file is conservatively a candidate and the
-        // whole chunk is superseded by the rewrite.
-        candFiles ++= ents.select("file").as[String].collect()
-      } else {
-        val isCand = col(mn).isNull || col(mx).isNull ||
-          (col(mx) >= lo && col(mn) <= hi)
-        val cands = ents.filter(isCand).select("file").as[String].collect()
-        if (cands.isEmpty) untouched :+= c
+      // A stats-less chunk in a mixed-generation table: every file is a
+      // candidate (NULL bounds), no survivors — superseded wholesale.
+      if (!(ents.columns.contains(mn) && ents.columns.contains(mx))) None
+      else {
+        val surv = ents.filter(!(col(mn).isNull || col(mx).isNull ||
+          (col(mx) >= lo && col(mn) <= hi)))
+        if (surv.head(1).isEmpty) None
         else {
-          candFiles ++= cands
-          val surv = ents.filter(!isCand)
-          if (surv.head(1).nonEmpty) {
-            val sc = s"$path/manifest/chunks/c-$uid-s$i"
-            surv.coalesce(1).write.mode("overwrite").parquet(sc)
-            survivorChunks :+= sc
-          }
+          val sc = s"$path/manifest/chunks/c-$uid-s$i"
+          surv.coalesce(1).write.mode("overwrite").parquet(sc)
+          Some(sc)
         }
       }
     }
