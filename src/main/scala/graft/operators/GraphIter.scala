@@ -646,14 +646,20 @@ object GraphIter {
     * stays far inside int64 on engines that TRAP on overflow (DuckDB)
     * as well as ones that wrap (the JVM).
     *
-    * Scale shape: the adjacency (src, dst, idx, deg) is built ONCE —
-    * one repartition by src feeding both window functions — and
-    * checkpointed; each step is one frontier⋈adjacency equijoin on the
-    * pinned src layout (only the O(walkers) frontier moves) followed by
-    * the index filter. Cost per step is the frontier's total neighbor
-    * fan-out scan, never path enumeration, and the walk table the loop
-    * emits is O(walkers · steps) — the node2vec corpus size, linear in
-    * the seed budget however big the graph is.
+    * Scale shape: neighbor ranks are computed LAZILY, per step, over
+    * only the frontier's own fan-out — the frontier⋈edges equijoin
+    * yields each visited node's COMPLETE neighbor list, so a per-walker
+    * window assigns the identical dst-ordered index and degree the
+    * global adjacency would, without ever indexing the full edge set
+    * (the eager build is a full O(E) sort per run — measured spilling
+    * for minutes at the 234M-edge tier — all of it wasted on nodes no
+    * walk visits; sampled walks visit O(walkers · steps) nodes). The
+    * symmetric edge list is checkpointed once, src-pinned, sort-free;
+    * per step ONE equijoin (only the O(walkers) frontier moves) + a
+    * window whose partitions are single-node neighbor lists. A
+    * full-corpus embedding run (walkers ≈ V) flips the trade — there,
+    * pre-index the adjacency once and persist it, the VectorIndex
+    * pay-at-ingest posture.
     */
   def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -661,18 +667,26 @@ object GraphIter {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
-    val adj = sym
-      .withColumn("idx",
-        row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
-      .withColumn("deg",
-        count(lit(1)).over(Window.partitionBy("src")).cast("long"))
       .localCheckpoint(true)
     var cur = seeds.select(col("walker"), col("node")).distinct()
       .localCheckpoint(true)
     val out = scala.collection.mutable.ListBuffer[DataFrame](
       cur.withColumn("step", lit(0L)))
+    val byWalker = Window.partitionBy("walker")
     (1 to steps).foreach { t =>
-      val nxt = cur.join(adj, cur("node") === adj("src"))
+      // The frontier is O(walkers) rows — BROADCAST it so the edge side
+      // STREAMS under a BroadcastHashJoin (the g9/minRelaxTraverse
+      // bounded-frontier discipline; checkpointed frames carry no size
+      // stats, so without the hint Catalyst sort-merge-joins and pays a
+      // full O(E) sort per step — measured spilling at the 234M-edge
+      // tier). One frontier row per walker, so the walker partition IS
+      // its current node's full neighbor list: rank within it == the
+      // global dst-ordered adjacency index (what the oracle computes).
+      val nxt = broadcast(cur).join(sym, cur("node") === sym("src"))
+        .select(col("walker"), col("src"), col("dst"))
+        .withColumn("idx",
+          row_number().over(byWalker.orderBy("dst")).cast("long") - 1)
+        .withColumn("deg", count(lit(1)).over(byWalker).cast("long"))
         .filter(col("idx") ===
           (col("walker") % 1048573L * 31 + lit(t.toLong) * 7 +
             col("src") % 1048573L * 13) % col("deg"))
@@ -683,7 +697,7 @@ object GraphIter {
     }
     val res = out.reduce(_.unionByName(_))
       .select(col("walker"), col("step"), col("node"))
-    adj.unpersist()
+    sym.unpersist()
     res
   }
 
@@ -724,11 +738,22 @@ object GraphIter {
       cur.select(col("walker"), lit(0L).as("step"), col("node")))
     val byWalker = Window.partitionBy("walker")
     (1 to steps).foreach { t =>
-      val cand = cur.join(sym, cur("node") === sym("src"))
+      // Broadcast the O(walkers) frontier: the edge side streams under
+      // BHJ in BOTH jobs that touch it this step (candidate fan-out and
+      // the prev-set's own edges) — zero edge movement, no O(E) sort.
+      val cand = broadcast(cur).join(sym, cur("node") === sym("src"))
         .select(col("walker"), col("prev"), col("src"), col("dst"))
-      val flagged = cand.join(
-          sym.select(col("src").as("p_src"), col("dst").as("p_dst"),
-            lit(1L).as("is_nbr")),
+      // The (prev, x) membership test only ever probes edges whose src
+      // is a FRONTIER prev — O(walkers) distinct values — so pre-filter
+      // the edge relation down to those (one streamed scan, output
+      // O(Σ deg(prev)): the same per-walker fan-out the candidate set
+      // already materializes) and broadcast the result, instead of
+      // joining the candidates against all of E.
+      val prevEdges = sym
+        .join(broadcast(cur.select(col("prev").as("p_src")).distinct()),
+          sym("src") === col("p_src"))
+        .select(col("p_src"), col("dst").as("p_dst"), lit(1L).as("is_nbr"))
+      val flagged = cand.join(broadcast(prevEdges),
           col("prev") === col("p_src") && col("dst") === col("p_dst"), "left")
         .withColumn("wgt",
           when(col("dst") === col("prev"), lit(wReturn))
