@@ -183,6 +183,8 @@ object SparkEntry {
     "h11_incremental_read" -> ((s: SparkSession, d: String) => sources.Snapshots.h11IncrementalRead(s, d)),
     "h12_stats_prune"    -> ((s: SparkSession, d: String) => sources.Snapshots.h12StatsPrune(s, d)),
     "h13_merge_into"     -> ((s: SparkSession, d: String) => sources.Snapshots.h13MergeInto(s, d)),
+    "h14_schema_evolution" -> ((s: SparkSession, d: String) => sources.Snapshots.h14SchemaEvolution(s, d)),
+    "h15_mor_delete"     -> ((s: SparkSession, d: String) => sources.Snapshots.h15MorDelete(s, d)),
     "t28_shuffle_export" -> ((s: SparkSession, d: String) => functions.Export.t28ShuffleExport(s, d))
   )
 
@@ -1870,6 +1872,29 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events, min(day) AS first_day,
         |  max(day) AS last_day, CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // h15: the surviving rows recomputed from raw — both accumulated
+    // delete sets must apply exactly through the merge-on-read path.
+    "h15_mor_delete" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events, min(day) AS first_day,
+        |  max(day) AS last_day, CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM d WHERE event_id % 37 <> 0 AND event_id % 41 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // h14: the post-evolution table state recomputed from raw rows — the
+    // even half contributes 0 to the new column's sum (those files
+    // predate the column; the mergeSchema read surfaces NULL there).
+    "h14_schema_evolution" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0 THEN value_milli ELSE 0 END)
+        |    AS BIGINT) AS sum_value_milli
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e13_path_analysis" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

@@ -99,13 +99,34 @@ object Snapshots {
   private def readChunks(spark: SparkSession, chunks: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(chunks: _*)
 
+  /** A version's chunk list split into DATA chunks (file entries, under
+    * `manifest/chunks/`) and DELETE chunks (merge-on-read key sets,
+    * under `manifest/deletes/` — see [[deleteByKey]]). The split is by
+    * path, so the manifest list schema never changed and pre-delete
+    * tables read back with an empty delete side.
+    */
+  private def splitChunks(chunks: Seq[String]): (Seq[String], Seq[String]) =
+    chunks.partition(c => !c.contains("/deletes/"))
+
   /** The file entries of version `v` as a DATASET (a union scan of its
-    * delta chunks) — manifest contents stay a Spark relation; callers
-    * that genuinely need driver-side paths (a parquet scan does) collect
-    * explicitly at their own seam.
+    * DATA delta chunks) — manifest contents stay a Spark relation;
+    * callers that genuinely need driver-side paths (a parquet scan does)
+    * collect explicitly at their own seam.
     */
   private def filesOf(spark: SparkSession, path: String, v: Long): DataFrame =
-    readChunks(spark, chunksOf(spark, path, v)).select("file")
+    readChunks(spark, splitChunks(chunksOf(spark, path, v))._1).select("file")
+
+  /** The outstanding merge-on-read delete set of version `v` as ONE
+    * key frame (None when the version carries no delete chunks). All
+    * delete chunks of a table share one key column by construction
+    * ([[deleteByKey]] enforces it against the outstanding set).
+    */
+  private def deletesOf(
+      spark: SparkSession, path: String, v: Long): Option[DataFrame] = {
+    val dels = splitChunks(chunksOf(spark, path, v))._2
+    if (dels.isEmpty) None
+    else Some(readChunks(spark, dels).distinct())
+  }
 
   /** Write one immutable delta chunk listing exactly `files`; returns the
     * chunk path. O(batch) rows — the only per-file manifest rows a commit
@@ -181,6 +202,46 @@ object Snapshots {
       else writeStatsChunk(spark, path, chunkUid, dataDir, statsCols)
     val prev = if (v == 1) Seq.empty[String] else chunksOf(spark, path, v - 1)
     writeList(spark, s"$path/manifest/v$v", prev :+ chunk)
+    v
+  }
+
+  /** MERGE-ON-READ delete (Iceberg v2 equality-delete files / Delta
+    * deletion vectors): commit a DELETE of every row whose `keyCol` is
+    * in `keys` by writing ONLY the key set — one delete chunk under
+    * `manifest/deletes/`, O(deleted keys) bytes — and a new manifest
+    * list referencing it next to the untouched data chunks. NO data
+    * file is opened, rewritten, or moved: this is the other half of the
+    * COW/MoR duality — [[mergeInto]] pays at write time (rewrite the
+    * touched files, reads stay pure scans), deleteByKey pays at READ
+    * time ([[readAsOf]] applies the outstanding delete set as an
+    * anti-join), which is the right trade when deletes are frequent,
+    * small, or latency-critical (a GDPR erasure against a 100 TB table
+    * must not rewrite a terabyte of files to drop a thousand rows).
+    * The debt is bounded and dischargeable: [[compactClustered]] (or
+    * any rewrite commit) reads THROUGH the delete set and commits a
+    * resolved file set with a fresh chunk list — the delete chunks
+    * simply stop being referenced, and [[expire]] reclaims them.
+    *
+    * All outstanding delete chunks must share one key column (mixed-key
+    * anti-joins would need per-column passes; enforced loudly here).
+    * Older snapshots are untouched — time travel to a pre-delete
+    * version still sees the rows, exactly the Iceberg contract.
+    */
+  def deleteByKey(
+      spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Long = {
+    val v0 = currentVersion(spark, path)
+    require(v0 >= 1, s"deleteByKey: no committed snapshot at $path")
+    deletesOf(spark, path, v0).foreach { d =>
+      require(d.columns.sameElements(Array(keyCol)),
+        s"deleteByKey: outstanding deletes key on ${d.columns.mkString(",")}, not $keyCol — " +
+          "compact to resolve them before deleting on a different key")
+    }
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val chunk = s"$path/manifest/deletes/d-$uid"
+    keys.select(col(keyCol)).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(chunk)
+    val v = v0 + 1
+    writeList(spark, s"$path/manifest/v$v", chunksOf(spark, path, v0) :+ chunk)
     v
   }
 
@@ -490,7 +551,12 @@ object Snapshots {
         val doomedChunks = expiredVs
           .flatMap(v => chunksOf(spark, path, v)).distinct
           .filterNot(retainedChunks.toSet)
-        if (doomedChunks.isEmpty) 0
+        // File reference-counting runs over DATA chunks only; a doomed
+        // DELETE chunk carries no file entries — its directory is
+        // reclaimed with the rest below.
+        val doomedData = splitChunks(doomedChunks)._1
+        val retainedData = splitChunks(retainedChunks)._1
+        if (doomedData.isEmpty) { doomedChunks.foreach(c => f.delete(hpath(c), true)); 0 }
         else {
           // File-tier anti-join (a Spark job over manifest entries, the
           // driver never holds either file list): a doomed chunk's file
@@ -503,9 +569,9 @@ object Snapshots {
             readChunks(spark, chunks)
               .select(normPath(col("file")).as("file")).distinct()
           val doomed =
-            if (retainedChunks.isEmpty) entries(doomedChunks)
-            else entries(doomedChunks)
-              .join(entries(retainedChunks), Seq("file"), "left_anti")
+            if (retainedData.isEmpty) entries(doomedData)
+            else entries(doomedData)
+              .join(entries(retainedData), Seq("file"), "left_anti")
           val n = org.apache.spark.sql.graft.GraftInternals
             .distributedDelete(doomed.as[String])
           doomedChunks.foreach(c => f.delete(hpath(c), true))
@@ -545,8 +611,9 @@ object Snapshots {
       .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
     if (present.isEmpty) return 0
     val liveChunks = present.flatMap(v => chunksOf(spark, path, v)).distinct
+    val liveData = splitChunks(liveChunks)._1
     val normPath = udf((s: String) => new java.net.URI(s).getPath)
-    val referenced = readChunks(spark, liveChunks)
+    val referenced = readChunks(spark, liveData)
       .select(normPath(col("file")).as("file"))
       .distinct()
     val cutoff = System.currentTimeMillis() - graceMs
@@ -572,13 +639,13 @@ object Snapshots {
               !f.exists(hpath(s"$path/manifest/${nm.stripPrefix(".claim-")}"))))
       }
       .foreach(s => f.delete(s.getPath, true))
-    val chunksDir = hpath(s"$path/manifest/chunks")
-    if (f.exists(chunksDir)) {
-      val live = liveChunks.map(c => hpath(c).getName).toSet
-      f.listStatus(chunksDir)
-        .filter(s => s.getModificationTime < cutoff && !live(s.getPath.getName))
-        .foreach(s => f.delete(s.getPath, true))
-    }
+    val live = liveChunks.map(c => hpath(c).getName).toSet
+    Seq(s"$path/manifest/chunks", s"$path/manifest/deletes").map(hpath)
+      .filter(f.exists).foreach { d =>
+        f.listStatus(d)
+          .filter(s => s.getModificationTime < cutoff && !live(s.getPath.getName))
+          .foreach(s => f.delete(s.getPath, true))
+      }
     n
   }
 
@@ -589,11 +656,24 @@ object Snapshots {
     * driver materializes the file paths HERE because the scan needs
     * them — never on the commit path.
     */
-  def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
+  def readAsOf(
+      spark: SparkSession, path: String, v: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     import spark.implicits._
     val files = filesOf(spark, path, v).as[String].collect()
     require(files.nonEmpty, s"snapshot v$v of $path is empty or missing")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    // mergeSchema = the SCHEMA-EVOLUTION read: commits are immutable, so
+    // a column added mid-history exists only in newer files — footer
+    // reconciliation surfaces it across the whole snapshot with NULLs
+    // for pre-evolution rows (additive evolution, the only kind an
+    // immutable-file format can express without rewriting history).
+    val scan =
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    // Merge-on-read: the version's outstanding delete set applies as one
+    // anti-join — the read-time half of the deleteByKey contract.
+    deletesOf(spark, path, v).fold(scan)(d => scan.join(d, d.columns.toSeq, "left_anti"))
   }
 
   /** Scan PLANNING against the manifest stats: the files of version `v`
@@ -610,7 +690,7 @@ object Snapshots {
       spark: SparkSession, path: String, v: Long,
       column: String, lo: Long, hi: Long): (Seq[String], Long) = {
     import spark.implicits._
-    val ents = readChunks(spark, chunksOf(spark, path, v))
+    val ents = readChunks(spark, splitChunks(chunksOf(spark, path, v))._1)
     val total = ents.count()
     val (mn, mx) = (s"min_$column", s"max_$column")
     val survivors =
@@ -637,7 +717,12 @@ object Snapshots {
       column: String, lo: Long, hi: Long): DataFrame = {
     val (files, _) = pruneFiles(spark, path, v, column, lo, hi)
     if (files.isEmpty) readAsOf(spark, path, v).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    else {
+      val scan = spark.read.parquet(files: _*)
+      // A pruned scan is still a READ of version v: outstanding
+      // merge-on-read deletes apply here too.
+      deletesOf(spark, path, v).fold(scan)(d => scan.join(d, d.columns.toSeq, "left_anti"))
+    }
   }
 
   /** Copy-on-write MERGE INTO the current snapshot (the Delta/Iceberg
@@ -685,6 +770,10 @@ object Snapshots {
     import spark.implicits._
     val v0 = currentVersion(spark, path)
     require(v0 >= 1, s"mergeInto: no committed snapshot at $path")
+    require(deletesOf(spark, path, v0).isEmpty,
+      "mergeInto: outstanding merge-on-read deletes — compact the table " +
+        "to resolve them before a copy-on-write merge (candidate files " +
+        "would be rewritten without their delete set applied)")
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
     // Source rows that survive into the table (updates + inserts) vs ALL
@@ -782,7 +871,12 @@ object Snapshots {
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
     val upto = chunksOf(spark, path, toV)
     val base = if (fromV == 0) Set.empty[String] else chunksOf(spark, path, fromV).toSet
-    val freshChunks = upto.filterNot(base)
+    // Appends only: a delete chunk in the diff is a merge-on-read
+    // retraction, which the append contract (like a rewrite) excludes —
+    // the incremental scan streams ADDED rows, exactly Iceberg's
+    // incremental append scan; consumers needing retractions read the
+    // delete chunks as their own change feed.
+    val freshChunks = splitChunks(upto.filterNot(base))._1
     val fresh: IndexedSeq[String] =
       if (freshChunks.isEmpty) IndexedSeq.empty
       else readChunks(spark, freshChunks).select("file").as[String].collect().toIndexedSeq
@@ -875,6 +969,71 @@ object Snapshots {
     * state is IDEMPOTENT (same source ⇒ same table), which is what lets
     * the gate and the bench share one staged table.
     */
+  /** h14: SCHEMA EVOLUTION through the snapshot format — the additive
+    * column-add every long-lived table eventually needs, without
+    * rewriting a byte of history: batch 1 commits the old shape, batch 2
+    * commits with a new `value_milli` column (e1's exact milli-unit
+    * discipline — a double sum would flap the hash), and the
+    * mergeSchema read reconciles the generations with NULLs for
+    * pre-evolution rows. The aggregate sums the new column with
+    * coalesce-to-zero, so the gate fails if evolution drops the column,
+    * backfills the wrong rows, or loses a row across the schema
+    * boundary; the oracle recomputes from raw rows with the same
+    * even/odd split. Its own staging dir (the h10 table's day-cut
+    * contract stays untouched).
+    */
+  def h14SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = f"/tmp/graft_snapshots/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events_evolved"
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("value_milli"))
+    if (currentVersion(spark, base) != 2) {
+      // A partial staging (interrupted between the two commits) would
+      // double-commit batch 1 on resume — restage from scratch instead.
+      if (currentVersion(spark, base) > 0) fs(spark).delete(hpath(base), true)
+      commit(spark, base, ev.filter(col("event_id") % 2 === 0).drop("value_milli"),
+        statsCols = Seq("event_id"))
+      commit(spark, base, ev.filter(col("event_id") % 2 =!= 0),
+        statsCols = Seq("event_id"))
+    }
+    readAsOf(spark, base, 2L, mergeSchema = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(col("value_milli"), lit(0L))).as("sum_value_milli"))
+  }
+
+  /** h15: MERGE-ON-READ deletes on the correctness gate — one data
+    * commit, then two accumulated delete commits (event_id ≡ 0 mod 37,
+    * then mod 41) that move ZERO data bytes, read back through the
+    * anti-join path. The oracle recomputes the surviving rows from the
+    * raw table, so a delete that leaks a row, over-deletes, or is lost
+    * by the read path hash-mismatches; the sum-of-ids checksum makes
+    * the gate membership-exact. Own staging dir; restaged from scratch
+    * if a previous run left a partial history.
+    */
+  def h15MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = f"/tmp/graft_snapshots/${spark.sparkContext.applicationId}/" +
+      f"${dir.hashCode}%08x_${new java.io.File(dir).getName}/events_mor"
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        expr("ts DIV 86400000000000").cast("long").as("day"))
+    if (currentVersion(spark, base) != 3) {
+      if (currentVersion(spark, base) > 0) fs(spark).delete(hpath(base), true)
+      commit(spark, base, ev, statsCols = Seq("event_id", "day"))
+      deleteByKey(spark, base,
+        ev.filter(col("event_id") % 37 === 0).select("event_id"), "event_id")
+      deleteByKey(spark, base,
+        ev.filter(col("event_id") % 41 === 0).select("event_id"), "event_id")
+    }
+    readAsOf(spark, base, 3L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        sum(col("event_id")).as("sum_ids"))
+  }
+
   def h13MergeInto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = staged(spark, dir)

@@ -655,6 +655,73 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       === before)
   }
 
+  test("snapshots: additive schema evolution — old files read the new column as null") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_evolve"
+    val v1 = sources.Snapshots.commit(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = sources.Snapshots.commit(spark, p,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra"))
+    val evolved = sources.Snapshots.readAsOf(spark, p, v2, mergeSchema = true)
+    assert(evolved.columns.toSeq === Seq("id", "v", "extra"))
+    val got = evolved.select(col("id"), coalesce(col("extra"), lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, -1L), (2L, -1L), (3L, 30L), (4L, 40L)))
+    // The pre-evolution snapshot stays readable in its ORIGINAL shape.
+    assert(sources.Snapshots.readAsOf(spark, p, v1).columns.toSeq === Seq("id", "v"))
+  }
+
+  test("snapshots: merge-on-read deletes move no data, accumulate, and compact away") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_mor"
+    val v1 = sources.Snapshots.commit(spark, p,
+      ss.range(1, 11).select(col("id"), (col("id") * 3).as("v")), Seq("id"))
+    val files1 = sources.Snapshots.readAsOf(spark, p, v1).inputFiles.toSet
+    val mt1 = files1.map { f =>
+      f -> new java.io.File(new java.net.URI(f)).lastModified()
+    }.toMap
+    // Two accumulated delete commits: no data file is touched or dropped
+    // from the manifest — only the key sets land.
+    val v2 = sources.Snapshots.deleteByKey(spark, p, Seq(2L, 4L).toDF("id"), "id")
+    val v3 = sources.Snapshots.deleteByKey(spark, p, Seq(7L).toDF("id"), "id")
+    val after = sources.Snapshots.readAsOf(spark, p, v3)
+    assert(after.select("id").as[Long].collect().toSet
+      === Set(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+    // inputFiles also lists the delete chunks (the anti-join's build
+    // side is itself a parquet scan) — the DATA file set must be
+    // exactly v1's.
+    assert(after.inputFiles.toSet.filter(_.contains("/data/")) === files1,
+      "deletes must not change the data file set")
+    mt1.foreach { case (f, t) =>
+      assert(new java.io.File(new java.net.URI(f)).lastModified() === t,
+        s"data file rewritten by a merge-on-read delete: $f")
+    }
+    // Time travel: v1 still has every row, v2 only the first delete.
+    assert(sources.Snapshots.readAsOf(spark, p, v1).count() === 10L)
+    assert(sources.Snapshots.readAsOf(spark, p, v2).count() === 8L)
+    // The pruned read applies deletes too.
+    assert(sources.Snapshots.readAsOfPruned(spark, p, v3, "id", 1L, 5L)
+      .filter(col("id").between(1L, 5L)).select("id").as[Long].collect().toSet
+      === Set(1L, 3L, 5L))
+    // Guard rails: a different delete key and a COW merge both refuse
+    // while deletes are outstanding.
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.deleteByKey(spark, p, Seq(9L).toDF("v"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.mergeInto(spark, p,
+        Seq((1L, 99L)).toDF("id", "v"), "id", statsCols = Seq("id"))
+    }
+    // Compaction reads THROUGH the delete set and discharges the debt:
+    // same answers, and the table accepts a new-key delete again.
+    val v4 = sources.Snapshots.compactClustered(spark, p, Seq("id"), nFiles = 2)
+    assert(sources.Snapshots.readAsOf(spark, p, v4).select("id").as[Long].collect().toSet
+      === Set(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+    val v5 = sources.Snapshots.deleteByKey(spark, p, Seq(9L).toDF("id"), "id")
+    assert(sources.Snapshots.readAsOf(spark, p, v5).count() === 6L)
+  }
+
   test("snapshots: merge splits a mixed-range chunk — survivor entries stay referenced") {
     val ss = spark
     import ss.implicits._
