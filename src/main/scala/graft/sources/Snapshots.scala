@@ -226,6 +226,14 @@ object Snapshots {
     * anti-joins would need per-column passes; enforced loudly here).
     * Older snapshots are untouched — time travel to a pre-delete
     * version still sees the rows, exactly the Iceberg contract.
+    *
+    * Semantics note: the outstanding delete set applies to the WHOLE
+    * version it is listed in — including files appended AFTER the
+    * delete (global equality-delete semantics; Iceberg scopes by
+    * sequence number instead). Re-inserting a previously deleted key
+    * therefore requires discharging the debt first (a rewrite commit),
+    * which [[mergeInto]]'s refuse-while-outstanding guard already
+    * forces on the one path that would hit it silently.
     */
   def deleteByKey(
       spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Long = {
