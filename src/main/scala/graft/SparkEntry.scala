@@ -112,6 +112,7 @@ object SparkEntry {
     "s14_filtered_ann"   -> ((s: SparkSession, d: String) => Ann.s14FilteredAnn(s, d)),
     "s15_filtered_ivf"   -> ((s: SparkSession, d: String) => Ann.s15FilteredIvf(s, d)),
     "s16_sq8_search"     -> ((s: SparkSession, d: String) => similarity.Sq.s16Sq8Search(s, d)),
+    "s17_binary_search"  -> ((s: SparkSession, d: String) => similarity.Bq.s17BinarySearch(s, d)),
     // G. multimodal
     "m1_media_meta"      -> Media.m1MediaMeta _,
     "m2_frame_sample"    -> ((s: SparkSession, d: String) => Media.m2FrameSample(s, d)),
@@ -2210,6 +2211,36 @@ object SparkEntry {
     // exact cosine refine. round() precedes the BIGINT cast on both
     // engines (DuckDB CAST rounds where Spark truncates — the cast only
     // ever sees round()'s integral doubles).
+    // s17: binary quantization end to end — per-dim MIDRANGE thresholds
+    // from exact min/max (order-independent, unlike a mean), 1-bit sign
+    // codes, integer Hamming shortlist (Σ(q−n)² over bits), exact
+    // cosine refine. Same re-derivation shape as s16.
+    "s17_binary_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT vec_id, unnest(generate_series(1, len(emb))) AS d, unnest(emb) AS v FROM e),
+        |b AS (SELECT d, (min(v) + max(v)) / 2.0 AS mid FROM x GROUP BY d),
+        |xc AS (
+        |  SELECT vec_id, x.d,
+        |    CASE WHEN v > mid THEN 1 ELSE 0 END AS code
+        |  FROM x JOIN b USING (d)),
+        |s AS (
+        |  SELECT qx.vec_id AS query_id, nx.vec_id AS neighbor_id,
+        |    sum((qx.code - nx.code) * (qx.code - nx.code)) AS dist
+        |  FROM xc qx JOIN xc nx USING (d)
+        |  WHERE qx.vec_id < 10 AND nx.vec_id <> qx.vec_id
+        |  GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS srn
+        |  FROM s),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, neighbor_id) AS rnk
+        |  FROM sl JOIN e qe ON qe.vec_id = query_id JOIN e ne ON ne.vec_id = neighbor_id
+        |  WHERE srn <= 100)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     "s16_sq8_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT vec_id, unnest(generate_series(1, len(emb))) AS d, unnest(emb) AS v FROM e),

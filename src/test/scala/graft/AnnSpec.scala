@@ -535,6 +535,43 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mism.head.isNullAt(0), "length mismatch must be null, not a truncated sum")
   }
 
+  test("s17 BQ: hamming shortlist + exact refine holds a recall floor; packed XOR+popcount is rank-identical") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    // 1 bit/dim over 64 dims: crude codes with heavy Hamming ties on
+    // this 200-vector corpus — the tier lives on its OVER-FETCH
+    // multiplier (10× k here, exactly what production BQ stacks do
+    // before the exact rerank). The floor guards the tier staying a
+    // useful first-pass filter, not matching SQ8's 0.9.
+    val got = topkSets(similarity.Bq.s17BinarySearch(spark, dir))
+    val r = recallAt10(got, truth)
+    assert(r >= 0.65, f"s17 BQ recall@10 = $r%.3f")
+    // The packed fast path (one long per 64 dims, bit_count(xor)) ranks
+    // every corpus pair identically to the array-code integer kernel —
+    // the scan tier and the oracle tier are the same ordering.
+    val t = Tables(spark, dir)
+    val mid = similarity.Bq.midrange(t.embeddings)
+    val midA = typedlit(mid)
+    val codes = t.embeddings.limit(40)
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(v.cast("double") > element_at(midA, i + 1), lit(1)).otherwise(lit(0)))
+          .as("codes"))
+      .withColumn("packed", similarity.Bq.packCodes(col("codes")))
+    val pairs = codes.select(col("vec_id").as("a"), col("codes").as("ca"), col("packed").as("pa"))
+      .crossJoin(codes.select(col("vec_id").as("b"), col("codes").as("cb"), col("packed").as("pb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.graft.VectorExpressions.intSqDistNative(col("ca"), col("cb")).as("arr"),
+        similarity.Bq.hammingPacked(col("pa"), col("pb")).as("pk"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(row =>
+      assert(row.getLong(2) === row.getLong(3),
+        s"packed hamming diverged for (${row.getLong(0)}, ${row.getLong(1)})"))
+  }
+
   test("s13 MMR greedy: diversity beats redundant relevance, ties break on id") {
     import graft.similarity.Mmr
     def c(id: Long, emb: Array[Float], q: Array[Float]) =
