@@ -661,6 +661,21 @@ object GraphIter {
     * pre-index the adjacency once and persist it, the VectorIndex
     * pay-at-ingest posture.
     */
+  /** Every per-walker window in the walk engines assumes a walker id
+    * maps to exactly ONE frontier row — a walker seeded on two nodes
+    * would get both adjacency lists merged into one window and pick
+    * silently wrong idx/deg (and biased cum/tot). Enforced loudly with
+    * one O(walkers) aggregate over the (already deduped, checkpointed)
+    * seed frame before the first step.
+    */
+  private def requireOneSeedPerWalker(cur: DataFrame, who: String): Unit = {
+    val r = cur.agg(count(lit(1)), countDistinct(col("walker"))).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$who: each walker id must seed exactly one node " +
+        s"(${r.getLong(0)} seed rows over ${r.getLong(1)} walkers) — " +
+        "use distinct walker ids per (walker, node) seed")
+  }
+
   def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
@@ -670,6 +685,7 @@ object GraphIter {
       .localCheckpoint(true)
     var cur = seeds.select(col("walker"), col("node")).distinct()
       .localCheckpoint(true)
+    requireOneSeedPerWalker(cur, "randomWalks")
     val out = scala.collection.mutable.ListBuffer[DataFrame](
       cur.withColumn("step", lit(0L)))
     val byWalker = Window.partitionBy("walker")
@@ -734,6 +750,7 @@ object GraphIter {
     var cur = seeds.select(col("walker"), col("node")).distinct()
       .withColumn("prev", col("node"))
       .localCheckpoint(true)
+    requireOneSeedPerWalker(cur, "biasedWalks")
     val out = scala.collection.mutable.ListBuffer[DataFrame](
       cur.select(col("walker"), lit(0L).as("step"), col("node")))
     val byWalker = Window.partitionBy("walker")

@@ -40,8 +40,73 @@ import graft.Tables
   * eager checkpoints. The contraction SHRINKS the edge list to one row
   * per community pair, so level 2 is strictly cheaper than level 1 —
   * the property that makes multi-level Louvain viable at 100 TB.
+  *
+  * SKEW: consolidation is exactly what Louvain converges TOWARD, so by
+  * round 2 a real graph has a giant community whose id is the hot key
+  * of both per-round comdeg joins. A per-round probe over the
+  * O(#communities) relation routes each round ([[joinComdegRouted]]):
+  * broadcast the whole dimension once communities are few, salt the
+  * hot communities' probe rows by node hash while they are not —
+  * never a raw shuffle join on a mega-key.
   */
 object Louvain {
+
+  /** Probe-routed join of a per-row relation against the O(#communities)
+    * `comdeg` dimension on community id — the round's skew seam. On any
+    * real graph rounds ≥ 2 grow a giant community, and that community id
+    * becomes the hot key of BOTH per-round comdeg joins (the E-sized
+    * scored relation and the V-sized label update). The route is picked
+    * from the SAME probe aggregate every round (the q16 measure-then-
+    * route discipline; `nComs` = communities, `maxCn` = biggest
+    * community's member count):
+    *
+    *   - `nComs <= broadcastComs`: BROADCAST comdeg — zero shuffle on
+    *     the skewed key, and exactly the regime consolidation creates
+    *     (communities shrink as rounds proceed, which is when skew
+    *     appears — the two conditions converge);
+    *   - else if `maxCn >= blockThreshold`: SALTED shuffle join — the
+    *     bounded hot set (≤ V/blockThreshold communities can exceed the
+    *     threshold) broadcasts as a tag; hot probe rows salt by
+    *     `pmod(node, s)` with `s` DERIVED from the measured max size
+    *     (the g1/d9 probe→knob derivation), and the build side
+    *     replicates ONLY hot rows s ways — the mega-community's probe
+    *     rows spread over s reducers instead of one;
+    *   - else: the plain shuffle join (zero routing overhead — the
+    *     common case on balanced rounds).
+    *
+    * Routing never changes the algebra (same rows, same values), so
+    * labels are hash-identical whichever path fires — spec-pinned with
+    * the thresholds forced both ways on a crafted mega-community graph.
+    */
+  private def joinComdegRouted(
+      probe: DataFrame,
+      comdeg: DataFrame,
+      key: String,
+      nodeCol: String,
+      nComs: Long,
+      maxCn: Long,
+      broadcastComs: Long,
+      blockThreshold: Int): DataFrame = {
+    val cd = comdeg.withColumnRenamed("com", key)
+    if (nComs <= broadcastComs) probe.join(broadcast(cd), Seq(key))
+    else if (maxCn < blockThreshold) probe.join(cd, Seq(key))
+    else {
+      val s = GraphOps.derivedBlocks(maxCn, blockThreshold)
+      val hotTag = cd.filter(col("cn") >= lit(blockThreshold.toLong))
+        .select(col(key), lit(true).as("isHot"))
+      val build = cd.join(broadcast(hotTag), Seq(key), "left")
+        .select(col(key), col("cd"), col("cn"),
+          explode(when(col("isHot"),
+            sequence(lit(0), lit(s - 1))).otherwise(array(lit(0)))).as("salt"))
+      probe.join(broadcast(hotTag), Seq(key), "left")
+        .withColumn("salt",
+          when(col("isHot"), pmod(col(nodeCol), lit(s.toLong)).cast("int"))
+            .otherwise(lit(0)))
+        .drop("isHot")
+        .join(build, Seq(key, "salt"))
+        .drop("salt")
+    }
+  }
 
   /** `rounds` synchronous parity-gated local-move rounds over a
     * SYMMETRIC weighted edge list `(src, dst, w)` (both directions
@@ -49,13 +114,17 @@ object Louvain {
     * direction-doubled), starting from `labels0 (node, com)`.
     * `twoM` = total symmetric weight Σ w (= 2m). `parity0` offsets the
     * gate so a second level can continue the alternation.
+    * `broadcastComs`/`blockThreshold` are the skew-route thresholds
+    * ([[joinComdegRouted]]).
     */
   private def localMoveRounds(
       sym: DataFrame,
       labels0: DataFrame,
       rounds: Int,
       twoM: Long,
-      parity0: Int = 1): DataFrame = {
+      parity0: Int = 1,
+      broadcastComs: Long = 1L << 20,
+      blockThreshold: Int = 100000): DataFrame = {
     // Weighted degree INCLUDING self-loops (a contracted community's
     // internal mass travels with it; it cancels in score differences but
     // must be consistent on both sides of every comparison).
@@ -66,8 +135,17 @@ object Louvain {
       val parity = (parity0 + i) % 2
       // (node, com, k) — the V-sized dimension every per-node step joins.
       val nk = labels.join(k, Seq("node")).localCheckpoint(true)
-      val comdeg = nk.groupBy("com").agg(sum("k").as("cd"))
+      // Community degree mass AND member count in one pass: `cd` feeds
+      // the scores, `cn` feeds the skew probe below (free — same
+      // aggregate).
+      val comdeg = nk.groupBy("com")
+        .agg(sum("k").as("cd"), count(lit(1)).as("cn"))
         .localCheckpoint(true)
+      // The per-round skew probe: one tiny aggregate over the
+      // checkpointed O(#communities) relation decides the comdeg join
+      // route for BOTH join sites this round (q16's measure-then-route).
+      val probe = comdeg.agg(count(lit(1)), max("cn")).head()
+      val (nComs, maxCn) = (probe.getLong(0), probe.getLong(1))
       // k_{i,c}: weight from i to community c over its NEIGHBORS (self
       // loops excluded — a node's own mass is not a vote for a
       // community; it stays internal wherever the node goes). This is
@@ -83,9 +161,9 @@ object Louvain {
       // c == com this expression IS the staying score, so one aggregate
       // extracts both the argmax (score desc, min community — the
       // negation trick) and the stay score, in a single kic pass.
-      val scored = kic
-        .join(nk, Seq("node"))
-        .join(comdeg.withColumnRenamed("com", "c"), Seq("c"))
+      val scored = joinComdegRouted(
+        kic.join(nk, Seq("node")), comdeg, "c", "node",
+        nComs, maxCn, broadcastComs, blockThreshold)
         .select(col("node"), col("c"), col("com"),
           (lit(twoM) * col("kic") -
             col("k") * (col("cd") -
@@ -97,8 +175,9 @@ object Louvain {
           max(when(col("c") === col("com"), col("score"))).as("kicStay"))
       // Staying score when NO neighbor is left in the current community:
       // k_{i,cur} = 0 — a V-sized expression over nk⋈comdeg, no edge data.
-      val next = nk
-        .join(comdeg, Seq("com"))
+      val next = joinComdegRouted(
+        nk, comdeg, "com", "node",
+        nComs, maxCn, broadcastComs, blockThreshold)
         .join(agg, Seq("node"), "left")
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(parity) &&
@@ -124,12 +203,15 @@ object Louvain {
   def louvain(
       sym: DataFrame,
       level1Rounds: Int = 4,
-      level2Rounds: Int = 2): DataFrame = {
+      level2Rounds: Int = 2,
+      broadcastComs: Long = 1L << 20,
+      blockThreshold: Int = 100000): DataFrame = {
     val e1 = sym.localCheckpoint(true)
     val twoM = e1.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     val init = e1.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("com"))
-    val l1 = localMoveRounds(e1, init, level1Rounds, twoM, parity0 = 1)
+    val l1 = localMoveRounds(e1, init, level1Rounds, twoM, parity0 = 1,
+      broadcastComs = broadcastComs, blockThreshold = blockThreshold)
     // EXPLICIT CONTRACTION: communities become super-nodes; inter-
     // community weights sum (symmetry is preserved — both directions of
     // an edge map consistently); intra-community mass lands on the
@@ -143,7 +225,8 @@ object Louvain {
     val init2 = e2.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("com"))
     val l2 = localMoveRounds(
-      e2, init2, level2Rounds, twoM, parity0 = (1 + level1Rounds) % 2)
+      e2, init2, level2Rounds, twoM, parity0 = (1 + level1Rounds) % 2,
+      broadcastComs = broadcastComs, blockThreshold = blockThreshold)
     // Fold levels: node → level-1 community → level-2 community, then
     // canonicalize each final community to its min member.
     val folded = l1.select(col("node"), col("com").as("c1"))

@@ -50,18 +50,28 @@ object Bq {
       when(v.cast("double") > element_at(midA, i + 1), lit(1)).otherwise(lit(0)))
   }
 
-  /** Pack an `array<int>` of 0/1 codes into ONE long per 64 dims (MSB
-    * first): the 8-byte-per-vector layout the scan tier serves from.
-    * The final shift wraps into the sign bit by design — Hamming via
-    * XOR+popcount is sign-agnostic.
+  /** Pack an `array<int>` of 0/1 codes into an `array<bigint>` with ONE
+    * long per 64 dims (MSB first within each word; the trailing word
+    * holds the remainder dims in its low bits): the 1-bit-per-dim layout
+    * the scan tier serves from at ANY dimensionality. A single-long fold
+    * would silently shift the leading bits out past 64 dims and
+    * undercount distance — chunking makes the packing exact for
+    * arbitrary `size(codes)`, and within a word the 64th shift wrapping
+    * into the sign bit is by design (XOR+popcount is sign-agnostic).
     */
   def packCodes(codes: Column): Column =
-    aggregate(codes, lit(0L), (acc, x) => shiftleft(acc, 1) + x.cast("long"))
+    transform(
+      sequence(lit(0), ((size(codes) + lit(63)) / lit(64)).cast("int") - lit(1)),
+      j => aggregate(slice(codes, j * 64 + 1, lit(64)), lit(0L),
+        (acc, x) => shiftleft(acc, 1) + x.cast("long")))
 
-  /** Hamming distance between two packed words: XOR + popcount — the
-    * one-instruction-per-word distance of the binary tier.
+  /** Hamming distance between two packed code arrays: per-word
+    * XOR + popcount, summed — one instruction pair per 64 dims.
     */
-  def hammingPacked(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 
   /** Per-dimension midrange thresholds from one exact min/max pass. */
   private[graft] def midrange(emb: DataFrame): Seq[Double] =

@@ -570,6 +570,22 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     pairs.foreach(row =>
       assert(row.getLong(2) === row.getLong(3),
         s"packed hamming diverged for (${row.getLong(0)}, ${row.getLong(1)})"))
+    // Past 64 dims the packing must CHUNK (one long per 64 dims) — a
+    // single-long fold shifts the leading bits out and undercounts.
+    // 130 dims = 2 full words + a 2-bit tail; codes differ in the first
+    // word (bit 0), the second (bit 70) and the tail (bit 129).
+    val ca130 = (0 until 130).map(i => if (Set(0, 70).contains(i)) 1 else 0)
+    val cb130 = (0 until 130).map(i => if (i == 129) 1 else 0)
+    val wide = Seq((ca130, cb130)).toDF("ca", "cb")
+      .select(
+        similarity.Bq.hammingPacked(
+          similarity.Bq.packCodes(col("ca")),
+          similarity.Bq.packCodes(col("cb"))).as("pk"),
+        size(similarity.Bq.packCodes(col("ca"))).as("words"))
+      .head()
+    assert(wide.getInt(1) === 3, "130 dims -> 3 packed words")
+    assert(wide.getLong(0) === 3L,
+      s"wide-dim packed hamming must count all three differing bits, got ${wide.getLong(0)}")
   }
 
   test("s13 MMR greedy: diversity beats redundant relevance, ties break on id") {

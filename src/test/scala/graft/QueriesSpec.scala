@@ -1016,6 +1016,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sticky.contains((6L, 2L, 4L)), s"got $sticky")
   }
 
+  test("walks refuse a walker id seeded on two nodes (merged-window hazard)") {
+    val ss = spark
+    import ss.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val badSeeds = Seq((7L, 1L), (7L, 3L)).toDF("walker", "node")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.GraphIter.randomWalks(edges, badSeeds, steps = 1).collect()
+    }
+    assert(e1.getMessage.contains("exactly one node"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.GraphIter.biasedWalks(edges, badSeeds, steps = 1).collect()
+    }
+    assert(e2.getMessage.contains("exactly one node"))
+  }
+
   test("g23 louvain: two triangles joined by a bridge split into the modularity communities") {
     val ss = spark
     import ss.implicits._
@@ -1041,6 +1056,38 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found === 357142L, s"Q(two triangles) = $found")
     assert(q((1L to 6L).map(_ -> 1L).toMap) === 0L)
     assert(q((1L to 6L).map(n => n -> n).toMap) === -173468L)
+  }
+
+  test("g23 louvain skew routing: broadcast / salted / plain comdeg routes are label-identical") {
+    val ss = spark
+    import ss.implicits._
+    // The skew shape Louvain converges TOWARD: a star (hub 1, 60
+    // spokes) consolidates into one mega community within two rounds,
+    // making the hub community's id the hot key of the per-round comdeg
+    // joins; the triangle keeps a second community alive so routing has
+    // cold keys too.
+    val e0 = (2L to 61L).map(s => (1L, s, 1L)) ++
+      Seq((200L, 201L, 1L), (201L, 202L, 1L), (200L, 202L, 1L))
+    val sym = (e0 ++ e0.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    def run(bc: Long, bt: Int): Map[Long, Long] =
+      operators.Louvain.louvain(sym, broadcastComs = bc, blockThreshold = bt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Force each route: plain (no broadcast, no salt), SALTED (every
+    // community of >= 2 members is "hot" — fires from round 2 on), and
+    // broadcast. Identical labels prove routing never changes the
+    // algebra.
+    val plain = run(0L, Int.MaxValue)
+    val salted = run(0L, 2)
+    val bcast = run(Long.MaxValue, Int.MaxValue)
+    assert(salted === plain, "salted route must be label-identical to plain")
+    assert(bcast === plain, "broadcast route must be label-identical to plain")
+    // The mega community really formed (the salted run really had a hot
+    // key): the hub's community holds the majority of the star.
+    assert(plain.values.groupBy(identity).values.map(_.size).max >= 31,
+      s"star must consolidate into a mega community: $plain")
+    assert(plain(200L) === plain(201L) && plain(201L) === plain(202L) &&
+      plain(200L) != plain(1L), "triangle stays its own community")
   }
 
   test("minRelaxTraverse: per-hop edge predicates express a Cypher MATCH no fixed shape covers") {
