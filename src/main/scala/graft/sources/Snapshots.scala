@@ -86,8 +86,56 @@ object Snapshots {
     */
   private def chunksOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/manifest/v$v").as[String].collect().toSeq
+    val df = spark.read.parquet(s"$path/manifest/v$v")
+    // COMMIT ORDER is part of the manifest contract (merge-on-read
+    // delete scoping is positional — see [[deleteScopedSegments]]):
+    // lists written with an explicit `pos` column sort by it; legacy
+    // single-column lists fall back to file order (one coalesced part
+    // file, row order as written).
+    if (df.columns.contains("pos"))
+      df.orderBy(col("pos")).select("chunk").as[String].collect().toSeq
+    else df.select("chunk").as[String].collect().toSeq
   }
+
+  /** Per-version key→value properties (Iceberg's snapshot summary) —
+    * the O(1) metadata that must SURVIVE rewrites: every commit path
+    * writes `parent props ++ overlay`, so a compaction that resets the
+    * chunk list still carries e.g. the streaming ingest watermark
+    * forward. The props file lands BEFORE the manifest list (the list
+    * is the commit point; an orphaned props file for a version that
+    * never materialized is overwritten by the slot's eventual winner).
+    */
+  private def propsOf(
+      spark: SparkSession, path: String, v: Long): Map[String, String] = {
+    // Walk back to the latest present props file at or below v: every
+    // commit path inherits, so the most recent file IS v's effective
+    // set — and a single missed write (an optimistic winner crashing
+    // between publish and props) cannot break the chain. O(versions)
+    // existence probes worst case, one parquet read.
+    val f = fs(spark)
+    var cur = v
+    while (cur >= 1 && !f.exists(hpath(s"$path/manifest/props/p-v$cur"))) cur -= 1
+    if (cur < 1) Map.empty
+    else spark.read.parquet(s"$path/manifest/props/p-v$cur").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  private def writeProps(
+      spark: SparkSession, path: String, v: Long,
+      props: Map[String, String]): Unit = {
+    import spark.implicits._
+    if (props.nonEmpty)
+      props.toSeq.toDF("key", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/manifest/props/p-v$v")
+  }
+
+  /** Inherit the parent version's props (plus `overlay`) into version
+    * `v` — called by EVERY commit path so no rewrite loses them.
+    */
+  private def inheritProps(
+      spark: SparkSession, path: String, v: Long,
+      overlay: Map[String, String] = Map.empty): Unit =
+    writeProps(spark, path, v, propsOf(spark, path, v - 1) ++ overlay)
 
   /** Union scan of a chunk set. Chunks written before a table adopted
     * file stats carry only `file`; stats-bearing chunks add
@@ -107,14 +155,6 @@ object Snapshots {
     */
   private def splitChunks(chunks: Seq[String]): (Seq[String], Seq[String]) =
     chunks.partition(c => !c.contains("/deletes/"))
-
-  /** The file entries of version `v` as a DATASET (a union scan of its
-    * DATA delta chunks) — manifest contents stay a Spark relation;
-    * callers that genuinely need driver-side paths (a parquet scan does)
-    * collect explicitly at their own seam.
-    */
-  private def filesOf(spark: SparkSession, path: String, v: Long): DataFrame =
-    readChunks(spark, splitChunks(chunksOf(spark, path, v))._1).select("file")
 
   /** The outstanding merge-on-read delete set of version `v` as ONE
     * key frame (None when the version carries no delete chunks). All
@@ -140,11 +180,14 @@ object Snapshots {
     chunk
   }
 
-  /** Write version `v`'s manifest list (one row per chunk path). */
+  /** Write version `v`'s manifest list (one row per chunk path, with an
+    * explicit commit-order position — delete scoping is positional).
+    */
   private def writeList(
       spark: SparkSession, dest: String, chunks: Seq[String]): Unit = {
     import spark.implicits._
-    chunks.toDF("chunk").coalesce(1).write.mode("overwrite").parquet(dest)
+    chunks.zipWithIndex.map { case (c, i) => (c, i) }
+      .toDF("chunk", "pos").coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
   /** Write one immutable delta chunk carrying per-file MIN/MAX bounds for
@@ -191,7 +234,8 @@ object Snapshots {
       path: String,
       batch: DataFrame,
       statsCols: Seq[String] = Nil,
-      uid: Option[String] = None): Long = {
+      uid: Option[String] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val v = currentVersion(spark, path) + 1
     val dataDir = s"$path/data/batch-${uid.getOrElse(v.toString)}"
     batch.write.mode("overwrite").parquet(dataDir)
@@ -201,6 +245,7 @@ object Snapshots {
         writeChunk(spark, path, chunkUid, spark.read.parquet(dataDir).inputFiles.toSeq)
       else writeStatsChunk(spark, path, chunkUid, dataDir, statsCols)
     val prev = if (v == 1) Seq.empty[String] else chunksOf(spark, path, v - 1)
+    inheritProps(spark, path, v, props)
     writeList(spark, s"$path/manifest/v$v", prev :+ chunk)
     v
   }
@@ -227,13 +272,13 @@ object Snapshots {
     * Older snapshots are untouched — time travel to a pre-delete
     * version still sees the rows, exactly the Iceberg contract.
     *
-    * Semantics note: the outstanding delete set applies to the WHOLE
-    * version it is listed in — including files appended AFTER the
-    * delete (global equality-delete semantics; Iceberg scopes by
-    * sequence number instead). Re-inserting a previously deleted key
-    * therefore requires discharging the debt first (a rewrite commit),
-    * which [[mergeInto]]'s refuse-while-outstanding guard already
-    * forces on the one path that would hit it silently.
+    * Semantics note: deletes are SCOPED BY COMMIT ORDER (Iceberg's
+    * sequence-number semantics): a delete chunk applies only to data
+    * chunks listed BEFORE it in the manifest list, so a row appended
+    * AFTER the delete — a streamed re-insert of a previously deleted
+    * key — survives the read. [[mergeInto]] still refuses while deletes
+    * are outstanding (its candidate rewrite reads files without their
+    * delete set and would resurrect rows); plain appends need no guard.
     */
   def deleteByKey(
       spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Long = {
@@ -249,29 +294,46 @@ object Snapshots {
     keys.select(col(keyCol)).distinct()
       .coalesce(1).write.mode("overwrite").parquet(chunk)
     val v = v0 + 1
+    inheritProps(spark, path, v)
     writeList(spark, s"$path/manifest/v$v", chunksOf(spark, path, v0) :+ chunk)
     v
   }
 
   /** EXACTLY-ONCE streaming ingest commit: append microbatch `batchId`
-    * unless the current version already references its chunk. The replay
-    * guard is ATOMIC WITH THE COMMIT ITSELF — the chunk is named by the
-    * batch id and only becomes referenced when the version's manifest
-    * list lands, so a foreachBatch replay after any crash point either
-    * finds the chunk referenced (committed — skip) or not (the data/chunk
-    * writes are overwrite-idempotent — recommit). No side markers whose
-    * write could race the crash: this is Iceberg/Delta's
-    * stamp-the-batch-id-in-the-snapshot discipline. Returns the table
-    * version holding the batch.
+    * unless the table's INGEST WATERMARK already covers it. The
+    * watermark (max committed batch id, keyed per `queryId` so two
+    * streams can share one table) lives in the version props and every
+    * commit path — including rewrites — inherits it forward: this is
+    * Iceberg/Delta's stamp-the-batch-id-in-the-snapshot-summary
+    * discipline, and it is what a chunk-NAME guard cannot give, because
+    * a compaction resets the chunk list and a post-compaction replay
+    * would find no trace of the batch and recommit it. The watermark
+    * props write lands with the commit's own manifest list (props
+    * first, list = the commit point), so a crash at any point either
+    * never advanced the version (recommit under a FRESH uid — the
+    * previous attempt's data dir is never reused and its files are the
+    * orphan sweep's) or advanced it with the watermark in place (skip).
+    * Batch ids are per-query monotonic (the Structured Streaming
+    * contract), so `batchId <= watermark` IS "already committed".
+    * Returns the table version holding (or already covering) the batch.
     */
   def ingestBatch(
       batch: DataFrame, batchId: Long, path: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, queryId: String = "q"): Long = {
     val spark = batch.sparkSession
-    val tag = s"ingest-$batchId"
+    val key = s"ingest.watermark.$queryId"
     val v0 = currentVersion(spark, path)
-    if (v0 >= 1 && chunksOf(spark, path, v0).exists(_.endsWith(s"/c-$tag"))) v0
-    else commit(spark, path, batch, statsCols, uid = Some(tag))
+    val covered = propsOf(spark, path, v0).get(key).exists(_.toLong >= batchId) ||
+      // Pre-watermark tables (no props generation): the legacy
+      // chunk-name guard still recognizes their committed batches.
+      (v0 >= 1 && chunksOf(spark, path, v0).exists(_.endsWith(s"/c-ingest-$batchId")))
+    if (covered) v0
+    else {
+      val rand = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      commit(spark, path, batch, statsCols,
+        uid = Some(s"ingest-$queryId-$batchId-$rand"),
+        props = Map(key -> batchId.toString))
+    }
   }
 
   /** Atomic claim of a version slot: exclusive `mkdir` of a per-version
@@ -397,7 +459,12 @@ object Snapshots {
         // the slot was already someone else's), the marker for a live
         // slot is dead weight either way.
         f.delete(hpath(s"$path/manifest/.claim-v$v"), true)
-        if (published) return v
+        // Props inherit AFTER the verified publish (single winner per
+        // slot — no overwrite race). A crash in this window loses only
+        // inheritance for v, and the next commit re-inherits from v-1's
+        // still-present props; ingest watermarks go through the
+        // single-writer [[commit]] path, never this one.
+        if (published) { inheritProps(spark, path, v); return v }
       } else {
         // Lost the race for slot v. The winner may not have renamed yet
         // (its slot is claimed but not visible): give it a beat so the
@@ -455,7 +522,7 @@ object Snapshots {
       f.delete(hpath(s"$path/manifest/.claim-v$v"), true)
       published
     }
-    if (won) v
+    if (won) { inheritProps(spark, path, v); v }
     else {
       f.delete(hpath(staged), true)
       f.delete(hpath(s"$path/data/batch-$uid"), true)
@@ -480,6 +547,10 @@ object Snapshots {
       if (statsCols.isEmpty)
         writeChunk(spark, path, s"v$v", spark.read.parquet(dataDir).inputFiles.toSeq)
       else writeStatsChunk(spark, path, s"v$v", dataDir, statsCols)
+    // A rewrite resets the chunk list but must NOT reset the table's
+    // props — the ingest watermark surviving compaction is what keeps
+    // exactly-once exactly-once.
+    inheritProps(spark, path, v)
     writeList(spark, s"$path/manifest/v$v", Seq(chunk))
     v
   }
@@ -507,7 +578,12 @@ object Snapshots {
       nFiles: Int = 16): Long = {
     require(clusterCols.nonEmpty && clusterCols.size <= 2,
       "cluster on one column (range) or two (z-curve)")
-    val cur = readAsOf(spark, path, currentVersion(spark, path))
+    // mergeSchema: compaction REWRITES the current version, so on a
+    // schema-evolved table (h14) the read must reconcile generations —
+    // an un-merged read infers the schema from an arbitrary footer and
+    // would silently drop the post-evolution column from the rewritten
+    // snapshot (permanent loss in the new current version).
+    val cur = readAsOf(spark, path, currentVersion(spark, path), mergeSchema = true)
     val keyed =
       if (clusterCols.size == 1) cur.withColumn("_ck", col(clusterCols.head))
       else cur.withColumn("_ck",
@@ -657,31 +733,81 @@ object Snapshots {
     n
   }
 
+  /** Commit-order decomposition for merge-on-read reads (the cheap
+    * sequence-number semantics): a delete chunk applies only to data
+    * chunks listed BEFORE it, so data appended after a delete — a
+    * re-insert of a deleted key — is never anti-joined against it.
+    * Data chunks group into SEGMENTS by the set of deletes committed
+    * after them (#outstanding-deletes + 1 segments at most, and
+    * exactly one — the whole list, no anti-join — on the common
+    * delete-free version). Returns (segmentDataChunks,
+    * applicableDeleteChunks) pairs in commit order.
+    */
+  private def deleteScopedSegments(
+      chunks: Seq[String]): Seq[(Seq[String], Seq[String])] = {
+    val idx = chunks.zipWithIndex
+    val dels = idx.filter(_._1.contains("/deletes/"))
+    val datas = idx.filterNot(_._1.contains("/deletes/"))
+    if (dels.isEmpty) Seq((chunks, Nil))
+    else datas.groupBy { case (_, i) => dels.count(_._2 > i) }
+      .toSeq.sortBy(-_._1)
+      .map { case (nAfter, ds) =>
+        (ds.map(_._1), dels.takeRight(nAfter).map(_._1)) }
+  }
+
+  /** Union of per-segment scans with each segment's own delete set
+    * anti-joined — shared by [[readAsOf]] and [[readAsOfPruned]].
+    * `scanOf` maps a segment's data chunks to its (possibly pruned)
+    * scan, or None when the segment contributes no files.
+    */
+  private def scopedUnion(
+      spark: SparkSession,
+      chunks: Seq[String],
+      mergeSchema: Boolean)(
+      scanOf: Seq[String] => Option[DataFrame]): Option[DataFrame] = {
+    val parts = deleteScopedSegments(chunks).flatMap { case (dcs, dels) =>
+      if (dcs.isEmpty) None
+      else scanOf(dcs).map { scan =>
+        if (dels.isEmpty) scan
+        else {
+          val d = readChunks(spark, dels).distinct()
+          scan.join(d, d.columns.toSeq, "left_anti")
+        }
+      }
+    }
+    if (parts.isEmpty) None
+    else if (parts.size == 1) Some(parts.head)
+    else Some(parts.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = mergeSchema)))
+  }
+
   /** Time travel: the table exactly as of version `v` — a scan of
     * precisely the files version v's chunks list. No directory listing
     * of the data tree ever happens (at 100 TB the listing is the
     * latency), and no later commit can change what this returns. The
     * driver materializes the file paths HERE because the scan needs
-    * them — never on the commit path.
+    * them — never on the commit path. Outstanding merge-on-read deletes
+    * apply scoped by commit order ([[deleteScopedSegments]]).
     */
   def readAsOf(
       spark: SparkSession, path: String, v: Long,
       mergeSchema: Boolean = false): DataFrame = {
     import spark.implicits._
-    val files = filesOf(spark, path, v).as[String].collect()
-    require(files.nonEmpty, s"snapshot v$v of $path is empty or missing")
     // mergeSchema = the SCHEMA-EVOLUTION read: commits are immutable, so
     // a column added mid-history exists only in newer files — footer
     // reconciliation surfaces it across the whole snapshot with NULLs
     // for pre-evolution rows (additive evolution, the only kind an
     // immutable-file format can express without rewriting history).
-    val scan =
-      if (mergeSchema)
-        spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    // Merge-on-read: the version's outstanding delete set applies as one
-    // anti-join — the read-time half of the deleteByKey contract.
-    deletesOf(spark, path, v).fold(scan)(d => scan.join(d, d.columns.toSeq, "left_anti"))
+    def scanOf(dcs: Seq[String]): Option[DataFrame] = {
+      val files = readChunks(spark, dcs).select("file").as[String].collect()
+      if (files.isEmpty) None
+      else if (mergeSchema)
+        Some(spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*))
+      else Some(spark.read.parquet(files.toIndexedSeq: _*))
+    }
+    scopedUnion(spark, chunksOf(spark, path, v), mergeSchema)(scanOf)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: snapshot v$v of $path is empty or missing"))
   }
 
   /** Scan PLANNING against the manifest stats: the files of version `v`
@@ -696,9 +822,14 @@ object Snapshots {
     */
   private[graft] def pruneFiles(
       spark: SparkSession, path: String, v: Long,
+      column: String, lo: Long, hi: Long): (Seq[String], Long) =
+    pruneFilesOf(spark, splitChunks(chunksOf(spark, path, v))._1, column, lo, hi)
+
+  private def pruneFilesOf(
+      spark: SparkSession, dataChunks: Seq[String],
       column: String, lo: Long, hi: Long): (Seq[String], Long) = {
     import spark.implicits._
-    val ents = readChunks(spark, splitChunks(chunksOf(spark, path, v))._1)
+    val ents = readChunks(spark, dataChunks)
     val total = ents.count()
     val (mn, mx) = (s"min_$column", s"max_$column")
     val survivors =
@@ -723,14 +854,15 @@ object Snapshots {
   def readAsOfPruned(
       spark: SparkSession, path: String, v: Long,
       column: String, lo: Long, hi: Long): DataFrame = {
-    val (files, _) = pruneFiles(spark, path, v, column, lo, hi)
-    if (files.isEmpty) readAsOf(spark, path, v).filter(lit(false))
-    else {
-      val scan = spark.read.parquet(files: _*)
-      // A pruned scan is still a READ of version v: outstanding
-      // merge-on-read deletes apply here too.
-      deletesOf(spark, path, v).fold(scan)(d => scan.join(d, d.columns.toSeq, "left_anti"))
+    // A pruned scan is still a READ of version v: outstanding
+    // merge-on-read deletes apply here too, scoped by commit order like
+    // the full read — pruning runs per segment so attribution is free.
+    def scanOf(dcs: Seq[String]): Option[DataFrame] = {
+      val (files, _) = pruneFilesOf(spark, dcs, column, lo, hi)
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
     }
+    scopedUnion(spark, chunksOf(spark, path, v), mergeSchema = false)(scanOf)
+      .getOrElse(readAsOf(spark, path, v).filter(lit(false)))
   }
 
   /** Copy-on-write MERGE INTO the current snapshot (the Delta/Iceberg
@@ -845,9 +977,14 @@ object Snapshots {
     // Row-level COW over ONLY the candidate files: keep their unmatched
     // rows, splice in the surviving source rows. One distributed job;
     // untouched files are never opened.
+    // mergeSchema: a schema-evolved table's candidate files span
+    // generations — footer reconciliation keeps the post-evolution
+    // columns (NULL for old rows) instead of inheriting whichever
+    // footer Spark samples first; a source missing those columns still
+    // fails loudly at the unionByName below.
     val merged =
       if (candFiles.isEmpty) outRows
-      else spark.read.parquet(candFiles: _*)
+      else spark.read.option("mergeSchema", "true").parquet(candFiles: _*)
         .join(srcKeys, Seq(keyCol), "left_anti")
         .unionByName(outRows)
     val v = v0 + 1
@@ -857,6 +994,7 @@ object Snapshots {
       if (statsCols.isEmpty)
         writeChunk(spark, path, uid, spark.read.parquet(dataDir).inputFiles.toSeq)
       else writeStatsChunk(spark, path, uid, dataDir, statsCols)
+    inheritProps(spark, path, v)
     writeList(spark, s"$path/manifest/v$v", untouched ++ survivorChunks :+ newChunk)
     v
   }

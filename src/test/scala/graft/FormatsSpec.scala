@@ -276,7 +276,7 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq((i.toLong, "x"), (i + 10L, "y")).toDF("id", "v").repartition(2))
     }
     def list(v: Int): Seq[String] =
-      spark.read.parquet(s"$p/manifest/v$v").as[String].collect().toSeq
+      spark.read.parquet(s"$p/manifest/v$v").select("chunk").as[String].collect().toSeq
     // The version manifest is a LIST OF CHUNKS — one row per commit, not
     // one per file: the commit path never rewrites the table's file list.
     assert(list(4).length === 4 && list(1).length === 1)
@@ -325,7 +325,7 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sources.Snapshots.readAsOf(spark, p, 2L).count() === 2L)
     // And a publish into a FREE slot lands with the marker at top level —
     // the positive half of the verification.
-    val chunks2 = spark.read.parquet(s"$p/manifest/v2").as[String].collect().toSeq
+    val chunks2 = spark.read.parquet(s"$p/manifest/v2").select("chunk").as[String].collect().toSeq
     val staged3 = s"$p/manifest/.staged-cafe-3"
     chunks2.toDF("chunk").coalesce(1).write.parquet(staged3)
     assert(sources.Snapshots.publishStaged(f, staged3, s"$p/manifest/v3", "cafe"))
@@ -754,5 +754,85 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((3L, "upd", false)).toDF("id", "v", "_del"), "id", deleteCol = Some("_del"))
     assert(sources.Snapshots.readAsOf(spark, p2, v).as[(Long, String)].collect().toSet
       === Set((1L, "old"), (2L, "old"), (3L, "upd"), (4L, "old"), (5L, "old")))
+  }
+
+  test("snapshots: ingest watermark survives compaction and keeps replays exactly-once") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_wm"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    assert(sources.Snapshots.ingestBatch(b0, 0L, p) === 1L)
+    assert(sources.Snapshots.ingestBatch(b1, 1L, p) === 2L)
+    // Compaction resets the chunk list — a chunk-name replay guard
+    // would forget the batches here; the watermark must not.
+    val v3 = sources.Snapshots.compactClustered(spark, p, Seq("id"), nFiles = 1)
+    val files3 = sources.Snapshots.readAsOf(spark, p, v3).inputFiles.toSet
+    // A restart replay of batch 1 AFTER the compaction is a no-op: no
+    // recommit, no new version, no data dir overwritten.
+    assert(sources.Snapshots.ingestBatch(b1, 1L, p) === v3,
+      "post-compaction replay must be recognized as committed")
+    assert(sources.Snapshots.currentVersion(spark, p) === v3)
+    assert(sources.Snapshots.readAsOf(spark, p, v3).count() === 3L,
+      "replay must not duplicate rows")
+    assert(sources.Snapshots.readAsOf(spark, p, v3).inputFiles.toSet === files3)
+    // A genuinely new batch id still commits.
+    assert(sources.Snapshots.ingestBatch(Seq((4L, "d")).toDF("id", "v"), 2L, p) === v3 + 1)
+    // Two streams sharing the table: a SECOND query's batch 1 is not
+    // confused with the first query's (per-query watermark keys).
+    val vq2 = sources.Snapshots.ingestBatch(
+      Seq((9L, "z")).toDF("id", "v"), 1L, p, queryId = "q2")
+    assert(vq2 === v3 + 2, "a second query's batch ids are independent")
+    assert(sources.Snapshots.readAsOf(spark, p, vq2).count() === 5L)
+    // And ITS replay is a no-op too.
+    assert(sources.Snapshots.ingestBatch(
+      Seq((9L, "z")).toDF("id", "v"), 1L, p, queryId = "q2") === vq2)
+    assert(sources.Snapshots.readAsOf(spark, p, vq2).count() === 5L)
+  }
+
+  test("snapshots: deletes scope by commit order — a re-inserted key survives the read") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_mor_scope"
+    val v1 = sources.Snapshots.commit(spark, p,
+      ss.range(1, 6).select(col("id"), lit("old").as("v")), Seq("id"))
+    val v2 = sources.Snapshots.deleteByKey(spark, p, Seq(3L).toDF("id"), "id")
+    // Re-insert the deleted key AFTER the delete (the streamed
+    // re-insert case): the delete must not reach forward to it.
+    val v3 = sources.Snapshots.commit(spark, p,
+      Seq((3L, "new"), (6L, "new")).toDF("id", "v"), Seq("id"))
+    val got = sources.Snapshots.readAsOf(spark, p, v3)
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "old"), (2L, "old"), (4L, "old"), (5L, "old"),
+      (3L, "new"), (6L, "new")),
+      s"re-inserted key must survive, old copy must stay deleted: $got")
+    // The pruned read scopes identically.
+    assert(sources.Snapshots.readAsOfPruned(spark, p, v3, "id", 3L, 3L)
+      .filter(col("id") === 3L).as[(Long, String)].collect().toSet
+      === Set((3L, "new")))
+    // A LATER delete of the same key covers both generations.
+    val v4 = sources.Snapshots.deleteByKey(spark, p, Seq(3L).toDF("id"), "id")
+    assert(sources.Snapshots.readAsOf(spark, p, v4).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 4L, 5L, 6L))
+    // Time travel: v2 sees the delete, v1 the full original.
+    assert(sources.Snapshots.readAsOf(spark, p, v2).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 4L, 5L))
+    assert(sources.Snapshots.readAsOf(spark, p, v1).count() === 5L)
+  }
+
+  test("snapshots: compaction preserves an evolved schema (mergeSchema rewrite)") {
+    val ss = spark
+    import ss.implicits._
+    val p = s"$tmp/snap_evolve_compact"
+    sources.Snapshots.commit(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    sources.Snapshots.commit(spark, p,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra"))
+    val v3 = sources.Snapshots.compactClustered(spark, p, Seq("id"), nFiles = 1)
+    val after = sources.Snapshots.readAsOf(spark, p, v3, mergeSchema = true)
+    assert(after.columns.contains("extra"),
+      "compacting an evolved table must not drop the post-evolution column")
+    assert(after.select("id", "extra").as[(Long, Option[Long])].collect().toSet
+      === Set((1L, None), (2L, None), (3L, Some(30L)), (4L, Some(40L))),
+      "evolved values and null backfill must survive the rewrite")
   }
 }
