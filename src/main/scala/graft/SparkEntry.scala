@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphIter, GraphOps, Louvain, Relational}
+import graft.operators.{CycleAudit, GraphIter, GraphOps, Louvain, Relational}
 import graft.functions.TextFuncs
 import graft.dedup.Dedup
 import graft.multimodal.Media
@@ -76,6 +76,8 @@ object SparkEntry {
     "g24_betweenness"    -> ((s: SparkSession, d: String) => GraphIter.g24Betweenness(s, d)),
     "g25_random_walks"   -> ((s: SparkSession, d: String) => GraphIter.g25RandomWalks(s, d)),
     "g26_node2vec_walks" -> ((s: SparkSession, d: String) => GraphIter.g26Node2vecWalks(s, d)),
+    "g27_cycle_audit"    -> CycleAudit.g27CycleAudit _,
+    "g28_walk_cooc"      -> ((s: SparkSession, d: String) => GraphIter.g28WalkCooc(s, d)),
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -156,6 +158,7 @@ object SparkEntry {
     "t27_curation_pipeline" -> functions.CurationPipeline.t27CurationPipeline _,
     "t29_split_leakage"  -> ((s: SparkSession, d: String) => functions.CurationPipeline.t29SplitLeakage(s, d)),
     "t30_heavy_hitters"  -> ((s: SparkSession, d: String) => functions.Frequent.t30HeavyHitters(s, d)),
+    "t31_bpe_train"      -> ((s: SparkSession, d: String) => functions.Bpe.t31BpeTrain(s, d)),
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
@@ -195,6 +198,104 @@ object SparkEntry {
     * because steps 2..5 are structurally identical (the s7 codebook-chain
     * pattern).
     */
+  /** The g25 deterministic-walk corpus as generated per-hop CTEs,
+    * ending in `dec (walker, step, node)` with decoded display ids —
+    * shared by the g25 gate and its g28 co-occurrence consumer so both
+    * oracles recompute the IDENTICAL walks.
+    */
+  private val g25CorpusCte: String = {
+    val hops = (1 to 4).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.walker, adj.dst AS node
+         |  FROM w${t - 1} w JOIN adj ON w.node = adj.src
+         |   AND adj.idx = ((w.walker % 1048573) * 31 + $t * 7 +
+         |                  (adj.src % 1048573) * 13) % adj.deg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 4).map { t =>
+      s"SELECT walker, CAST($t AS BIGINT) AS step, node FROM w$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM e),
+       |w0 AS (SELECT s_suppkey * 2 + 1 AS walker, s_suppkey * 2 + 1 AS node
+       |       FROM supplier WHERE s_suppkey < 16),
+       |$hops,
+       |allw AS (
+       |  $union),
+       |dec AS MATERIALIZED (
+       |  SELECT
+       |    CASE WHEN walker % 2 = 0 THEN 'c_' || CAST(walker // 2 AS VARCHAR)
+       |         ELSE 's_' || CAST(walker // 2 AS VARCHAR) END AS walker,
+       |    step,
+       |    CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
+       |         ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node
+       |  FROM allw)""".stripMargin
+  }
+
+  /** t31's oracle: the BPE training loop unrolled — per round one
+    * pair-count CTE, the deterministic best pick, and the islands-idiom
+    * greedy merge, all re-derived in SQL (no value is injected from the
+    * Spark side; ties break (cnt desc, pair asc) on both engines).
+    */
+  private val t31OracleSql: String = {
+    val rounds = 6
+    val roundCtes = (1 to rounds).map { i =>
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT word, freq, sym AS l,
+         |      lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+         |    FROM seq${i - 1})
+         |  WHERE r IS NOT NULL GROUP BY l, r),
+         |best$i AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$i AS (
+         |  SELECT word, freq, pos, sym,
+         |    CASE WHEN sym = (SELECT l FROM best$i) AND
+         |      lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM best$i)
+         |    THEN 1 ELSE 0 END AS mt
+         |  FROM seq${i - 1}),
+         |isl$i AS (
+         |  SELECT *, CASE WHEN mt = 1 THEN pos -
+         |    ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos) END AS island
+         |  FROM m$i),
+         |sel$i AS (
+         |  SELECT *, CASE WHEN mt = 1 AND
+         |    ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY pos) % 2 = 1
+         |  THEN 1 ELSE 0 END AS chosen FROM isl$i),
+         |seq$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |    CASE WHEN chosen = 1 THEN sym || (SELECT r FROM best$i) ELSE sym END AS sym
+         |  FROM (SELECT *, COALESCE(lag(chosen) OVER (PARTITION BY word ORDER BY pos), 0)
+         |          AS consumed FROM sel$i)
+         |  WHERE consumed = 0)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { i =>
+      s"SELECT $i AS round, l AS lhs, r AS rhs, cnt AS pair_cnt FROM best$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq FROM tok
+       |  WHERE length(word) BETWEEN 2 AND 12
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT 500),
+       |ps(p) AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12))),
+       |seq0 AS MATERIALIZED (
+       |  SELECT word, freq, p AS pos, substr(word, p, 1) AS sym
+       |  FROM vocab JOIN ps ON p <= length(word)),
+       |$roundCtes
+       |SELECT round, lhs, rhs, pair_cnt FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
+  }
+
   private val s13OracleSql: String = {
     val steps = (2 to 5).map { t =>
       s"""rem$t AS (
@@ -1085,6 +1186,7 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 10""".stripMargin,
+    "t31_bpe_train" -> t31OracleSql,
     // t29: cross-split near-dup leakage — t21's md5 split re-derived
     // (the t21 oracle's nibble fold) joined onto the exact ≥0.8 pair
     // set (sound stand-in for the banded path, the d3 argument),
@@ -1418,6 +1520,38 @@ object SparkEntry {
         |  FROM anc JOIN edges e ON anc.ancestor = e.child
         |)
         |SELECT node, ancestor, depth, path FROM anc ORDER BY node, depth, ancestor""".stripMargin,
+    // g27: the oracle re-derives the crafted cyclic+acyclic hierarchy and
+    // detects cycles the recursive way — walk parent pointers ≤ 64 steps
+    // from every node; a walk that returns to its start is a cycle, and
+    // the min id along the returning walk is the ring's canonical label.
+    "g27_cycle_audit" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'c_' || c_custkey AS child, n_name AS parent
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT n_name AS child, r_name AS parent
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT 's_' || s_suppkey AS child,
+        |    's_' || coalesce(
+        |      lead(s_suppkey) OVER (PARTITION BY (s_suppkey - 1) // 10 ORDER BY s_suppkey),
+        |      min(s_suppkey) OVER (PARTITION BY (s_suppkey - 1) // 10)) AS parent
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'p_' || p_partkey AS child,
+        |    's_' || ((p_partkey % 100) + 1) AS parent
+        |  FROM part
+        |), walk(start, cur, mn, d) AS (
+        |  SELECT child, parent, LEAST(child, parent), 1 FROM edges
+        |  UNION ALL
+        |  SELECT w.start, e.parent, LEAST(w.mn, e.parent), w.d + 1
+        |  FROM walk w JOIN edges e ON e.child = w.cur WHERE w.d < 64
+        |)
+        |SELECT node, cycle_id FROM (
+        |  SELECT start AS node, MIN(CASE WHEN cur = start THEN mn END) AS cycle_id
+        |  FROM walk GROUP BY start)
+        |WHERE cycle_id IS NOT NULL
+        |ORDER BY node""".stripMargin,
     "g11_news_copairs" ->
       """WITH j AS (
         |  SELECT event_id,
@@ -2037,19 +2171,31 @@ object SparkEntry {
          |  CAST(frame_offset AS BIGINT) AS frame_offset,
          |  md5(substr(hx, CAST(frame_offset * 2 + 1 AS INTEGER), 128)) AS frame_hash
          |FROM f ORDER BY doc_id, frame_no""".stripMargin,
-    "m3_resize" ->
-      s"""WITH p AS (SELECT doc_id, $mediaHex AS hx FROM documents),
-         |r AS (
-         |  SELECT doc_id, length(hx) // 2 AS orig_bytes,
-         |    list_aggregate(
-         |      list_transform(range(0, length(hx) // 2, 8),
-         |        i -> substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)),
-         |      'string_agg', '') AS rhx
-         |  FROM p)
-         |SELECT doc_id, CAST(orig_bytes AS BIGINT) AS orig_bytes,
-         |  CAST(length(rhx) // 2 AS BIGINT) AS resized_bytes,
-         |  md5(rhx) AS resized_hash
-         |FROM r ORDER BY doc_id""".stripMargin,
+    // m3: the 2× box-filter thumbnail re-derived byte by byte — the 4×2
+    // P6 raster (byte j = (d·31+j·7) mod 256) pools into 2×1 output
+    // pixels, each channel the floor mean of its 2×2 block; corrupt
+    // classes (mod 7 truncation, mod 13 bad magic) report ok=0 with the
+    // empty-output hash.
+    "m3_resize" -> {
+      def b(j: Int) = s"((doc_id * 31 + ${j * 7}) % 256)"
+      val bytes = for (op <- 0 to 1; c <- 0 to 2) yield {
+        val base = if (op == 0) Seq(0, 3, 12, 15) else Seq(6, 9, 18, 21)
+        s"(${base.map(x => b(x + c)).mkString(" + ")}) // 4"
+      }
+      val rhx = bytes.map(e => s"lpad(hex(CAST($e AS INTEGER)), 2, '0')")
+        .mkString(" || ")
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 OR doc_id % 13 = 0 THEN 0 ELSE 1 END AS okf,
+         |    $rhx AS rhx
+         |  FROM documents)
+         |SELECT doc_id, CAST(okf AS BIGINT) AS ok,
+         |  CAST(okf * 4 AS BIGINT) AS width, CAST(okf * 2 AS BIGINT) AS height,
+         |  CAST(okf * 2 AS BIGINT) AS out_width, CAST(okf AS BIGINT) AS out_height,
+         |  CAST(okf * 6 AS BIGINT) AS resized_bytes,
+         |  CASE WHEN okf = 1 THEN md5(rhx) ELSE md5('') END AS resized_hash
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "m11_ppm_decode" ->
       """WITH j AS (SELECT unnest(generate_series(0, 23)) AS j),
         |m AS (
@@ -2714,39 +2860,35 @@ object SparkEntry {
     // g25: the deterministic walks recomputed step by step — the same
     // dst-ordered adjacency indexing and integer mixer as the Spark
     // side, one generated CTE per hop.
-    "g25_random_walks" -> {
-      val hops = (1 to 4).map { t =>
-        s"""w$t AS MATERIALIZED (
-           |  SELECT w.walker, adj.dst AS node
-           |  FROM w${t - 1} w JOIN adj ON w.node = adj.src
-           |   AND adj.idx = ((w.walker % 1048573) * 31 + $t * 7 +
-           |                  (adj.src % 1048573) * 13) % adj.deg)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 to 4).map { t =>
-        s"SELECT walker, CAST($t AS BIGINT) AS step, node FROM w$t"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH e0 AS MATERIALIZED (
-         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-         |adj AS MATERIALIZED (
-         |  SELECT src, dst,
-         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
-         |    count(*) OVER (PARTITION BY src) AS deg
-         |  FROM e),
-         |w0 AS (SELECT s_suppkey * 2 + 1 AS walker, s_suppkey * 2 + 1 AS node
-         |       FROM supplier WHERE s_suppkey < 16),
-         |$hops,
-         |allw AS (
-         |  $union)
-         |SELECT
-         |  CASE WHEN walker % 2 = 0 THEN 'c_' || CAST(walker // 2 AS VARCHAR)
-         |       ELSE 's_' || CAST(walker // 2 AS VARCHAR) END AS walker,
-         |  step,
-         |  CASE WHEN node % 2 = 0 THEN 'c_' || CAST(node // 2 AS VARCHAR)
-         |       ELSE 's_' || CAST(node // 2 AS VARCHAR) END AS node
-         |FROM allw ORDER BY 1, 2, 3""".stripMargin
-    },
+    "g25_random_walks" ->
+      s"""$g25CorpusCte
+         |SELECT walker, step, node FROM dec ORDER BY 1, 2, 3""".stripMargin,
+    // g28: the walk-corpus consumer — skip-gram pairs (≤ 2 steps apart
+    // on the same walk) over the SAME generated walk CTEs as g25, with
+    // the exact-integer lift (cnt·N/(c_a·c_b) in micro-units, the
+    // two-step quotient/remainder expansion on both engines).
+    "g28_walk_cooc" ->
+      s"""$g25CorpusCte,
+         |pairs AS (
+         |  SELECT LEAST(a.node, b.node) AS node1, GREATEST(a.node, b.node) AS node2
+         |  FROM dec a JOIN dec b ON a.walker = b.walker
+         |   AND b.step - a.step BETWEEN 1 AND 2),
+         |agg AS (SELECT node1, node2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM agg),
+         |occ AS (
+         |  SELECT node, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT node1 AS node, cnt FROM agg
+         |    UNION ALL SELECT node2 AS node, cnt FROM agg)
+         |  GROUP BY node)
+         |SELECT agg.node1, agg.node2, agg.cnt,
+         |  CAST((agg.cnt * tot.n // (ca.c * cb.c)) * 1000000 +
+         |    ((agg.cnt * tot.n) % (ca.c * cb.c)) * 1000000 // (ca.c * cb.c)
+         |    AS BIGINT) AS lift_micro
+         |FROM agg
+         |JOIN occ ca ON ca.node = agg.node1
+         |JOIN occ cb ON cb.node = agg.node2
+         |CROSS JOIN tot
+         |ORDER BY 1, 2""".stripMargin,
     // g26: the biased walks recomputed hop by hop — per candidate the
     // same return/common/far integer weights (1/4/2), the same
     // dst-ordered cumulative pick against the mixer, one generated CTE

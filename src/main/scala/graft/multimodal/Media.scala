@@ -101,30 +101,31 @@ object Media {
         md5(col("hx").substr((col("col") * 2 + 1).cast("int"), lit(frameBytes * 2))).as("frame_hash"))
       .orderBy("doc_id", "frame_no")
 
-  /** m3: deterministic RESIZE — stride resampling of the payload (every
-    * `stride`-th byte), the 1-D stand-in for image downscaling: output
-    * size is ⌈n/stride⌉, content is a deterministic function of the
-    * input, and the metadata row (original size, resized size, resized
-    * hash) is what a real thumbnailing pass would record. Runs on the hex
-    * view so the oracle derives the identical resample in SQL; the REAL
-    * resizer is demonstrated in [[ppmAveragePool]] — an actual P6 decode
-    * + 2-D box-filter downscale through the same mapPartitions seam. One
-    * shuffle-free projection — fan-out is 1:1, cost linear in payload
-    * volume.
+  /** m3: REAL RESIZE on the gate — the P6 payload corpus (the m11
+    * synthesis, corruption classes included) decoded and average-pooled
+    * 2× through [[ppmAveragePool]]'s genuine 2-D box filter (each output
+    * pixel = integer mean of its 2×2 input block), re-encoded, and
+    * reported as the metadata row a thumbnailing pass records (dims in
+    * and out, output bytes, output hash). Corrupt payloads come back
+    * `ok = 0` with zeroed dims and the empty-output hash — classified,
+    * never crashed (the m11 verdict discipline). One partition-granular
+    * mapPartitions pass, no shuffle; the oracle re-derives every pooled
+    * byte from the doc_id raster arithmetic and must hash-match the
+    * kernel bit for bit.
     */
-  def m3Resize(spark: SparkSession, dir: String, stride: Int = 8): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), hex(payload(col("doc_id"), col("text"))).as("hx"))
+  def m3Resize(spark: SparkSession, dir: String, factor: Int = 2): DataFrame =
+    ppmAveragePool(
+      Tables(spark, dir).documents
+        .select(col("doc_id"), ppmPayload.as("payload")), factor)
       .select(
         col("doc_id"),
-        (length(col("hx")) / 2).cast("long").as("orig_bytes"),
-        concat_ws("", transform(
-          sequence(lit(0L), (length(col("hx")) / 2 - 1).cast("long"), lit(stride.toLong)),
-          i => col("hx").substr((i * 2 + 1).cast("int"), lit(2)))).as("rhx"))
-      .select(
-        col("doc_id"), col("orig_bytes"),
-        (length(col("rhx")) / 2).cast("long").as("resized_bytes"),
-        md5(col("rhx")).as("resized_hash"))
+        when(col("ok"), 1L).otherwise(0L).as("ok"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"),
+        length(col("pixels")).cast("long").as("resized_bytes"),
+        md5(hex(col("pixels"))).as("resized_hash"))
       .orderBy("doc_id")
 
   /** m4: byte-level FEATURE EXTRACTION — the feature-extract stage of the
@@ -548,19 +549,26 @@ object Media {
     * Everything is integer (means in exact millis, floor division), so
     * the driver hash must match bit-for-bit.
     */
-  def m11PpmDecode(spark: SparkSession, dir: String): DataFrame = {
+  /** The m11/m3 P6-payload synthesis: raster byte j of doc d is
+    * `(d·31 + j·7) mod 256` (a 4×2 image), with two corruption classes
+    * injected by residue (`doc_id % 7` → truncated raster, `% 13` → P5
+    * magic) so the codec path's failure branch is exercised on the gate.
+    */
+  private def ppmPayload: Column = {
     val hdrOk  = encode(lit("P6\n4 2\n255\n"), "UTF-8")
     val hdrBad = encode(lit("P5\n4 2\n255\n"), "UTF-8")
     def rasterHex(n: Int) = array_join(
       transform(sequence(lit(0), lit(n - 1)),
         j => lpad(hex(pmod(col("doc_id") * 31 + j * 7, lit(256))), 2, "0")), "")
-    val payload =
-      when(pmod(col("doc_id"), lit(7)) === 0, concat(hdrOk, unhex(rasterHex(10))))
-        .when(pmod(col("doc_id"), lit(13)) === 0, concat(hdrBad, unhex(rasterHex(24))))
-        .otherwise(concat(hdrOk, unhex(rasterHex(24))))
+    when(pmod(col("doc_id"), lit(7)) === 0, concat(hdrOk, unhex(rasterHex(10))))
+      .when(pmod(col("doc_id"), lit(13)) === 0, concat(hdrBad, unhex(rasterHex(24))))
+      .otherwise(concat(hdrOk, unhex(rasterHex(24))))
+  }
+
+  def m11PpmDecode(spark: SparkSession, dir: String): DataFrame = {
     decodePpmImages(
       Tables(spark, dir).documents
-        .select(col("doc_id"), payload.as("payload")))
+        .select(col("doc_id"), ppmPayload.as("payload")))
       .select(
         col("doc_id"),
         when(col("ok"), 1L).otherwise(0L).as("ok"),

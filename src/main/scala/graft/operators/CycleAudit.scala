@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Cycle audit over a DIRECTED PARENT-POINTER (functional) graph — the
+  * referential-integrity sibling of h6's FK audit, and the ingest gate
+  * g8's hierarchy expansion assumes but never checked: the reference
+  * loads `BELONGS_TO` parent pointers scraped from the web
+  * (mysql2neo4j.py:204-227) and auto-creates parents on first sight
+  * (:740) — scraped hierarchies GET cycles, and a closure expansion fed
+  * a cycle either never terminates or silently double-counts paths.
+  * This operator reports exactly the nodes on cycles, each labeled with
+  * a canonical cycle id (the ring's minimum node id — the CC-label
+  * discipline), so ingest can quarantine them before [[GraphOps.expandHierarchy]]
+  * runs (which now REFUSES loudly past its depth bound instead of
+  * spinning).
+  *
+  * A parent-pointer graph is FUNCTIONAL (each child has at most one
+  * parent ⇒ out-degree ≤ 1), which makes exact cycle detection two
+  * bounded fixed-point passes — no SCC machinery needed:
+  *
+  *   1. PEEL (`peelRounds` rounds): repeatedly drop edges whose child
+  *      has no surviving incoming edge. After round t the surviving
+  *      edges are exactly those whose child ends an incoming chain of
+  *      length ≥ t; tree tails (finite chains) die within max-depth
+  *      rounds, ring edges (infinite chains) survive forever — so the
+  *      survivor set IS the set of ring edges once `peelRounds` exceeds
+  *      the longest acyclic chain (the same bounded-round contract as
+  *      g12's k-core peeling; each round is ONE left-semi join, O(E)).
+  *   2. MIN-LABEL by pointer DOUBLING (`doublings` rounds): state
+  *      (node, anc = 2^k-th successor, mn = min id seen); each round
+  *      joins the state with itself so coverage doubles — after d
+  *      rounds every ring of length ≤ 2^d has propagated its global
+  *      minimum to every member. log-round convergence, O(rings) rows.
+  *
+  * Both loops are fixed-round and integer/string-deterministic, so a
+  * DuckDB recursive-CTE oracle (walk ≤ 64 steps from every node; a
+  * walk that returns to its start IS a cycle, and the min over the
+  * returning walk is the ring min) recomputes the result exactly.
+  *
+  * Scale shape: peel never moves more than the surviving edge set
+  * (shuffle keys child/parent — no skew beyond graph hubs); the
+  * doubling state is O(cycle nodes), typically minuscule; nothing is
+  * ever enumerated per-path. 100 TB posture: an audit over a trillion
+  * parent pointers is `peelRounds + doublings` joins, not a traversal.
+  */
+object CycleAudit {
+
+  /** Nodes on directed cycles of the functional edge list
+    * `(child, parent)`, labeled `(node, cycle_id = min ring member)`.
+    * `peelRounds` must exceed the longest acyclic chain feeding a
+    * cycle; `doublings` must satisfy 2^doublings ≥ longest cycle — both
+    * are the documented accuracy/termination levers (defaults cover
+    * depth ≤ 16 tails and rings ≤ 32; raise for deeper corpora).
+    */
+  def cycleMembers(
+      edges: DataFrame,
+      peelRounds: Int = 16,
+      doublings: Int = 5): DataFrame = {
+    var e = edges.select(col("child"), col("parent"))
+      .dropDuplicates("child", "parent")
+      .localCheckpoint(true)
+    (1 to peelRounds).foreach { _ =>
+      val next = e.join(
+        e.select(col("parent").as("child")).distinct(), Seq("child"), "left_semi")
+        .localCheckpoint(true)
+      e.unpersist()
+      e = next
+    }
+    // Survivors are ring edges: seed the doubling state with 1-step
+    // coverage, then double until 2^doublings.
+    var st = e.select(col("child").as("node"), col("parent").as("anc"),
+      least(col("child"), col("parent")).as("mn"))
+      .localCheckpoint(true)
+    (1 to doublings).foreach { _ =>
+      val st2 = st.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("mn").as("mn2"))
+      val next = st.join(st2, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          least(col("mn"), col("mn2")).as("mn"))
+        .localCheckpoint(true)
+      st.unpersist()
+      st = next
+    }
+    st.select(col("node"), col("mn").as("cycle_id"))
+  }
+
+  /** g27: cycle audit on a crafted cyclic+acyclic hierarchy derived
+    * deterministically from the corpus — the acyclic tier is g8's own
+    * customer→nation→region parent pointers, the cyclic tier turns the
+    * suppliers into rings of 10 (each supplier's parent = the next key
+    * in its decade, wrapping), and every part hangs off a ring as a
+    * tree tail (`p_<k>` → `s_<k mod 100 + 1>`) so the peel has real
+    * work. Output: exactly the ring members with their ring-min label —
+    * customers, nations, regions and parts must NOT appear.
+    */
+  def g27CycleAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val custEdges = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c_"), col("c_custkey")).as("child"), col("n_name").as("parent"))
+    val nationEdges = t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("child"), col("r_name").as("parent"))
+    val g = Window.partitionBy(expr("(s_suppkey - 1) DIV 10"))
+    val ringEdges = t.supplier
+      .select(col("s_suppkey"),
+        coalesce(
+          lead(col("s_suppkey"), 1).over(g.orderBy(col("s_suppkey"))),
+          min(col("s_suppkey")).over(g)).as("nxt"))
+      .select(concat(lit("s_"), col("s_suppkey")).as("child"),
+        concat(lit("s_"), col("nxt")).as("parent"))
+    val tailEdges = t.part
+      .select(concat(lit("p_"), col("p_partkey")).as("child"),
+        concat(lit("s_"), pmod(col("p_partkey"), lit(100)) + 1).as("parent"))
+    cycleMembers(
+      custEdges.unionByName(nationEdges).unionByName(ringEdges).unionByName(tailEdges))
+  }
+}

@@ -512,6 +512,16 @@ object GraphIter {
     * either way: min-folding makes re-relaxation idempotent. Every
     * round's tables are eagerly checkpointed; lineage stays O(1) in
     * depth.
+    *
+    * SIZING: the round aggregates' reduce width is DERIVED from the
+    * measured edge count ([[relaxParts]] — the probe→knob discipline):
+    * a dense round's candidate table is bounded by |E|, and folding
+    * 10⁸ candidates into a 32-partition default is exactly the
+    * measured sf10 OOM (UNABLE_TO_ACQUIRE_MEMORY at p32/16g; p128
+    * clean). The width is applied via the session shuffle-partition
+    * knob for the duration of the traversal (restored after — the
+    * engine's loops are single-owner per session), so map-side combine
+    * is preserved; partition count never changes results.
     */
   def minRelaxTraverse(
       edges: DataFrame,
@@ -519,7 +529,33 @@ object GraphIter {
       maxRounds: Int,
       earlyExit: Boolean = true)(
       relax: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.localCheckpoint(true)
+    val eCnt = e.count()
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = relaxParts(eCnt, defaultParts)
+    if (parts != defaultParts)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try minRelaxTraverseSized(e, init, maxRounds, earlyExit)(relax)
+    finally if (parts != defaultParts)
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+  }
+
+  /** Probe→knob derivation for the relaxation reduce width: one reduce
+    * task per ~2²⁰ candidate rows of the measured edge count, never
+    * below the session default, capped at 4096 (task-count limit).
+    * Pure so the spec pins the measurement→knob map directly.
+    */
+  private[graft] def relaxParts(eCnt: Long, defaultParts: Int): Int =
+    math.min(4096L, math.max(defaultParts.toLong,
+      (eCnt + (1L << 20) - 1) >> 20)).toInt
+
+  private def minRelaxTraverseSized(
+      e: DataFrame,
+      init: DataFrame,
+      maxRounds: Int,
+      earlyExit: Boolean)(
+      relax: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
     val init2 = init.select(col("node"), col("state"))
       .groupBy("node").agg(min("state").as("state"))
       .localCheckpoint(true)
@@ -853,6 +889,58 @@ object GraphIter {
       .select(dec(col("walker")).as("walker"), col("step"),
         dec(col("node")).as("node"))
   }
+
+  /** WINDOWED CO-OCCURRENCE over a walk corpus — the consumer that
+    * turns [[randomWalks]]/[[biasedWalks]] output into the artifact a
+    * representation learner actually trains on (word2vec/DeepWalk
+    * skip-gram pairs: two nodes co-occur when they sit ≤ `window` steps
+    * apart on the same walk; Levy & Goldberg 2014 show skip-gram
+    * factorizes exactly the PMI of this matrix). Pairs are canonicalized
+    * unordered (LEAST/GREATEST), counted, and each pair carries an
+    * integer LIFT in micro-units — `cnt·N / (c_a·c_b)`, the PMI
+    * argument before the log, computed with the two-step
+    * quotient/remainder expansion so the value is exact in 64-bit
+    * integers and order-independent (the t24/modularityMicro
+    * discipline: a float log in the gate would flap the hash; a
+    * consumer takes `log(lift_micro/1e6)` when it wants true PPMI).
+    *
+    * Scale shape: ONE self-equijoin on walker id (each walker partition
+    * is its own walk, `steps+1` rows — the band predicate never crosses
+    * walks) + map-side-combined aggregates; the endpoint totals come
+    * from the pair table itself (O(pairs) rows), never a second corpus
+    * pass. Overflow bound: exact while `cnt·N < 2^63` and
+    * `(c_a·c_b) · 10⁶ < 2^63` — at 10⁹ total pairs that allows
+    * million-count endpoints, and the expansion keeps every
+    * intermediate inside int64.
+    */
+  def walkCooccurrence(walks: DataFrame, window: Int): DataFrame = {
+    val a = walks.select(col("walker"), col("step").as("i"), col("node").as("na"))
+    val b = walks.select(col("walker"), col("step").as("j"), col("node").as("nb"))
+    val agg = a.join(b, Seq("walker"))
+      .filter(col("j") - col("i") >= 1 && col("j") - col("i") <= window)
+      .select(least(col("na"), col("nb")).as("node1"),
+        greatest(col("na"), col("nb")).as("node2"))
+      .groupBy("node1", "node2").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val n = agg.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val occ = agg.select(col("node1").as("node"), col("cnt"))
+      .unionByName(agg.select(col("node2").as("node"), col("cnt")))
+      .groupBy("node").agg(sum("cnt").as("c"))
+    agg
+      .join(occ.select(col("node").as("node1"), col("c").as("ca")), Seq("node1"))
+      .join(occ.select(col("node").as("node2"), col("c").as("cb")), Seq("node2"))
+      .select(col("node1"), col("node2"), col("cnt"),
+        expr(s"(cnt * $n DIV (ca * cb)) * 1000000 + " +
+          s"((cnt * $n) % (ca * cb)) * 1000000 DIV (ca * cb)").as("lift_micro"))
+  }
+
+  /** g28: the walk-corpus consumer on the gate — windowed (≤ 2 steps)
+    * skip-gram co-occurrence with integer lift over g25's deterministic
+    * walk corpus, on the decoded display ids. This is what makes
+    * g25/g26 a PIPELINE (sample → pair → train) instead of an output.
+    */
+  def g28WalkCooc(spark: SparkSession, dir: String, window: Int = 2): DataFrame =
+    walkCooccurrence(g25RandomWalks(spark, dir), window)
 
   /** PIVOT-SAMPLED BETWEENNESS (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; pivot sampling per Brandes & Pich 2007) —

@@ -398,7 +398,7 @@ object GraphOps {
     * node count), so it scales to wide shallow hierarchies — exactly the
     * org-tree shape.
     */
-  def expandHierarchy(edges: DataFrame): DataFrame = {
+  def expandHierarchy(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
     // edges: (child: string, parent: string)
     //
     // Each level is eagerly localCheckpoint'ed: lineage is truncated every
@@ -408,6 +408,14 @@ object GraphOps {
     // holds one block set, not one per tree level (levels can't be
     // unpersisted lazily: a localCheckpoint has no lineage to recompute
     // from). The empty terminal frontier is dropped.
+    //
+    // CYCLE GUARD: on cyclic input (scraped parent pointers DO cycle —
+    // mysql2neo4j.py:204-227 auto-creates parents on first sight) the
+    // frontier never empties and the closure would loop forever while
+    // double-counting paths. A frontier still alive at `maxDepth` is a
+    // cycle (every cycle member spawns unbounded-depth paths) or a
+    // deeper-than-expected tree — either way the expansion REFUSES
+    // loudly; run [[CycleAudit.cycleMembers]] to locate the offenders.
     val parentOf = edges.select(col("child").as("ancestor"), col("parent").as("next_parent"))
     var frontier = edges
       .select(col("child").as("node"), col("parent").as("ancestor"), lit(1).as("depth"),
@@ -415,13 +423,20 @@ object GraphOps {
       .localCheckpoint(true)
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var continue = !frontier.isEmpty
+    var depth = 1
     while (continue) {
+      if (depth >= maxDepth)
+        throw new IllegalStateException(
+          s"expandHierarchy: frontier still alive at depth $maxDepth — " +
+            "cyclic parent pointers (or a hierarchy deeper than maxDepth); " +
+            "audit with CycleAudit.cycleMembers before expanding")
       val next = frontier
         .join(parentOf, Seq("ancestor"))
         .select(col("node"), col("next_parent").as("ancestor"),
           (col("depth") + 1).as("depth"),
           concat_ws("/", col("next_parent"), col("path")).as("path"))
         .localCheckpoint(true)
+      depth += 1
       if (next.isEmpty) {
         continue = false
         next.unpersist()

@@ -253,6 +253,38 @@ object Louvain {
     * gain scores. One edge-relation pass (the intra filter) + one
     * V-sized aggregate; returns micro-units in [−10⁶, 10⁶).
     */
+  /** Per-community stats over a symmetric weighted edge list — the GDS
+    * community-stats surface next to [[modularityMicro]]: member count,
+    * volume (Σ degrees), internal symmetric weight, cut weight, and
+    * CONDUCTANCE in integer micro-units — `cut / min(vol, 2m − vol)`,
+    * the standard cut-quality score, via the two-step
+    * quotient/remainder expansion (exact int64 for 2m up to ~10¹²,
+    * ≤1µ truncation; 0 when the labeling is a single community, where
+    * the denominator degenerates). One edge pass + one V-sized
+    * aggregate, same shapes as the modularity metric.
+    */
+  def communityStats(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val twoM = sym.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    val k = sym.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+    val nl = labels.select(col("node"), col("com"))
+    val vol = nl.join(k, Seq("node"))
+      .groupBy("com").agg(sum("k").as("vol"), count(lit(1)).as("n_nodes"))
+    val inC = sym
+      .join(nl.withColumnRenamed("node", "src"), Seq("src"))
+      .join(nl.select(col("node").as("dst"), col("com").as("com2")), Seq("dst"))
+      .filter(col("com") === col("com2"))
+      .groupBy("com").agg(sum("w").as("in_sym"))
+    vol.join(inC, Seq("com"), "left")
+      .select(col("com"), col("n_nodes"), col("vol"),
+        coalesce(col("in_sym"), lit(0L)).as("in_sym"),
+        (col("vol") - coalesce(col("in_sym"), lit(0L))).as("cut"))
+      .withColumn("conductance_micro",
+        when(least(col("vol"), lit(twoM) - col("vol")) === 0, lit(0L))
+          .otherwise(expr(
+            s"(cut DIV least(vol, $twoM - vol)) * 1000000 + " +
+              s"(cut % least(vol, $twoM - vol)) * 1000000 DIV least(vol, $twoM - vol)")))
+  }
+
   def modularityMicro(sym: DataFrame, labels: DataFrame): Long = {
     val twoM = sym.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     if (twoM == 0L) return 0L

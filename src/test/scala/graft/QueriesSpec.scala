@@ -425,14 +425,28 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("m3 resize output size is ceil(orig/stride) and deterministic") {
+  test("m3 resize runs the real 2-D box filter; corrupt payloads classified, not crashed") {
     val rows = multimodal.Media.m3Resize(spark, dir).collect()
     assert(rows.nonEmpty)
+    var okSeen = false; var badSeen = false
     rows.foreach { r =>
-      val orig = r.getAs[Long]("orig_bytes")
-      assert(r.getAs[Long]("resized_bytes") === (orig + 7) / 8)
-      assert(r.getAs[String]("resized_hash").length === 32)
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0 || id % 13 == 0) {
+        badSeen = true
+        assert(r.getAs[Long]("ok") === 0L && r.getAs[Long]("resized_bytes") === 0L,
+          s"corrupt payload must classify, doc $id")
+      } else {
+        okSeen = true
+        // 4×2 P6 pooled 2× → 2×1, 6 output bytes; the kernel really
+        // shrank the raster (24 → 6 bytes, the f² reduction).
+        assert(r.getAs[Long]("ok") === 1L)
+        assert(r.getAs[Long]("width") === 4L && r.getAs[Long]("height") === 2L)
+        assert(r.getAs[Long]("out_width") === 2L && r.getAs[Long]("out_height") === 1L)
+        assert(r.getAs[Long]("resized_bytes") === 6L)
+        assert(r.getAs[String]("resized_hash").length === 32)
+      }
     }
+    assert(okSeen && badSeen, "both verdict branches must be exercised")
     val again = multimodal.Media.m3Resize(spark, dir).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
@@ -1016,6 +1030,96 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sticky.contains((6L, 2L, 4L)), s"got $sticky")
   }
 
+  test("relaxParts: reduce width derives from the measured edge count") {
+    // The sf10 shape that OOMed at the 32-partition default: 117M
+    // relaxation candidates → 112 reduce tasks (~1M rows each).
+    assert(operators.GraphIter.relaxParts(117000000L, 32) === 112)
+    // Small graphs keep the session default (zero overhead)...
+    assert(operators.GraphIter.relaxParts(1000L, 32) === 32)
+    assert(operators.GraphIter.relaxParts(0L, 32) === 32)
+    // ...and the width is capped (task count, not per-task size, is the
+    // limit past 4096).
+    assert(operators.GraphIter.relaxParts(1L << 40, 32) === 4096)
+    // The derived width never goes below a larger session default.
+    assert(operators.GraphIter.relaxParts(1000L, 256) === 256)
+  }
+
+  test("t31 BPE training: pinned merge sequence, overlap-safe greedy, early stop") {
+    val ss = spark
+    import ss.implicits._
+    // vocab {abab×2, aab×1}: r1 pairs (a,b)=5 (2 occurrences × freq 2
+    // + 1), (b,a)=2, (a,a)=1 → merge (a,b); r2 (ab,ab)=2 beats
+    // (a,ab)=1 → merge (ab,ab); r3 only (a,ab)=1. Round 4 has no
+    // pairs left — the trainer stops at 3 rows.
+    val vocab = Seq(("abab", 2L), ("aab", 1L)).toDF("word", "freq")
+    val got = functions.Bpe.trainMerges(vocab, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "a", "b", 5L), (2, "ab", "ab", 2L), (3, "a", "ab", 1L)),
+      s"merge table must match the hand-derived sequence: ${got.toSeq}")
+    // Overlap greediness: "aaa" with best (a,a) — count 2 (overlapping
+    // occurrences counted), but the merge is LEFT-TO-RIGHT non-overlap:
+    // positions 1-2 merge, 3 survives → round 2 merges (aa, a).
+    val tri = Seq(("aaa", 1L)).toDF("word", "freq")
+    val got2 = functions.Bpe.trainMerges(tri, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got2.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)),
+      s"overlap run must merge greedily left-to-right: ${got2.toSeq}")
+  }
+
+  test("g28 walk co-occurrence: hand-computed windowed pairs and exact integer lift") {
+    val ss = spark
+    import ss.implicits._
+    // Walk 1: a b a c; walk 2: b c. Window 2 pairs — w1: (a,b) (a,a)
+    // (b,a) (b,c) (a,c); w2: (b,c). Canonical counts: ab=2, aa=1, bc=2,
+    // ac=1; N=6. Endpoint totals (each pair row feeds BOTH ends):
+    // a=2+2+1=5, b=2+2=4, c=2+1=3. lift_micro = cnt·N·1e6/(ca·cb):
+    // ab 12/20=600000, aa 6/25=240000, bc 12/12=1000000, ac 6/15=400000.
+    val walks = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "c"),
+      (2L, 0L, "b"), (2L, 1L, "c")
+    ).toDF("walker", "step", "node")
+    val got = operators.GraphIter.walkCooccurrence(walks, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 600000L)),
+      ("a", "a") -> ((1L, 240000L)),
+      ("b", "c") -> ((2L, 1000000L)),
+      ("a", "c") -> ((1L, 400000L))),
+      s"windowed pairs + integer lift must match the hand computation: $got")
+  }
+
+  test("g27 cycle audit: rings found with min labels, tails and trees excluded; g8 refuses cycles") {
+    val ss = spark
+    import ss.implicits._
+    // Ring {10,11,12}; a 2-deep tail 1→2→10 feeding it (peel must
+    // remove it); a clean tree 20→21→22 (no output at all); a second
+    // ring {30,31}.
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (1L, 2L), (2L, 10L),
+      (20L, 21L), (21L, 22L),
+      (30L, 31L), (31L, 30L)
+    ).toDF("child", "parent")
+    val got = operators.CycleAudit.cycleMembers(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 30L -> 30L, 31L -> 30L),
+      s"exactly the ring members with ring-min labels, got $got")
+    // Acyclic input: empty audit, and expandHierarchy still works.
+    val acyclic = Seq((1L, 2L), (2L, 3L)).toDF("child", "parent")
+    assert(operators.CycleAudit.cycleMembers(acyclic).isEmpty)
+    // The closure expansion REFUSES cyclic input instead of spinning.
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("child", "parent")
+    val e = intercept[IllegalStateException] {
+      operators.GraphOps.expandHierarchy(cyc, maxDepth = 8).collect()
+    }
+    assert(e.getMessage.contains("cyclic parent pointers"))
+    // And acyclic expansion through the guard is unchanged.
+    val ok = operators.GraphOps.expandHierarchy(
+      Seq(("x", "y"), ("y", "z")).toDF("child", "parent"))
+    assert(ok.count() === 3L)
+  }
+
   test("walks refuse a walker id seeded on two nodes (merged-window hazard)") {
     val ss = spark
     import ss.implicits._
@@ -1056,6 +1160,40 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found === 357142L, s"Q(two triangles) = $found")
     assert(q((1L to 6L).map(_ -> 1L).toMap) === 0L)
     assert(q((1L to 6L).map(n => n -> n).toMap) === -173468L)
+  }
+
+  test("community stats: conductance pinned on the fixture; Louvain's modularity tops CC and LPA") {
+    val ss = spark
+    import ss.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }
+    val sym = (e0 ++ e0.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    val louv = operators.Louvain.louvain(sym)
+      .select(col("node"), col("community").as("com"))
+    // Per-community stats, hand-computed: each triangle has 3 nodes,
+    // volume 7 (the bridge endpoint carries degree 3+1), internal
+    // symmetric weight 6, cut 1, conductance 1/min(7, 14−7) = 142857µ.
+    val stats = operators.Louvain.communityStats(sym, louv).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(stats === Map(
+      1L -> ((3L, 7L, 6L, 1L, 142857L)),
+      4L -> ((3L, 7L, 6L, 1L, 142857L))), s"got $stats")
+    // Certify the three community labelings comparably on the shared
+    // fixture: CC sees ONE component (Q = 0), LPA's min-seeded labels
+    // also cannot beat the modularity optimum — Louvain ≥ both.
+    val edges = e0.map { case (a, b, _) => (a, b) }.toDF("src", "dst")
+    val cc = operators.GraphIter.connectedComponents(edges)
+      .select(col("node"), col("label").as("com"))
+    val lpa = operators.GraphIter.labelPropagation(edges)
+      .select(col("node"), col("label").as("com"))
+    def q(lab: org.apache.spark.sql.DataFrame): Long =
+      operators.Louvain.modularityMicro(sym, lab)
+    val (qL, qC, qP) = (q(louv), q(cc), q(lpa))
+    assert(qL === 357142L)
+    assert(qL >= qC && qL >= qP,
+      s"Louvain must not lose to CC/LPA on its own objective: $qL vs $qC / $qP")
+    assert(qC === 0L, "one connected component scores exactly zero modularity")
   }
 
   test("g23 louvain skew routing: broadcast / salted / plain comdeg routes are label-identical") {
