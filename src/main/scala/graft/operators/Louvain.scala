@@ -45,9 +45,10 @@ import graft.Tables
   * round 2 a real graph has a giant community whose id is the hot key
   * of both per-round comdeg joins. A per-round probe over the
   * O(#communities) relation routes each round ([[joinComdegRouted]]):
-  * broadcast the whole dimension once communities are few, salt the
-  * hot communities' probe rows by node hash while they are not —
-  * never a raw shuffle join on a mega-key.
+  * plain while no community is hot (zero overhead — the skew-free
+  * case), broadcast the whole dimension when one is and communities
+  * are few, salt the hot communities' probe rows by node hash while
+  * they are not — never a raw shuffle join on a measured mega-key.
   */
 object Louvain {
 
@@ -60,19 +61,21 @@ object Louvain {
     * route discipline; `nComs` = communities, `maxCn` = biggest
     * community's member count):
     *
-    *   - `nComs <= broadcastComs`: BROADCAST comdeg — zero shuffle on
-    *     the skewed key, and exactly the regime consolidation creates
-    *     (communities shrink as rounds proceed, which is when skew
-    *     appears — the two conditions converge);
-    *   - else if `maxCn >= blockThreshold`: SALTED shuffle join — the
-    *     bounded hot set (≤ V/blockThreshold communities can exceed the
-    *     threshold) broadcasts as a tag; hot probe rows salt by
-    *     `pmod(node, s)` with `s` DERIVED from the measured max size
-    *     (the g1/d9 probe→knob derivation), and the build side
-    *     replicates ONLY hot rows s ways — the mega-community's probe
-    *     rows spread over s reducers instead of one;
-    *   - else: the plain shuffle join (zero routing overhead — the
-    *     common case on balanced rounds).
+    *   - `maxCn < blockThreshold`: the PLAIN shuffle join — no hot key
+    *     measured, no defense, zero overhead (the common case on
+    *     balanced rounds; measured at sf10: unconditionally broadcasting
+    *     the ~10⁶-row round-2 comdeg cost ~25% wall on the skew-free
+    *     corpus — the defense must only arm when the probe sees skew);
+    *   - else if `nComs <= broadcastComs`: BROADCAST comdeg — zero
+    *     shuffle on the skewed key, affordable exactly when
+    *     consolidation has shrunk the dimension;
+    *   - else: SALTED shuffle join — the bounded hot set
+    *     (≤ V/blockThreshold communities can exceed the threshold)
+    *     broadcasts as a tag; hot probe rows salt by `pmod(node, s)`
+    *     with `s` DERIVED from the measured max size (the g1/d9
+    *     probe→knob derivation), and the build side replicates ONLY hot
+    *     rows s ways — the mega-community's probe rows spread over s
+    *     reducers instead of one.
     *
     * Routing never changes the algebra (same rows, same values), so
     * labels are hash-identical whichever path fires — spec-pinned with
@@ -88,8 +91,8 @@ object Louvain {
       broadcastComs: Long,
       blockThreshold: Int): DataFrame = {
     val cd = comdeg.withColumnRenamed("com", key)
-    if (nComs <= broadcastComs) probe.join(broadcast(cd), Seq(key))
-    else if (maxCn < blockThreshold) probe.join(cd, Seq(key))
+    if (maxCn < blockThreshold) probe.join(cd, Seq(key))
+    else if (nComs <= broadcastComs) probe.join(broadcast(cd), Seq(key))
     else {
       val s = GraphOps.derivedBlocks(maxCn, blockThreshold)
       val hotTag = cd.filter(col("cn") >= lit(blockThreshold.toLong))

@@ -1211,13 +1211,14 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     def run(bc: Long, bt: Int): Map[Long, Long] =
       operators.Louvain.louvain(sym, broadcastComs = bc, blockThreshold = bt)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // Force each route: plain (no broadcast, no salt), SALTED (every
-    // community of >= 2 members is "hot" — fires from round 2 on), and
-    // broadcast. Identical labels prove routing never changes the
-    // algebra.
+    // Force each route: PLAIN (threshold never reached — the defense
+    // stays dark), SALTED (every community of >= 2 members is "hot" and
+    // broadcast is disabled — fires from round 2 on), and BROADCAST
+    // (hot + no community-count cap). Identical labels prove routing
+    // never changes the algebra.
     val plain = run(0L, Int.MaxValue)
     val salted = run(0L, 2)
-    val bcast = run(Long.MaxValue, Int.MaxValue)
+    val bcast = run(Long.MaxValue, 2)
     assert(salted === plain, "salted route must be label-identical to plain")
     assert(bcast === plain, "broadcast route must be label-identical to plain")
     // The mega community really formed (the salted run really had a hot
