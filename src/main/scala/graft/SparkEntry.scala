@@ -78,6 +78,7 @@ object SparkEntry {
     "g26_node2vec_walks" -> ((s: SparkSession, d: String) => GraphIter.g26Node2vecWalks(s, d)),
     "g27_cycle_audit"    -> CycleAudit.g27CycleAudit _,
     "g28_walk_cooc"      -> ((s: SparkSession, d: String) => GraphIter.g28WalkCooc(s, d)),
+    "g29_scc"            -> CycleAudit.g29Scc _,
     // C. dedup
     "d1_exact_dedup"     -> Dedup.d1ExactDedup _,
     "d2_ngram_jaccard"   -> ((s: SparkSession, d: String) => Dedup.d2NgramJaccard(s, d)),
@@ -198,6 +199,27 @@ object SparkEntry {
     * because steps 2..5 are structurally identical (the s7 codebook-chain
     * pattern).
     */
+  /** The g27/g29 crafted hierarchy fixture (acyclic customer→nation→
+    * region pointers + supplier decade rings + part tree-tails), as the
+    * body of an `edges(child, parent)` CTE shared by both oracles.
+    */
+  private val hierFixtureSql: String =
+    """  SELECT 'c_' || c_custkey AS child, n_name AS parent
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT n_name AS child, r_name AS parent
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT 's_' || s_suppkey AS child,
+      |    's_' || coalesce(
+      |      lead(s_suppkey) OVER (PARTITION BY (s_suppkey - 1) // 10 ORDER BY s_suppkey),
+      |      min(s_suppkey) OVER (PARTITION BY (s_suppkey - 1) // 10)) AS parent
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT 'p_' || p_partkey AS child,
+      |    's_' || ((p_partkey % 100) + 1) AS parent
+      |  FROM part""".stripMargin
+
   /** The g25 deterministic-walk corpus as generated per-hop CTEs,
     * ending in `dec (walker, step, node)` with decoded display ids —
     * shared by the g25 gate and its g28 co-occurrence consumer so both
@@ -1525,22 +1547,8 @@ object SparkEntry {
     // from every node; a walk that returns to its start is a cycle, and
     // the min id along the returning walk is the ring's canonical label.
     "g27_cycle_audit" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT 'c_' || c_custkey AS child, n_name AS parent
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  UNION ALL
-        |  SELECT n_name AS child, r_name AS parent
-        |  FROM nation JOIN region ON n_regionkey = r_regionkey
-        |  UNION ALL
-        |  SELECT 's_' || s_suppkey AS child,
-        |    's_' || coalesce(
-        |      lead(s_suppkey) OVER (PARTITION BY (s_suppkey - 1) // 10 ORDER BY s_suppkey),
-        |      min(s_suppkey) OVER (PARTITION BY (s_suppkey - 1) // 10)) AS parent
-        |  FROM supplier
-        |  UNION ALL
-        |  SELECT 'p_' || p_partkey AS child,
-        |    's_' || ((p_partkey % 100) + 1) AS parent
-        |  FROM part
+      s"""WITH RECURSIVE edges AS (
+        |$hierFixtureSql
         |), walk(start, cur, mn, d) AS (
         |  SELECT child, parent, LEAST(child, parent), 1 FROM edges
         |  UNION ALL
@@ -1551,6 +1559,24 @@ object SparkEntry {
         |  SELECT start AS node, MIN(CASE WHEN cur = start THEN mn END) AS cycle_id
         |  FROM walk GROUP BY start)
         |WHERE cycle_id IS NOT NULL
+        |ORDER BY node""".stripMargin,
+    // g29: ground-truth SCC from the full recursive closure — node w is
+    // in v's SCC iff each reaches the other; the label is the mutual
+    // set's minimum (which always includes the node itself).
+    "g29_scc" ->
+      s"""WITH RECURSIVE edges AS (
+        |$hierFixtureSql
+        |), nodes AS (
+        |  SELECT DISTINCT child AS n FROM edges
+        |  UNION SELECT DISTINCT parent FROM edges
+        |), reach(a, b) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.a, e.parent FROM reach r JOIN edges e ON e.child = r.b
+        |)
+        |SELECT r1.a AS node, MIN(r1.b) AS scc_id
+        |FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        |GROUP BY r1.a
         |ORDER BY node""".stripMargin,
     "g11_news_copairs" ->
       """WITH j AS (

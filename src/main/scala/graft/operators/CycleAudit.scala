@@ -88,6 +88,92 @@ object CycleAudit {
     st.select(col("node"), col("mn").as("cycle_id"))
   }
 
+  /** STRONGLY CONNECTED COMPONENTS on a GENERAL directed graph —
+    * the completion of the cycle story [[cycleMembers]] opens (that one
+    * is exact only for functional/parent-pointer graphs; arbitrary
+    * relationship graphs need real SCC). Bounded-round COLORING
+    * algorithm (Orzan 2004; the FW-BW family's distributed member):
+    * per iteration,
+    *
+    *   1. COLOR: every node takes `F(v)` = the minimum id that can
+    *      reach it — one min-propagation to fixpoint over the live
+    *      edges, which is exactly [[GraphIter.minRelaxTraverse]] with
+    *      an identity relax (the state IS the min source id);
+    *   2. SETTLE: a color class's ROOT is the color value itself
+    *      (F(r) = r). Every node that can reach its root WITHOUT
+    *      leaving its color class is in the root's SCC (mutual reach:
+    *      root→v by coloring, v→root by the backward pass) — one more
+    *      min-propagation, over the color-filtered REVERSED edges,
+    *      seeded at the roots;
+    *   3. PEEL: settled nodes leave; survivors re-color next round
+    *      (their old color's root is gone, so colors refine — each
+    *      iteration settles ONE SCC PER COLOR CLASS, not one total).
+    *
+    * Singleton SCCs (sources, DAG nodes whose upstream has settled)
+    * settle the round they become their own color root, so iteration
+    * count tracks the DEPTH of the SCC condensation, not the SCC
+    * count. Refuses loudly if `iterations` rounds leave nodes
+    * unsettled (raise the lever) — never emits a partial answer.
+    *
+    * Scale shape: everything is min-fold propagation and semi-joins —
+    * two bounded traversals per iteration over the LIVE subgraph
+    * (which only shrinks), no pair/path enumeration, and the
+    * traversal engine's own sizing probe handles the reduce widths.
+    */
+  def stronglyConnected(
+      edges: DataFrame,
+      iterations: Int = 6,
+      maxRounds: Int = 64): DataFrame = {
+    var live = edges.select(col("src"), col("dst"))
+      .dropDuplicates("src", "dst").localCheckpoint(true)
+    var nodes = live.select(col("src").as("node"))
+      .unionByName(live.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val settled = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var i = 0
+    while (i < iterations && !nodes.isEmpty) {
+      // 1. Color to fixpoint: F(v) = min id reaching v.
+      val colors = GraphIter.minRelaxTraverse(
+        live, nodes.select(col("node"), col("node").as("state")),
+        maxRounds)((s, _) => s)
+        .select(col("node"), col("state").as("color"))
+        .localCheckpoint(true)
+      // 2. Backward reach from each color root inside its color class.
+      val colored = live
+        .join(colors.select(col("node").as("src"), col("color").as("cs")), Seq("src"))
+        .join(colors.select(col("node").as("dst"), col("color").as("cd")), Seq("dst"))
+        .filter(col("cs") === col("cd"))
+        // reversed: propagate FROM the root against edge direction.
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val roots = colors.filter(col("node") === col("color"))
+        .select(col("node"), col("node").as("state"))
+      val reached = GraphIter.minRelaxTraverse(colored, roots, maxRounds)((s, _) => s)
+        .select(col("node"))
+      val scc = reached.join(colors, Seq("node"))
+        .select(col("node"), col("color").as("scc_id"))
+        .localCheckpoint(true)
+      settled += scc
+      // 3. Peel: survivors only.
+      val remaining = nodes.join(scc.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val liveNext = live
+        .join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      nodes.unpersist(); live.unpersist(); colors.unpersist()
+      nodes = remaining
+      live = liveNext
+      i += 1
+    }
+    require(nodes.isEmpty,
+      s"stronglyConnected: nodes still unsettled after $iterations iterations — " +
+        "the SCC condensation is deeper than the lever; raise `iterations`")
+    val out = settled.reduce(_.unionByName(_)).localCheckpoint(true)
+    settled.foreach(s => if (s ne out) s.unpersist())
+    nodes.unpersist(); live.unpersist()
+    out
+  }
+
   /** g27: cycle audit on a crafted cyclic+acyclic hierarchy derived
     * deterministically from the corpus — the acyclic tier is g8's own
     * customer→nation→region parent pointers, the cyclic tier turns the
@@ -97,7 +183,12 @@ object CycleAudit {
     * work. Output: exactly the ring members with their ring-min label —
     * customers, nations, regions and parts must NOT appear.
     */
-  def g27CycleAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared g27/g29 fixture: g8's acyclic customer→nation→region
+    * parent pointers + supplier decade rings (cycles) + part tree-tails
+    * hanging off the rings — deterministic from the corpus, re-derived
+    * identically by both oracles.
+    */
+  private def hierarchyFixture(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val custEdges = t.customer
@@ -117,7 +208,22 @@ object CycleAudit {
     val tailEdges = t.part
       .select(concat(lit("p_"), col("p_partkey")).as("child"),
         concat(lit("s_"), pmod(col("p_partkey"), lit(100)) + 1).as("parent"))
-    cycleMembers(
-      custEdges.unionByName(nationEdges).unionByName(ringEdges).unionByName(tailEdges))
+    custEdges.unionByName(nationEdges).unionByName(ringEdges).unionByName(tailEdges)
   }
+
+  def g27CycleAudit(spark: SparkSession, dir: String): DataFrame =
+    cycleMembers(hierarchyFixture(spark, dir))
+
+  /** g29: SCC on the same crafted hierarchy treated as a GENERAL
+    * directed graph — every node labeled with its strongly-connected
+    * component (min member id): ring members share their ring's label,
+    * every acyclic node (customers, nations, regions, parts) is its own
+    * singleton SCC. The oracle computes ground truth from the full
+    * recursive closure (mutual reachability), so an unsettled or
+    * mislabeled node hash-mismatches.
+    */
+  def g29Scc(spark: SparkSession, dir: String): DataFrame =
+    stronglyConnected(
+      hierarchyFixture(spark, dir)
+        .select(col("child").as("src"), col("parent").as("dst")))
 }

@@ -1067,6 +1067,39 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"overlap run must merge greedily left-to-right: ${got2.toSeq}")
   }
 
+  test("g29 SCC: general directed graph — nested cycles, cross-SCC edges, DAG singletons") {
+    val ss = spark
+    import ss.implicits._
+    // Two SCCs connected one-way ({1,2,3} → {10,11}), a node with TWO
+    // out-edges inside its cycle plus an escape edge (4 ∈ {1,2,3}'s
+    // SCC? no — 4 sits on a 2-cycle with 2 making {1,2,3,4} one SCC),
+    // and DAG tails/sources as singletons. Hand truth:
+    //   1→2, 2→3, 3→1 (ring); 2→4, 4→2 (sub-cycle) ⇒ SCC {1,2,3,4}
+    //   3→10, 10→11, 11→10 ⇒ SCC {10,11} (reachable from the first,
+    //   not back — stays separate)
+    //   20→1 (source into the big SCC) ⇒ singleton {20}
+    //   11→30 (sink off the second) ⇒ singleton {30}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 2L),
+      (3L, 10L), (10L, 11L), (11L, 10L),
+      (20L, 1L), (11L, 30L)
+    ).map { case (a, b) => (a.toString, b.toString) }.toDF("src", "dst")
+    val got = operators.CycleAudit.stronglyConnected(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Map(
+      "1" -> "1", "2" -> "1", "3" -> "1", "4" -> "1",
+      "10" -> "10", "11" -> "10", "20" -> "20", "30" -> "30")
+    assert(got === want, s"got $got")
+    // An iteration budget too small for the condensation depth refuses
+    // instead of emitting a partial labeling.
+    val chain = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      operators.CycleAudit.stronglyConnected(chain, iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("unsettled"))
+  }
+
   test("g28 walk co-occurrence: hand-computed windowed pairs and exact integer lift") {
     val ss = spark
     import ss.implicits._
