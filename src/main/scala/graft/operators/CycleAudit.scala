@@ -63,13 +63,29 @@ object CycleAudit {
     var e = edges.select(col("child"), col("parent"))
       .dropDuplicates("child", "parent")
       .localCheckpoint(true)
-    (1 to peelRounds).foreach { _ =>
+    // +1: the extra round is the FIXPOINT CERTIFICATE — an undersized
+    // lever must refuse loudly, not return tree tails as "ring members"
+    // (the loud-refusal discipline of g8/g29). A peel round that removes
+    // nothing proves every survivor ends arbitrarily long incoming
+    // chains, i.e. the survivor set IS the ring-edge set; the check is
+    // one count over the (small, post-peel) survivor table.
+    var prevCnt = -1L
+    var cnt = e.count()
+    var r = 0
+    while (r <= peelRounds && cnt != prevCnt) {
+      r += 1
       val next = e.join(
         e.select(col("parent").as("child")).distinct(), Seq("child"), "left_semi")
         .localCheckpoint(true)
+      prevCnt = cnt
+      cnt = next.count()
       e.unpersist()
       e = next
     }
+    require(cnt == prevCnt,
+      s"cycleMembers: the peel was still shrinking after peelRounds=$peelRounds " +
+        s"rounds ($prevCnt→$cnt edges) — an acyclic chain longer than the lever " +
+        "would be misreported as ring members; raise peelRounds")
     // Survivors are ring edges: seed the doubling state with 1-step
     // coverage, then double until 2^doublings.
     var st = e.select(col("child").as("node"), col("parent").as("anc"),
@@ -85,6 +101,16 @@ object CycleAudit {
       st.unpersist()
       st = next
     }
+    // Fixpoint certificate for the label pass: one more doubling must not
+    // lower any node's min — otherwise a ring longer than 2^doublings got
+    // inconsistent non-minimum labels and the lever must be raised. The
+    // state is O(ring nodes); the check is one self-join over it.
+    val st2 = st.select(col("node").as("anc"), col("mn").as("mn2"))
+    val lowered = st.join(st2, Seq("anc")).filter(col("mn2") < col("mn"))
+    require(lowered.isEmpty,
+      s"cycleMembers: min-labels still improving after doublings=$doublings " +
+        s"(coverage 2^$doublings) — a ring longer than the coverage holds " +
+        "inconsistent labels; raise doublings")
     st.select(col("node"), col("mn").as("cycle_id"))
   }
 
@@ -132,12 +158,25 @@ object CycleAudit {
     val settled = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var i = 0
     while (i < iterations && !nodes.isEmpty) {
-      // 1. Color to fixpoint: F(v) = min id reaching v.
-      val colors = GraphIter.minRelaxTraverse(
-        live, nodes.select(col("node"), col("node").as("state")),
-        maxRounds)((s, _) => s)
-        .select(col("node"), col("state").as("color"))
-        .localCheckpoint(true)
+      // 1. Color to fixpoint: F(v) = min id reaching v. The traversal
+      // must certify it actually REACHED the fixpoint (requireConverged):
+      // a coloring truncated at maxRounds assigns wrong colors silently —
+      // e.g. a directed ring of diameter > maxRounds would settle as
+      // all-singletons with no error — so truncation refuses loudly with
+      // the lever to raise instead of proceeding to settle.
+      val colors = try {
+        GraphIter.minRelaxTraverse(
+          live, nodes.select(col("node"), col("node").as("state")),
+          maxRounds, requireConverged = true)((s, _) => s)
+          .select(col("node"), col("state").as("color"))
+          .localCheckpoint(true)
+      } catch {
+        case ex: IllegalStateException =>
+          throw new IllegalStateException(
+            s"stronglyConnected: the coloring pass was truncated at maxRounds=$maxRounds " +
+              "before reaching its fixpoint (a color class wider than the round budget — " +
+              "e.g. a long directed ring); raise `maxRounds`, not `iterations`", ex)
+      }
       // 2. Backward reach from each color root inside its color class.
       val colored = live
         .join(colors.select(col("node").as("src"), col("color").as("cs")), Seq("src"))
@@ -147,8 +186,16 @@ object CycleAudit {
         .select(col("dst").as("src"), col("src").as("dst"))
       val roots = colors.filter(col("node") === col("color"))
         .select(col("node"), col("node").as("state"))
-      val reached = GraphIter.minRelaxTraverse(colored, roots, maxRounds)((s, _) => s)
-        .select(col("node"))
+      val reached = try {
+        GraphIter.minRelaxTraverse(
+          colored, roots, maxRounds, requireConverged = true)((s, _) => s)
+          .select(col("node"))
+      } catch {
+        case ex: IllegalStateException =>
+          throw new IllegalStateException(
+            s"stronglyConnected: the settle pass was truncated at maxRounds=$maxRounds " +
+              "before its backward reach converged; raise `maxRounds`, not `iterations`", ex)
+      }
       val scc = reached.join(colors, Seq("node"))
         .select(col("node"), col("color").as("scc_id"))
         .localCheckpoint(true)

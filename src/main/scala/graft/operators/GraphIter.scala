@@ -527,18 +527,51 @@ object GraphIter {
       edges: DataFrame,
       init: DataFrame,
       maxRounds: Int,
-      earlyExit: Boolean = true)(
+      earlyExit: Boolean = true,
+      requireConverged: Boolean = false)(
       relax: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
+    require(!requireConverged || earlyExit,
+      "minRelaxTraverse: requireConverged needs earlyExit=true — fixed-round " +
+        "mode never observes the improved frontier, so convergence is unknowable there")
     val spark = edges.sparkSession
     val e = edges.localCheckpoint(true)
     val eCnt = e.count()
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = relaxParts(eCnt, defaultParts)
-    if (parts != defaultParts)
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try minRelaxTraverseSized(e, init, maxRounds, earlyExit)(relax)
-    finally if (parts != defaultParts)
-      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    // The derived reduce width is applied through the session
+    // shuffle-partition knob (preserves map-side combine on the round
+    // aggregates, which a post-join repartition would forfeit). The knob
+    // is SESSION-GLOBAL state, so the set→run→restore window is guarded
+    // by a per-session monitor: two concurrent traversals on one session
+    // can no longer interleave set/restore and adopt each other's width
+    // as the "default". Concurrent NON-traversal queries on the same
+    // session still observe the altered width for the traversal's
+    // duration — callers running mixed concurrent workloads should give
+    // the traversal its own session (`spark.newSession()` shares the
+    // ctx but isolates the conf).
+    knobLockOf(spark).synchronized {
+      // Defensive parse: under some AQE setups the conf can hold a
+      // non-integer spec; fall back to the engine default rather than
+      // throwing from inside a traversal.
+      val raw = spark.conf.get("spark.sql.shuffle.partitions", "32")
+      val defaultParts = scala.util.Try(raw.trim.toInt).getOrElse(32)
+      val parts = relaxParts(eCnt, defaultParts)
+      if (parts != defaultParts)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try minRelaxTraverseSized(e, init, maxRounds, earlyExit, requireConverged)(relax)
+      finally if (parts != defaultParts)
+        spark.conf.set("spark.sql.shuffle.partitions", raw)
+    }
+  }
+
+  /** One knob-guard monitor per SparkSession (identity-keyed, weak so
+    * sessions stay collectable): serializes the shuffle-width
+    * set→traverse→restore window within a session.
+    */
+  private val knobLocks =
+    new java.util.WeakHashMap[SparkSession, Object]()
+  private def knobLockOf(spark: SparkSession): Object = knobLocks.synchronized {
+    var l = knobLocks.get(spark)
+    if (l == null) { l = new Object; knobLocks.put(spark, l) }
+    l
   }
 
   /** Probe→knob derivation for the relaxation reduce width: one reduce
@@ -554,7 +587,8 @@ object GraphIter {
       e: DataFrame,
       init: DataFrame,
       maxRounds: Int,
-      earlyExit: Boolean)(
+      earlyExit: Boolean,
+      requireConverged: Boolean)(
       relax: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
     val init2 = init.select(col("node"), col("state"))
       .groupBy("node").agg(min("state").as("state"))
@@ -565,32 +599,46 @@ object GraphIter {
       .filter(col("state").isNotNull)
       .groupBy("node").agg(min("state").as("state"))
     if (earlyExit) {
-      var dist = init2
-      var frontier = dist
+      // ONE checkpointed table per round carrying both the folded state
+      // and the round's previous state: the next round's inputs and the
+      // improved frontier are zero-job PROJECTIONS of it, so a round is
+      // 2 jobs (the joined checkpoint + the isEmpty probe) where
+      // checkpointing next and improved separately was 3 — at
+      // scheduler-latency-bound job counts (g29's nested fixpoints over
+      // a small fixture) that third was pure waste. `least` skips NULLs,
+      // so the full join's three row classes fold correctly: carried-only
+      // (cand NULL → prev), newly-reached (prev NULL → cand, improved),
+      // both (min, improved iff strictly below prev).
+      var joined = init2.select(col("node"), col("state"),
+        lit(null).cast(init2.schema("state").dataType).as("prev"))
       var round = 0
       var done = false
       while (round < maxRounds && !done) {
         round += 1
-        val next = dist.unionByName(candOf(frontier, round))
-          .groupBy("node").agg(min("state").as("state"))
-          .localCheckpoint(true)
-        // Improved-only frontier: nodes strictly below their previous
-        // state (or newly reached) — the only sources that can still
-        // produce a better walk next round.
-        val improved = next
-          .join(dist.withColumnRenamed("state", "prev"), Seq("node"), "left")
+        // Improved-only frontier (round 1: everything — prev is NULL):
+        // the only sources that can still produce a better walk.
+        val frontier = joined
           .filter(col("prev").isNull || col("state") < col("prev"))
           .select("node", "state")
+        val prevSide = joined.select(col("node"), col("state").as("prev"))
+        val old = joined
+        joined = prevSide
+          .join(candOf(frontier, round), Seq("node"), "full")
+          .select(col("node"),
+            least(col("prev"), col("state")).as("state"), col("prev"))
           .localCheckpoint(true)
-        done = improved.isEmpty
-        if (frontier ne dist) frontier.unpersist()
-        dist.unpersist()
-        dist = next
-        frontier = improved
+        done = joined
+          .filter(col("prev").isNull || col("state") < col("prev")).isEmpty
+        old.unpersist()
       }
-      if (frontier ne dist) frontier.unpersist()
+      if (requireConverged && !done)
+        throw new IllegalStateException(
+          s"minRelaxTraverse: relaxation still improving after maxRounds=$maxRounds — " +
+            "the result is a TRUNCATED (≤maxRounds-edge-walk) relaxation, not the " +
+            "fixpoint; raise maxRounds")
+      val out = joined.select(col("node"), col("state"))
       e.unpersist()
-      dist
+      out
     } else {
       // Fixed rounds: no per-round driver action AND no per-round fold —
       // each round only needs the previous round's candidates, so the

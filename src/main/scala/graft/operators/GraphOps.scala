@@ -397,6 +397,13 @@ object GraphOps {
     * The loop shuffles once per level; depth is the tree height (not the
     * node count), so it scales to wide shallow hierarchies — exactly the
     * org-tree shape.
+    *
+    * BOUND: the expansion REFUSES (IllegalStateException) when the
+    * frontier is still alive at `maxDepth` (default 64) — cyclic input
+    * would otherwise loop forever. Callers with legitimately deeper
+    * acyclic hierarchies must raise `maxDepth`; the error message says
+    * which case was measured (shrinking frontier = deep tree, stable
+    * frontier = cycle).
     */
   def expandHierarchy(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
     // edges: (child: string, parent: string)
@@ -425,11 +432,22 @@ object GraphOps {
     var continue = !frontier.isEmpty
     var depth = 1
     while (continue) {
-      if (depth >= maxDepth)
+      if (depth >= maxDepth) {
+        // Distinguish the two refusal causes cheaply (we're on the cold
+        // failure path): a frontier that stopped SHRINKING is a cycle
+        // (ring members respawn forever); a still-shrinking frontier is a
+        // legitimately deeper-than-maxDepth tree — raise the lever.
+        val cur = frontier.count()
+        val prev =
+          if (levels.size >= 2) levels(levels.size - 2).count() else Long.MaxValue
+        val hint =
+          if (cur >= prev) s"frontier stopped shrinking ($prev→$cur rows) — almost " +
+            "certainly cyclic parent pointers; audit with CycleAudit.cycleMembers"
+          else s"frontier still shrinking ($prev→$cur rows) — likely a legitimate " +
+            s"hierarchy deeper than maxDepth=$maxDepth; raise maxDepth"
         throw new IllegalStateException(
-          s"expandHierarchy: frontier still alive at depth $maxDepth — " +
-            "cyclic parent pointers (or a hierarchy deeper than maxDepth); " +
-            "audit with CycleAudit.cycleMembers before expanding")
+          s"expandHierarchy: frontier still alive at depth $maxDepth — $hint")
+      }
       val next = frontier
         .join(parentOf, Seq("ancestor"))
         .select(col("node"), col("next_parent").as("ancestor"),

@@ -382,6 +382,25 @@ object Snapshots {
     }
   }
 
+  /** Scrub an ORPHANED props file from a freshly claimed slot. The
+    * single-writer [[commit]] path writes props BEFORE its manifest list
+    * (list = commit point), so a writer that crashed between the two
+    * leaves `p-v$v` with no `v$v` — harmless alone ([[propsOf]] walks
+    * past absent LISTS, but reads the latest PRESENT props file), yet
+    * poisonous if an optimistic writer later fills slot v and crashes
+    * before its own [[inheritProps]]: the published v would permanently
+    * carry the dead writer's props, and a crashed-ingest watermark
+    * resurfacing that way makes a replayed [[ingestBatch]] skip (= drop)
+    * its batch. The claim makes this writer the slot's sole owner, so
+    * deleting the orphan here races nobody whose commit can still land:
+    * any props file at a claimed-but-unpublished slot belongs to a
+    * writer whose commit never happened.
+    */
+  private def clearOrphanProps(
+      f: org.apache.hadoop.fs.FileSystem, path: String, v: Long): Unit =
+    try f.delete(hpath(s"$path/manifest/props/p-v$v"), true)
+    catch { case _: java.io.IOException => () }
+
   /** Publish a staged manifest list into version slot `v` — the VERIFIED
     * commit point. The staged directory carries an `_owner-<uid>` marker
     * (parquet readers ignore `_`-prefixed files); after the rename the
@@ -453,6 +472,7 @@ object Snapshots {
       val staged = s"$path/manifest/.staged-$uid-$v"
       writeList(spark, staged, prev :+ chunk)
       if (claimSlot(f, path, v, staleClaimMs)) {
+        clearOrphanProps(f, path, v)
         val published = publishStaged(f, staged, s"$path/manifest/v$v", uid)
         // Claim bookkeeping: if we published, release our claim; if the
         // publish failed despite a won claim (broken-stale-claim race —
@@ -518,6 +538,7 @@ object Snapshots {
     val staged = s"$path/manifest/.staged-$uid-$v"
     writeList(spark, staged, Seq(chunk))
     val won = claimSlot(f, path, v, staleClaimMs) && {
+      clearOrphanProps(f, path, v)
       val published = publishStaged(f, staged, s"$path/manifest/v$v", uid)
       f.delete(hpath(s"$path/manifest/.claim-v$v"), true)
       published
