@@ -46,7 +46,6 @@ object Dedup {
     Tables(spark, dir).documents
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
-      .orderBy("text_hash")
 
   /** d2: n-gram Jaccard near-dup pairs — the exact O(n²) baseline that the
     * MinHash-LSH path (d3) approximates at scale. Shingle sets are computed
@@ -87,7 +86,6 @@ object Dedup {
       .select(
         col("doc_id1"), col("doc_id2"),
         floor(col("jac") * 1000000.0).cast("long").as("jaccard_micro"))
-      .orderBy("doc_id1", "doc_id2")
   }
 
   /** d3: MinHash + LSH banding — the scale path for near-dup detection.
@@ -306,7 +304,6 @@ object Dedup {
         col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
         (col("doc_id") === coalesce(col("canonical"), col("doc_id"))).cast("int").as("is_kept"))
-      .orderBy("doc_id")
   }
 
   /** d7: INCREMENTAL dedup — deduplicate a new batch against an existing
@@ -417,7 +414,6 @@ object Dedup {
           .when(col("near_dup_of").isNotNull, lit("near"))
           .otherwise(lit("new")).as("status"),
         coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** d8: DECONTAMINATION — flag training documents that overlap a
@@ -468,7 +464,6 @@ object Dedup {
         coalesce(col("shared"), lit(0L)).as("n_shared_grams"),
         expr("coalesce(shared, 0) * 1000000 DIV n_grams").as("share_ratio_micro"))
       .withColumn("is_contaminated", (col("share_ratio_micro") >= ratioMicro).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** d4: 60-bit SimHash fingerprints with 4×15-bit hamming bands.
@@ -501,7 +496,6 @@ object Dedup {
         shiftright(col("simhash"), 15).bitwiseAND(lit(32767L)).as("band1"),
         shiftright(col("simhash"), 30).bitwiseAND(lit(32767L)).as("band2"),
         shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)).as("band3"))
-      .orderBy("doc_id")
 
   /** d9: SimHash near-dup PAIRS — the pairing stage d4's fingerprints
     * exist for. Candidates come from the 4×15-bit band equijoin (by
@@ -930,7 +924,6 @@ object Dedup {
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
-      .orderBy("doc_id", "span_start")
   }
 
   /** d15: NEAR-duplicate chunk pairs across documents — the fuzzy
@@ -1160,7 +1153,6 @@ object Dedup {
         col("doc_id"),
         when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
         col("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** d17: repeated-span STRIP — the apply step over [[d14SubstringSpans]]:
@@ -1194,7 +1186,6 @@ object Dedup {
         size(col("w")).cast("long").as("n_tokens"),
         (size(col("w")) - size(col("keep"))).cast("long").as("removed_tokens"),
         expr("array_join(transform(keep, p -> w[p - 1]), ' ')").as("clean_text"))
-      .orderBy("doc_id")
   }
 
   def d4SimHashAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -1219,7 +1210,6 @@ object Dedup {
         shiftright(col("simhash"), 15).bitwiseAND(lit(32767L)).as("band1"),
         shiftright(col("simhash"), 30).bitwiseAND(lit(32767L)).as("band2"),
         shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)).as("band3"))
-      .orderBy("doc_id")
   }
 
   /** d18: WINNOWED fingerprint matching (Schleimer/Wilkerson/Aiken,

@@ -45,7 +45,6 @@ object TextFuncs {
         tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_computed"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace_chars"))
-      .orderBy("doc_id")
 
   /** t2: stopword-hit language ID — argmax of marker hits with fixed
     * priority order, 'und' when nothing matches.
@@ -57,7 +56,6 @@ object TextFuncs {
       }: _*)
       .withColumn("pred_lang", langArgmax)
       .select("doc_id", "pred_lang")
-      .orderBy("doc_id")
 
   /** t3: quality scoring — length, punctuation and stopword ratios in
     * exact fixed-point (reference content_validator semantics).
@@ -74,7 +72,6 @@ object TextFuncs {
         ratioMicro(stop, nTokens).as("stopword_ratio_micro"),
         (length(col("text")) >= 100 && length(col("text")) <= 20000 && nTokens >= 20)
           .cast("int").as("quality_ok"))
-      .orderBy("doc_id")
   }
 
   /** t4: content fingerprint (cache key) + band prefix for bucketing. */
@@ -84,7 +81,6 @@ object TextFuncs {
         col("doc_id"),
         md5(col("text")).as("fingerprint"),
         substring(md5(col("text")), 1, 4).as("band"))
-      .orderBy("doc_id")
 
   /** t5: rule-mapping field extraction from semi-structured text — regex
     * capture over the events props payload.
@@ -99,7 +95,6 @@ object TextFuncs {
         // same expression.
         nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
           .cast("long").as("prop_k"))
-      .orderBy("event_id")
 
   /** BPE-ish pre-tokenization pattern (GPT-2-family shape): contraction
     * suffixes, space-prefixed letter runs, space-prefixed digit runs,
@@ -124,7 +119,6 @@ object TextFuncs {
         size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long").as("n_pieces"),
         size(filter(regexp_extract_all(col("text"), lit(bpePattern), lit(0)),
           p => !p.rlike("^\\s+$"))).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
 
   /** t10: multi-field structured entity extraction — the news pipeline's
     * typed record per item (news_schema.py:1-88: leader / event / targets
@@ -158,7 +152,6 @@ object TextFuncs {
         size(col("j.targets")).cast("long").as("n_targets"),
         col("j.targets").getItem(0).as("target1"),
         col("j.score").as("score"))
-      .orderBy("event_id")
   }
 
   /** t6: validity classification — min-size + error-marker scan, the
@@ -172,7 +165,6 @@ object TextFuncs {
         (length(col("text")) >= 200 &&
           !col("text").contains("error") &&
           !col("text").contains("verify")).cast("int").as("is_valid"))
-      .orderBy("doc_id")
 
   /** t7: text cleaning — whitespace normalization (the `_clean_text` step,
     * extract_content_from_remark.py:686). Output carries the cleaned
@@ -186,7 +178,6 @@ object TextFuncs {
         col("doc_id"),
         md5(cleaned).as("clean_hash"),
         length(cleaned).cast("long").as("n_chars_clean"))
-      .orderBy("doc_id")
   }
 
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -201,7 +192,6 @@ object TextFuncs {
         col("doc_id"),
         md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("masked_hash"),
         regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"))
-      .orderBy("doc_id")
 
   /** t12: per-language corpus DISTRIBUTION stats — the curation dashboard
     * numbers (how long are documents in each language, where is the
@@ -252,7 +242,7 @@ object TextFuncs {
     * routing (salting) applies unchanged if one language dominates.
     */
   def t13StratifiedSample(spark: SparkSession, dir: String, cap: Int = 50): DataFrame =
-    stratifiedSampleCore(Tables(spark, dir).documents, cap).orderBy("doc_id")
+    stratifiedSampleCore(Tables(spark, dir).documents, cap)
 
   /** Core of t13 over any (doc_id, lang, text) frame — factored so the
     * streaming form ([[graft.streaming.CurationStream.stratifiedSampleStream]])
@@ -339,7 +329,6 @@ object TextFuncs {
         expr("f.best * 1000000 DIV n_words").as("top_share_micro"))
       .withColumn("repetition_flag",
         (col("top_share_micro") >= 100000L || col("dup_word_ratio_micro") >= 600000L).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** t22: COMPOSITE CURATION VERDICT — the per-document keep/drop gate a
@@ -359,7 +348,7 @@ object TextFuncs {
     * the signals as column expressions rather than separate jobs.
     */
   def t22CurationVerdict(spark: SparkSession, dir: String): DataFrame =
-    curationVerdictCore(Tables(spark, dir).documents).orderBy("doc_id")
+    curationVerdictCore(Tables(spark, dir).documents)
 
   /** Core of t22 over any (doc_id, text) frame — every signal is a pure
     * per-row expression, so this same core IS the streaming form
@@ -465,7 +454,6 @@ object TextFuncs {
         expr("200 + CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT) % 600")
           .as("w_milli"))
       .withColumn("kept", (col("u_milli") < col("w_milli")).cast("int"))
-      .orderBy("doc_id")
 
   /** t16: deterministic sequence packing — assign every document a
     * position in the GPT-style concat-then-chunk training stream: docs in
@@ -512,7 +500,6 @@ object TextFuncs {
         col("doc_id"), col("n_tokens"),
         expr(s"start DIV $budget").as("seq_id"),
         expr(s"start % $budget").as("seq_offset"))
-      .orderBy("doc_id")
   }
 
   /** t18: API token/cost accounting — the reference's `TokenCostTracker`
@@ -584,7 +571,7 @@ object TextFuncs {
     * partition-prune on it after a partitioned write.
     */
   def t21HashSplit(spark: SparkSession, dir: String): DataFrame =
-    hashSplitCore(Tables(spark, dir).documents).orderBy("doc_id")
+    hashSplitCore(Tables(spark, dir).documents)
 
   /** Core of t21 over any (doc_id, text) frame — the single definition of
     * the split expression, shared by the batch form and the streaming
@@ -636,7 +623,6 @@ object TextFuncs {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score_micro"), col("rank"))
-      .orderBy("doc_id", "rank")
   }
 
   /** t19: n-gram language-model quality score — the CCNet/Gopher-style
@@ -727,7 +713,6 @@ object TextFuncs {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         expr("sum_p DIV n_bigrams").as("lm_micro"))
-      .orderBy("doc_id")
   }
 
   /** t25: CCNet-style quality bucketing — split each language stratum
@@ -768,7 +753,6 @@ object TextFuncs {
         when(col("lm_micro") > col("v67"), lit("head"))
           .when(col("lm_micro") > col("v33"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy("doc_id")
   }
 
   /** Mergeable per-term token counts of a (text) frame — the state both

@@ -72,7 +72,6 @@ object Media {
         length(col("payload")).cast("long").as("n_bytes"),
         sniffType(hex(col("payload"))).as("media_type"),
         md5(hex(col("payload"))).as("content_hash"))
-      .orderBy("doc_id")
 
   /** m2: deterministic frame sampling — a 64-byte "frame" every 256 bytes
     * (the stub for decode-and-sample-frames). Offsets are computed, then
@@ -99,7 +98,6 @@ object Media {
         col("pos").cast("long").as("frame_no"),
         col("col").as("frame_offset"),
         md5(col("hx").substr((col("col") * 2 + 1).cast("int"), lit(frameBytes * 2))).as("frame_hash"))
-      .orderBy("doc_id", "frame_no")
 
   /** m3: REAL RESIZE on the gate — the P6 payload corpus (the m11
     * synthesis, corruption classes included) decoded and average-pooled
@@ -126,7 +124,6 @@ object Media {
         col("out_height").cast("long").as("out_height"),
         length(col("pixels")).cast("long").as("resized_bytes"),
         md5(hex(col("pixels"))).as("resized_hash"))
-      .orderBy("doc_id")
 
   /** m4: byte-level FEATURE EXTRACTION — the feature-extract stage of the
     * multimodal pipeline as a driver-keyed operator. The native
@@ -151,7 +148,6 @@ object Media {
         expr("s.sum_bytes * 1000 DIV s.n_bytes").as("mean_byte_milli"),
         col("s.n_distinct").cast("long").as("n_distinct_bytes"),
         expr("s.n_high * 1000000 DIV s.n_bytes").as("high_byte_ratio_micro"))
-      .orderBy("doc_id")
 
   /** m5: perceptual fingerprint — 60-bit blockwise average hash over the
     * payload via the native one-pass
@@ -175,7 +171,6 @@ object Media {
         shiftright(col("phash"), 15).bitwiseAND(lit(32767L)).as("band1"),
         shiftright(col("phash"), 30).bitwiseAND(lit(32767L)).as("band2"),
         shiftright(col("phash"), 45).bitwiseAND(lit(32767L)).as("band3"))
-      .orderBy("doc_id")
 
   /** m6: media near-dup PAIRS from m5's fingerprints — banded equijoin
     * (pigeonhole: recall 1.0 at hamming ≤ 3 with 4 bands; pairs at
@@ -230,7 +225,6 @@ object Media {
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
         (col("doc_id") === coalesce(col("canonical"), col("doc_id")))
           .cast("int").as("is_kept"))
-      .orderBy("doc_id")
   }
 
   /** m8: CROSS-MODAL (media, caption) dedup resolution — the joint-key
@@ -296,7 +290,6 @@ object Media {
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
         (col("doc_id") === coalesce(col("canonical"), col("doc_id")))
           .cast("int").as("is_kept"))
-      .orderBy("doc_id")
   }
 
   /** m9: INCREMENTAL media dedup — a new media batch classified against
@@ -367,7 +360,6 @@ object Media {
           .when(col("near_dup_of").isNotNull, lit("near"))
           .otherwise(lit("new")).as("status"),
         coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** m10: byte-distribution DRIFT between two media slices — t24's
@@ -576,7 +568,6 @@ object Media {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("mean_r_milli"), col("mean_g_milli"), col("mean_b_milli"))
-      .orderBy("doc_id")
   }
 
   /** The decode seam as a typed `mapPartitions`: where a cluster with

@@ -82,7 +82,6 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(cosine(col("q_emb"), col("n_emb")) >= threshold)
       .select("query_id", "neighbor_id")
-      .orderBy("query_id", "neighbor_id")
   }
 
   /** s14: ATTRIBUTE-FILTERED vector top-k — "the k most similar documents
@@ -193,7 +192,6 @@ object Ann {
       .filter(col("vec_id1") < col("vec_id2"))
       .filter(cosine(col("e1"), col("e2")) >= threshold)
       .select("vec_id1", "vec_id2")
-      .orderBy("vec_id1", "vec_id2")
   }
 
   /** d10: SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
@@ -245,7 +243,6 @@ object Ann {
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("dup_of").isNotNull.cast("int").as("is_dup"))
-      .orderBy("vec_id")
   }
 
   /** s2: LSH-bucketed ANN — random-hyperplane signatures turn the

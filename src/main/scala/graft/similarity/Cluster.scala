@@ -184,7 +184,6 @@ object Cluster {
     val cents = trainExact(emb, k, iters)
     assign(quantized(emb), cents)
       .select(col("vec_id"), col("cell").as("cluster"))
-      .orderBy("vec_id")
   }
 
   /** t23: cluster-balanced sample — at most `cap` vectors per k-means

@@ -60,7 +60,6 @@ object Events {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
-      .orderBy("user_id", "session_no")
   }
 
   /** e4: ordered funnel analysis (view → click → purchase per user) via a
@@ -87,7 +86,6 @@ object Events {
         FunnelRow(uid, tView, tClick, tPurchase, depth)
       }
       .toDF()
-      .orderBy("user_id")
   }
 
   /** e5: AS-OF join — attach to every purchase the most recent strictly
@@ -126,7 +124,6 @@ object Events {
       .select(col("event_id"), col("user_id"), col("tsu").as("purchase_us"),
         col("last_click_us"),
         (col("last_click_us").isNotNull).cast("int").as("attributed"))
-      .orderBy("event_id")
   }
 
   /** e6: event-time INTERVAL join — every (click, purchase) pair of the
@@ -163,7 +160,6 @@ object Events {
         col("purchase_us") <= col("click_us") + lit(windowUs))
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (col("purchase_us") - col("click_us")).as("lag_us"))
-      .orderBy("click_id", "purchase_id")
   }
 
   /** e3: first-event-per-key dedup — the batch analog of streaming
@@ -178,7 +174,6 @@ object Events {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
-      .orderBy("user_id", "event_type")
   }
 
   /** e8: retention cohorts — the canonical product-analytics matrix:
@@ -220,7 +215,7 @@ object Events {
     */
   def e7ThresholdAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir).events
-    anomalyScan(events, e7Thresholds(events)).orderBy("event_id")
+    anomalyScan(events, e7Thresholds(events))
   }
 
   /** The per-type exact-p99 threshold table of e7 — factored out because
@@ -409,7 +404,7 @@ object Events {
     * exact milli fixed-point (the e7 convention).
     */
   def e12ChangelogCompact(spark: SparkSession, dir: String): DataFrame =
-    compactChangelog(Tables(spark, dir).events).orderBy("user_id")
+    compactChangelog(Tables(spark, dir).events)
 
   /** Core of [[e12ChangelogCompact]] over an arbitrary events frame
     * (ts in epoch ns) — also the batch contract its streaming twin in
