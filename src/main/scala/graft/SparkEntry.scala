@@ -73,6 +73,7 @@ object SparkEntry {
     "g21_temporal_reach" -> ((s: SparkSession, d: String) => GraphIter.g21TemporalReach(s, d)),
     "g22_weighted_paths" -> ((s: SparkSession, d: String) => GraphIter.g22WeightedPaths(s, d)),
     "g23_louvain"        -> Louvain.g23Louvain _,
+    "g30_weighted_louvain" -> Louvain.g30WeightedLouvain _,
     "g24_betweenness"    -> ((s: SparkSession, d: String) => GraphIter.g24Betweenness(s, d)),
     "g25_random_walks"   -> ((s: SparkSession, d: String) => GraphIter.g25RandomWalks(s, d)),
     "g26_node2vec_walks" -> ((s: SparkSession, d: String) => GraphIter.g26Node2vecWalks(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "t29_split_leakage"  -> ((s: SparkSession, d: String) => functions.CurationPipeline.t29SplitLeakage(s, d)),
     "t30_heavy_hitters"  -> ((s: SparkSession, d: String) => functions.Frequent.t30HeavyHitters(s, d)),
     "t31_bpe_train"      -> ((s: SparkSession, d: String) => functions.Bpe.t31BpeTrain(s, d)),
+    "t32_bpe_encode"     -> ((s: SparkSession, d: String) => functions.Bpe.t32BpeEncode(s, d)),
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
@@ -265,8 +267,14 @@ object SparkEntry {
     * greedy merge, all re-derived in SQL (no value is injected from the
     * Spark side; ties break (cnt desc, pair asc) on both engines).
     */
-  private val t31OracleSql: String = {
-    val rounds = 6
+  private val bpeRounds = 6
+
+  /** The shared t31/t32 training CTE chain: vocab, seq0, and per round
+    * the pair-count, deterministic best pick and islands merge —
+    * ending with `best1..bestN` available to downstream CTEs.
+    */
+  private val bpeTrainCtes: String = {
+    val rounds = bpeRounds
     val roundCtes = (1 to rounds).map { i =>
       s"""pc$i AS MATERIALIZED (
          |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -298,10 +306,7 @@ object SparkEntry {
          |          AS consumed FROM sel$i)
          |  WHERE consumed = 0)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map { i =>
-      s"SELECT $i AS round, l AS lhs, r AS rhs, cnt AS pair_cnt FROM best$i"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |  FROM documents),
        |vocab AS MATERIALIZED (
@@ -312,10 +317,127 @@ object SparkEntry {
        |seq0 AS MATERIALIZED (
        |  SELECT word, freq, p AS pos, substr(word, p, 1) AS sym
        |  FROM vocab JOIN ps ON p <= length(word)),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private val t31OracleSql: String = {
+    val union = (1 to bpeRounds).map { i =>
+      s"SELECT $i AS round, l AS lhs, r AS rhs, cnt AS pair_cnt FROM best$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT round, lhs, rhs, pair_cnt FROM (
        |  $union)
        |ORDER BY round""".stripMargin
+  }
+
+  /** t32's oracle: the t31 training chain (merge table re-derived, not
+    * injected) followed by the ENCODE loop unrolled — per learned merge
+    * one islands-idiom pass over the DISTINCT corpus word table, then
+    * the per-document occurrence join.
+    */
+  private val t32OracleSql: String = {
+    val encodeCtes = (1 to bpeRounds).map { i =>
+      s"""wm$i AS (
+         |  SELECT word, pos, sym,
+         |    CASE WHEN sym = (SELECT l FROM best$i) AND
+         |      lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM best$i)
+         |    THEN 1 ELSE 0 END AS mt
+         |  FROM wseq${i - 1}),
+         |wisl$i AS (
+         |  SELECT *, CASE WHEN mt = 1 THEN pos -
+         |    ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos) END AS island
+         |  FROM wm$i),
+         |wsel$i AS (
+         |  SELECT *, CASE WHEN mt = 1 AND
+         |    ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY pos) % 2 = 1
+         |  THEN 1 ELSE 0 END AS chosen FROM wisl$i),
+         |wseq$i AS MATERIALIZED (
+         |  SELECT word,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |    CASE WHEN chosen = 1 THEN sym || (SELECT r FROM best$i) ELSE sym END AS sym
+         |  FROM (SELECT *, COALESCE(lag(chosen) OVER (PARTITION BY word ORDER BY pos), 0)
+         |          AS consumed FROM wsel$i)
+         |  WHERE consumed = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |docw AS MATERIALIZED (
+       |  SELECT doc_id, word, COUNT(*) AS occ FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN 2 AND 12
+       |  GROUP BY doc_id, word),
+       |wseq0 AS MATERIALIZED (
+       |  SELECT word, p AS pos, substr(word, p, 1) AS sym
+       |  FROM (SELECT DISTINCT word FROM docw) dw JOIN ps ON p <= length(word)),
+       |$encodeCtes,
+       |enc AS (SELECT word, COUNT(*) AS n_pieces FROM wseq$bpeRounds GROUP BY word),
+       |agg AS (
+       |  SELECT doc_id, SUM(occ) AS n_words, SUM(occ * n_pieces) AS n_bpe_tokens
+       |  FROM docw JOIN enc USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  /** The unrolled deterministic-Louvain CTE chain shared by g23 and g30
+    * — the same parity-gated integer local-move algebra as
+    * operators.Louvain, one generated CTE block per round, the community
+    * contraction, two level-2 rounds, and the fold + min-member
+    * canonicalization; parameterized by the weighted base-edge SQL
+    * (`e0Sql`: SELECT src, dst, w). (SELECT SUM(w) FROM e) is 2m
+    * throughout — the contraction preserves total weight. Ends with
+    * `fold(node, com)` and `canon(com, community)` for the caller's
+    * final SELECT.
+    */
+  private def louvainChainCtes(e0Sql: String): String = {
+    def round(i: Int, prev: String, e: String, k: String, parity: Int): String =
+      s"""cd$i AS MATERIALIZED (SELECT com, SUM(k) AS cd FROM $prev JOIN $k USING (node) GROUP BY com),
+         |kic$i AS MATERIALIZED (
+         |  SELECT e.src AS node, l.com AS c, SUM(e.w) AS kic
+         |  FROM $e e JOIN $prev l ON e.dst = l.node WHERE e.src <> e.dst GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (
+         |  SELECT node, c AS bc, score AS bscore FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
+         |    FROM (
+         |      SELECT kic.node, kic.c,
+         |        (SELECT SUM(w) FROM e) * kic.kic -
+         |          k.k * (cd.cd - CASE WHEN l.com = kic.c THEN k.k ELSE CAST(0 AS BIGINT) END) AS score
+         |      FROM kic$i kic
+         |      JOIN $k k ON k.node = kic.node
+         |      JOIN $prev l ON l.node = kic.node
+         |      JOIN cd$i cd ON cd.com = kic.c) q) WHERE rn = 1),
+         |stay$i AS MATERIALIZED (
+         |  SELECT l.node, l.com,
+         |    (SELECT SUM(w) FROM e) * COALESCE(kic.kic, CAST(0 AS BIGINT)) -
+         |      k.k * (cd.cd - k.k) AS sscore
+         |  FROM $prev l JOIN $k k ON k.node = l.node JOIN cd$i cd ON cd.com = l.com
+         |  LEFT JOIN kic$i kic ON kic.node = l.node AND kic.c = l.com),
+         |l$i AS MATERIALIZED (
+         |  SELECT s.node,
+         |    CASE WHEN s.node % 2 = $parity AND b.bscore > s.sscore THEN b.bc ELSE s.com END AS com
+         |  FROM stay$i s LEFT JOIN best$i b ON b.node = s.node)""".stripMargin
+    val l1rounds = (1 to 4).map(i => round(i, s"l${i - 1}", "e", "k", i % 2)).mkString(",\n")
+    val l2rounds = Seq(
+      round(5, "l20", "e2", "k2", 1),
+      round(6, "l5", "e2", "k2", 0)).mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  $e0Sql),
+       |e AS MATERIALIZED (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+       |k AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM e GROUP BY 1),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS com FROM e),
+       |$l1rounds,
+       |e2 AS MATERIALIZED (
+       |  SELECT ls.com AS src, ld.com AS dst, SUM(e.w) AS w
+       |  FROM e JOIN l4 ls ON e.src = ls.node JOIN l4 ld ON e.dst = ld.node
+       |  GROUP BY 1, 2),
+       |k2 AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM e2 GROUP BY 1),
+       |l20 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS com FROM e2),
+       |$l2rounds,
+       |fold AS MATERIALIZED (
+       |  SELECT l4.node, COALESCE(r.com, l4.com) AS com
+       |  FROM l4 LEFT JOIN l6 r ON r.node = l4.com),
+       |canon AS MATERIALIZED (SELECT com, MIN(node) AS community FROM fold GROUP BY com)""".stripMargin
   }
 
   private val s13OracleSql: String = {
@@ -1209,6 +1331,7 @@ object SparkEntry {
         |ORDER BY n DESC, token
         |LIMIT 10""".stripMargin,
     "t31_bpe_train" -> t31OracleSql,
+    "t32_bpe_encode" -> t32OracleSql,
     // t29: cross-split near-dup leakage — t21's md5 split re-derived
     // (the t21 oracle's nibble fold) joined onto the exact ≥0.8 pair
     // set (sound stand-in for the banded path, the d3 argument),
@@ -2965,65 +3088,51 @@ object SparkEntry {
     // contraction, two level-2 rounds, and the fold + min-member
     // canonicalization. (SELECT SUM(w) FROM e) is 2m throughout — the
     // contraction preserves total weight.
-    "g23_louvain" -> {
-      def round(i: Int, prev: String, e: String, k: String, parity: Int): String =
-        s"""cd$i AS MATERIALIZED (SELECT com, SUM(k) AS cd FROM $prev JOIN $k USING (node) GROUP BY com),
-           |kic$i AS MATERIALIZED (
-           |  SELECT e.src AS node, l.com AS c, SUM(e.w) AS kic
-           |  FROM $e e JOIN $prev l ON e.dst = l.node WHERE e.src <> e.dst GROUP BY 1, 2),
-           |best$i AS MATERIALIZED (
-           |  SELECT node, c AS bc, score AS bscore FROM (
-           |    SELECT q.*, row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
-           |    FROM (
-           |      SELECT kic.node, kic.c,
-           |        (SELECT SUM(w) FROM e) * kic.kic -
-           |          k.k * (cd.cd - CASE WHEN l.com = kic.c THEN k.k ELSE CAST(0 AS BIGINT) END) AS score
-           |      FROM kic$i kic
-           |      JOIN $k k ON k.node = kic.node
-           |      JOIN $prev l ON l.node = kic.node
-           |      JOIN cd$i cd ON cd.com = kic.c) q) WHERE rn = 1),
-           |stay$i AS MATERIALIZED (
-           |  SELECT l.node, l.com,
-           |    (SELECT SUM(w) FROM e) * COALESCE(kic.kic, CAST(0 AS BIGINT)) -
-           |      k.k * (cd.cd - k.k) AS sscore
-           |  FROM $prev l JOIN $k k ON k.node = l.node JOIN cd$i cd ON cd.com = l.com
-           |  LEFT JOIN kic$i kic ON kic.node = l.node AND kic.c = l.com),
-           |l$i AS MATERIALIZED (
-           |  SELECT s.node,
-           |    CASE WHEN s.node % 2 = $parity AND b.bscore > s.sscore THEN b.bc ELSE s.com END AS com
-           |  FROM stay$i s LEFT JOIN best$i b ON b.node = s.node)""".stripMargin
-      val l1rounds = (1 to 4).map(i => round(i, s"l${i - 1}", "e", "k", i % 2)).mkString(",\n")
-      val l2rounds = Seq(
-        round(5, "l20", "e2", "k2", 1),
-        round(6, "l5", "e2", "k2", 0)).mkString(",\n")
-      s"""WITH e0 AS MATERIALIZED (
-         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
-         |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |  GROUP BY 1, 2),
-         |e AS MATERIALIZED (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
-         |k AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM e GROUP BY 1),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS com FROM e),
-         |$l1rounds,
-         |e2 AS MATERIALIZED (
-         |  SELECT ls.com AS src, ld.com AS dst, SUM(e.w) AS w
-         |  FROM e JOIN l4 ls ON e.src = ls.node JOIN l4 ld ON e.dst = ld.node
-         |  GROUP BY 1, 2),
-         |k2 AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM e2 GROUP BY 1),
-         |l20 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS com FROM e2),
-         |$l2rounds,
-         |fold AS MATERIALIZED (
-         |  SELECT l4.node, COALESCE(r.com, l4.com) AS com
-         |  FROM l4 LEFT JOIN l6 r ON r.node = l4.com),
-         |canon AS MATERIALIZED (SELECT com, MIN(node) AS community FROM fold GROUP BY com)
-         |SELECT
-         |  CASE WHEN f.node % 2 = 0 THEN 'c_' || CAST(f.node // 2 AS VARCHAR)
-         |       ELSE 's_' || CAST(f.node // 2 AS VARCHAR) END AS node,
-         |  CASE WHEN c.community % 2 = 0 THEN 'c_' || CAST(c.community // 2 AS VARCHAR)
-         |       ELSE 's_' || CAST(c.community // 2 AS VARCHAR) END AS community
-         |FROM fold f JOIN canon c ON c.com = f.com
-         |ORDER BY node""".stripMargin
-    },
+    "g23_louvain" -> s"""WITH ${louvainChainCtes(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2""".stripMargin)}
+      |SELECT
+      |  CASE WHEN f.node % 2 = 0 THEN 'c_' || CAST(f.node // 2 AS VARCHAR)
+      |       ELSE 's_' || CAST(f.node // 2 AS VARCHAR) END AS node,
+      |  CASE WHEN c.community % 2 = 0 THEN 'c_' || CAST(c.community // 2 AS VARCHAR)
+      |       ELSE 's_' || CAST(c.community // 2 AS VARCHAR) END AS community
+      |FROM fold f JOIN canon c ON c.com = f.com
+      |ORDER BY node""".stripMargin,
+    // g30: the same unrolled Louvain chain on MONTHS-OF-OVERLAP weights
+    // (distinct trading months per pair — the reference's tie-strength
+    // semantics), finished by the community-stats algebra: volume from
+    // the weighted-degree table, internal mass from the intra-community
+    // edge filter, conductance via the exact two-step integer expansion.
+    "g30_weighted_louvain" -> s"""WITH ${louvainChainCtes(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    CAST(count(DISTINCT year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2""".stripMargin)},
+      |lab AS MATERIALIZED (
+      |  SELECT f.node, c.community AS com FROM fold f JOIN canon c ON c.com = f.com),
+      |vol AS MATERIALIZED (
+      |  SELECT l.com, CAST(SUM(k.k) AS BIGINT) AS vol, COUNT(*) AS n_nodes
+      |  FROM lab l JOIN k ON k.node = l.node GROUP BY 1),
+      |inc AS MATERIALIZED (
+      |  SELECT ls.com, CAST(SUM(e.w) AS BIGINT) AS in_sym
+      |  FROM e JOIN lab ls ON e.src = ls.node JOIN lab ld ON e.dst = ld.node
+      |  WHERE ls.com = ld.com GROUP BY 1),
+      |stats AS (
+      |  SELECT v.com, v.n_nodes, v.vol,
+      |    COALESCE(i.in_sym, CAST(0 AS BIGINT)) AS in_sym,
+      |    v.vol - COALESCE(i.in_sym, CAST(0 AS BIGINT)) AS cut,
+      |    least(v.vol, (SELECT CAST(SUM(w) AS BIGINT) FROM e) - v.vol) AS dn
+      |  FROM vol v LEFT JOIN inc i ON i.com = v.com)
+      |SELECT
+      |  CASE WHEN com % 2 = 0 THEN 'c_' || CAST(com // 2 AS VARCHAR)
+      |       ELSE 's_' || CAST(com // 2 AS VARCHAR) END AS community,
+      |  n_nodes, vol, in_sym, cut,
+      |  CASE WHEN dn = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((cut // dn) * 1000000 + (cut % dn) * 1000000 // dn AS BIGINT)
+      |  END AS conductance_micro
+      |FROM stats""".stripMargin,
     "d10_semantic_dedup" ->
       """WITH ct AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce
         |            FROM embeddings WHERE vec_id < 8),

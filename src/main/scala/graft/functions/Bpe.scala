@@ -82,30 +82,7 @@ object Bpe {
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round, l, r, cnt))
-        // Greedy left-to-right merge of (l, r): mark matches, group
-        // CONSECUTIVE match positions into islands (overlap only
-        // happens on l == r runs), choose odd-ranked members, replace
-        // the chosen symbol with l||r, drop the consumed successor,
-        // renumber.
-        val m = seq.withColumn("mt",
-          (col("sym") === l && lead(col("sym"), 1).over(byWord) === r).cast("int"))
-        val isl = m.withColumn("island",
-          when(col("mt") === 1,
-            col("pos") - row_number().over(
-              Window.partitionBy("word", "mt").orderBy("pos"))))
-        val sel = isl.withColumn("chosen",
-          (col("mt") === 1 &&
-            row_number().over(
-              Window.partitionBy("word", "island").orderBy("pos")) % 2 === 1).cast("int"))
-        val next = sel
-          .withColumn("consumed",
-            coalesce(lag(col("chosen"), 1).over(byWord), lit(0)))
-          .filter(col("consumed") === 0)
-          .select(col("word"), col("freq"),
-            row_number().over(byWord).as("pos"),
-            when(col("chosen") === 1, concat(col("sym"), lit(r)))
-              .otherwise(col("sym")).as("sym"))
-          .localCheckpoint(true)
+        val next = mergePass(seq, l, r).localCheckpoint(true)
         seq.unpersist()
         seq = next
         round += 1
@@ -113,6 +90,69 @@ object Bpe {
     }
     seq.unpersist()
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** ONE greedy left-to-right merge pass of the pair `(l, r)` over a
+    * per-word symbol table `(word, pos, sym, <carried columns>)`: mark
+    * matches, group CONSECUTIVE match positions into islands (overlap
+    * only happens on l == r runs), choose odd-ranked members, replace
+    * the chosen symbol with l||r, drop the consumed successor, renumber.
+    * Shared verbatim by training ([[trainMerges]], which carries `freq`)
+    * and encoding ([[encodeWords]], which doesn't) — the t31/t32
+    * agreement is structural. All three windows cluster on `word`, so
+    * the pass is ONE exchange (hash on word satisfies every clustering)
+    * plus local sorts.
+    */
+  private def mergePass(seq: DataFrame, l: String, r: String): DataFrame = {
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    val carried = seq.columns.filterNot(c => c == "pos" || c == "sym").map(col(_))
+    val m = seq.withColumn("mt",
+      (col("sym") === l && lead(col("sym"), 1).over(byWord) === r).cast("int"))
+    val isl = m.withColumn("island",
+      when(col("mt") === 1,
+        col("pos") - row_number().over(
+          Window.partitionBy("word", "mt").orderBy("pos"))))
+    val sel = isl.withColumn("chosen",
+      (col("mt") === 1 &&
+        row_number().over(
+          Window.partitionBy("word", "island").orderBy("pos")) % 2 === 1).cast("int"))
+    sel
+      .withColumn("consumed",
+        coalesce(lag(col("chosen"), 1).over(byWord), lit(0)))
+      .filter(col("consumed") === 0)
+      .select(carried ++ Seq(
+        row_number().over(byWord).as("pos"),
+        when(col("chosen") === 1, concat(col("sym"), lit(r)))
+          .otherwise(col("sym")).as("sym")): _*)
+  }
+
+  /** ENCODE a distinct-word table `(word)` with a learned, rank-ordered
+    * merge list: one [[mergePass]] per merge (rounds over the MERGE
+    * LIST, never the corpus), returning `(word, n_pieces)` — the
+    * trained tokenizer's piece count per word. Merges apply in training
+    * rank order; a merge's constituent symbols exist only from its own
+    * training round on, so earlier merges never become applicable again
+    * after later ones — one greedy pass per rank IS the per-word
+    * fixpoint (same greedy-L2R semantics the trainer counted with).
+    *
+    * Scale shape: the input is the DISTINCT word table (language-sized,
+    * not corpus-sized); each pass shuffles O(words · len) rows once on
+    * `word`. Corpus-sized work never enters the loop — the caller joins
+    * the per-word piece counts back onto per-document word counts.
+    */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var seq = words.select(col("word"),
+      explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("pos"),
+        col("word").substr(col("pos"), lit(1)).as("sym"))
+      .localCheckpoint(true)
+    merges.foreach { case (l, r) =>
+      val next = mergePass(seq, l, r).localCheckpoint(true)
+      seq.unpersist()
+      seq = next
+    }
+    val out = seq.groupBy("word").agg(count(lit(1)).as("n_pieces"))
+    out
   }
 
   /** The corpus vocabulary: lowercase alpha tokens of 2..12 chars,
@@ -136,4 +176,44 @@ object Bpe {
       spark: SparkSession, dir: String,
       rounds: Int = 6, topV: Int = 500): DataFrame =
     trainMerges(vocabulary(Tables(spark, dir).documents, topV), rounds)
+
+  /** t32: BPE ENCODE with the learned merge table — the consumer t31
+    * trains for, and the number the reference's cost ledger actually
+    * bills by (leader/bio_processor.py:29-180 accounts tokens, not
+    * words): per document, how many pieces the TRAINED tokenizer
+    * produces over its word class (lowercase alpha runs of 2–12 chars,
+    * the trainer's domain). t11's fixed-regex counts are pre-tokenizer
+    * counts; these are the trained tokenizer's, the statistic t16
+    * packing and t26 mix planning should bill by.
+    *
+    * Shape: train (t31, vocab-sized rounds) → collect the O(rounds)
+    * merge table (bounded probe-scalar class) → encode the DISTINCT
+    * word table ([[encodeWords]], language-sized) → broadcast the
+    * per-word piece counts onto the per-document word counts. The only
+    * corpus-sized work is the word-count aggregate; documents with no
+    * in-class word report zeros rather than vanishing.
+    */
+  def t32BpeEncode(
+      spark: SparkSession, dir: String,
+      rounds: Int = 6, topV: Int = 500): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merges = trainMerges(vocabulary(docs, topV), rounds)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docWords = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(2, 12))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("occ"))
+    val pieces = encodeWords(docWords.select("word").distinct(), merges)
+    val perDoc = docWords
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("n_pieces")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

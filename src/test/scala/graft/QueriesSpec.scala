@@ -447,8 +447,11 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(okSeen && badSeen, "both verdict branches must be exercised")
+    // Sorted compare: the keyed form no longer carries a terminal global
+    // sort (Verify sorts dumps itself), so collect order is partition
+    // order — the determinism contract is on CONTENT.
     val again = multimodal.Media.m3Resize(spark, dir).collect()
-    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
   test("batch custom-state sessions agree with the window-based e2") {
@@ -1470,7 +1473,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept > 0 && kept < rows.length)
     // Same sample on a re-run — the property that makes the mix a recipe.
     val again = functions.TextFuncs.t17WeightedSample(spark, dir).collect()
-    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
   test("s4 kNN self-join restricted to s2's query set reproduces s2 exactly") {
@@ -2358,5 +2361,166 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
     assert(c !== a.map(r => (r._1, r._2, r._4)).toSet,
       "changing the seed must reshuffle")
+  }
+
+  test("minRelaxTraverse requireConverged: truncation refuses instead of returning a ≤R-walk answer") {
+    val ss = spark
+    import ss.implicits._
+    // A 6-node directed path needs 5 rounds to converge from the head;
+    // maxRounds=3 truncates. Without the flag: bounded-walk semantics
+    // (documented); with it: loud refusal naming the lever.
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val init = Seq((1L, 0L)).toDF("node", "state")
+    val truncated = operators.GraphIter.minRelaxTraverse(
+      path, init, maxRounds = 3)((s, _) => s + 1)
+    assert(truncated.count() === 4L, "bounded-walk semantics unchanged without the flag")
+    val e = intercept[IllegalStateException] {
+      operators.GraphIter.minRelaxTraverse(
+        path, init, maxRounds = 3, requireConverged = true)((s, _) => s + 1)
+    }
+    assert(e.getMessage.contains("raise maxRounds"))
+    // Converged runs pass the certificate and agree with the unbounded answer.
+    val ok = operators.GraphIter.minRelaxTraverse(
+      path, init, maxRounds = 16, requireConverged = true)((s, _) => s + 1)
+    assert(ok.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      (1L to 6L).map(i => i -> (i - 1)).toMap)
+    // Fixed-round mode cannot certify convergence: the combination refuses.
+    intercept[IllegalArgumentException] {
+      operators.GraphIter.minRelaxTraverse(
+        path, init, maxRounds = 3, earlyExit = false, requireConverged = true)((s, _) => s + 1)
+    }
+  }
+
+  test("g29 SCC refuses a coloring truncated at maxRounds (ring wider than the budget)") {
+    val ss = spark
+    import ss.implicits._
+    // A 12-ring is ONE SCC of diameter 11: maxRounds=4 truncates the
+    // color pass. The advice scenario — without the certificate this
+    // returned 12 plausible singletons; now it refuses naming maxRounds.
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+      .map { case (a, b) => (f"n$a%02d", f"n$b%02d") }.toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      operators.CycleAudit.stronglyConnected(ring, maxRounds = 4).collect()
+    }
+    assert(e.getMessage.contains("raise `maxRounds`"))
+    // With an adequate budget the ring is one SCC labeled by its min.
+    val got = operators.CycleAudit.stronglyConnected(ring, maxRounds = 16).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === (0L until 12L).map(i => f"n$i%02d" -> "n00").toMap)
+  }
+
+  test("cycleMembers fixpoint certificates: undersized peel/doubling levers refuse, not misreport") {
+    val ss = spark
+    import ss.implicits._
+    // A 6-deep acyclic chain feeding a 2-ring: peelRounds=3 cannot peel
+    // the chain — pre-certificate this reported chain nodes as ring
+    // members; now it refuses naming peelRounds.
+    val chain = (1L to 6L).map(i => (i, i + 1)) ++ Seq((7L, 8L), (8L, 7L))
+    val eChain = chain.toDF("child", "parent")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.CycleAudit.cycleMembers(eChain, peelRounds = 3).collect()
+    }
+    assert(e1.getMessage.contains("raise peelRounds"))
+    // A 40-ring with doublings=3 (coverage 9 < 40) holds inconsistent
+    // non-minimum labels — refused; doublings=6 (coverage 65) passes and
+    // labels every member with the ring min.
+    val ring = (0L until 40L).map(i => (i + 100L, (i + 1L) % 40L + 100L)).toDF("child", "parent")
+    val e2 = intercept[IllegalArgumentException] {
+      operators.CycleAudit.cycleMembers(ring, doublings = 3).collect()
+    }
+    assert(e2.getMessage.contains("raise doublings"))
+    val got = operators.CycleAudit.cycleMembers(ring, doublings = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (100L until 140L).map(i => i -> 100L).toMap)
+    // Early peel exit: a converged peel stops before the budget (the
+    // certificate round observes no shrink) — same answer, fewer rounds.
+    val small = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("child", "parent")
+    assert(operators.CycleAudit.cycleMembers(small, peelRounds = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("g30 weighted Louvain: tie strength changes the communities and wins on weighted modularity") {
+    val ss = spark
+    import ss.implicits._
+    // A 6-path with heavy pairs (w=9) linked by weak ties (w=1): the
+    // weighted optimum is the three heavy pairs; unit weights see only
+    // topology and group {1,2,3},{4,5,6}. This is exactly the reference's
+    // tie-strength semantics — months of overlap should bind, degree
+    // alone shouldn't.
+    val e = Seq((1L, 2L, 9L), (2L, 3L, 1L), (3L, 4L, 9L), (4L, 5L, 1L), (5L, 6L, 9L))
+      .toDF("src", "dst", "w")
+    def symOf(d: org.apache.spark.sql.DataFrame) = d.unionByName(
+      d.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val sym = symOf(e)
+    val weighted = operators.Louvain.louvain(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L),
+      s"heavy pairs must bind: $weighted")
+    val unit = operators.Louvain.louvain(symOf(e.withColumn("w", lit(1L)))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"unit weights see only topology: $unit")
+    // Under WEIGHTED modularity the weighted labeling strictly wins
+    // (measured 597502µ vs 189654µ) — the weights flowed through the
+    // gain algebra, not just the fixture.
+    def q(lab: Map[Long, Long]) = operators.Louvain.modularityMicro(
+      sym, lab.toSeq.toDF("node", "com"))
+    assert(q(weighted) > q(unit) + 300000L, s"${q(weighted)} vs ${q(unit)}")
+    // Stats surface on the weighted labeling: per heavy pair n_nodes=2,
+    // vol = 2·9 + the incident weak ties, in_sym = 18 (both directions),
+    // cut = the weak ties, conductance = cut/min(vol, 2m−vol) in micro.
+    val stats = operators.Louvain.communityStats(
+      sym, weighted.toSeq.toDF("node", "com")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(stats === Map(
+      1L -> ((2L, 19L, 18L, 1L, 52631L)),   // vol 9+9+1, cut 1, 1/19
+      3L -> ((2L, 20L, 18L, 2L, 100000L)),  // vol 9+9+1+1, cut 2, 2/20
+      5L -> ((2L, 19L, 18L, 1L, 52631L))), s"stats: $stats")
+    // And the keyed g30 runs on the gate corpus with internally
+    // consistent rows: vol ≥ in_sym, cut = vol − in_sym ≥ 0.
+    val rows = operators.Louvain.g30WeightedLouvain(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(4) === r.getLong(2) - r.getLong(3),
+        s"inconsistent stats row: $r")
+    }
+  }
+
+  test("t32 BPE encode: hand-checked piece counts under a pinned merge table") {
+    val ss = spark
+    import ss.implicits._
+    // Merge table from the t31 pinned fixture: 1:(a,b) 2:(ab,ab) 3:(a,ab).
+    val vocab = Seq(("abab", 2L), ("aab", 1L)).toDF("word", "freq")
+    val merges = functions.Bpe.trainMerges(vocab, rounds = 3).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === Seq(("a", "b"), ("ab", "ab"), ("a", "ab")))
+    // Hand encode: abab → [ab,ab] → [abab] (1); aab → [a,ab] → [aab] (1 —
+    // the rank-3 merge only applies because rank order is respected);
+    // ba → untouched (2); abc → [ab,c] (2).
+    val words = Seq("abab", "aab", "ba", "abc").toDF("word")
+    val got = functions.Bpe.encodeWords(words, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("abab" -> 1L, "aab" -> 1L, "ba" -> 2L, "abc" -> 2L), s"got $got")
+    // Gate-shape sanity on the corpus: every doc appears exactly once,
+    // 1 ≤ pieces ≤ chars per word (n_words ≤ n_bpe_tokens), zero-word
+    // docs report zeros rather than vanishing.
+    val out = functions.Bpe.t32BpeEncode(spark, dir).collect()
+    val nDocs = Tables(spark, dir).documents.count()
+    assert(out.length.toLong === nDocs)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"pieces < words on ${r.getLong(0)}")
+    }
+    assert(out.exists(_.getLong(2) > 0L))
+  }
+
+  test("expandHierarchy distinguishes deep-tree refusal from cycle refusal") {
+    val ss = spark
+    import ss.implicits._
+    val deep = (1L to 12L).map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
+    val e = intercept[IllegalStateException] {
+      operators.GraphOps.expandHierarchy(deep, maxDepth = 4).collect()
+    }
+    assert(e.getMessage.contains("raise maxDepth"), e.getMessage)
   }
 }
