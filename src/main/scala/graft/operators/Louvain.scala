@@ -80,6 +80,19 @@ object Louvain {
     * Routing never changes the algebra (same rows, same values), so
     * labels are hash-identical whichever path fires — spec-pinned with
     * the thresholds forced both ways on a crafted mega-community graph.
+    *
+    * THRESHOLD CALIBRATION (measured, quiet windows): the armed-path A/B
+    * ([[graft.bench.LouvainSkewAB]] — synthetic giant community forcing
+    * the salted route, labeling checksum-identical both arms) read
+    * salted 46.3 s vs plain 39.5 s at a 1M-member hot community and
+    * 226.6 vs 189.3 s at 8M on local[32]: in a single shared-memory JVM
+    * the hot reducer's hash join is memory-bandwidth-cheap, while the
+    * defense pays a constant ~1.2× (hot-tag broadcast + salt column on
+    * every probe row, ×2 join sites ×rounds). Hence the default
+    * blockThreshold sits at 2²³ — beyond the measured no-win region —
+    * and arming is a CLUSTER decision: on real executors a mega-key is
+    * a straggler ×task-count, and operators lower the lever to their
+    * measured crossover.
     */
   private def joinComdegRouted(
       probe: DataFrame,
@@ -127,7 +140,7 @@ object Louvain {
       twoM: Long,
       parity0: Int = 1,
       broadcastComs: Long = 1L << 20,
-      blockThreshold: Int = 100000): DataFrame = {
+      blockThreshold: Int = 1 << 23): DataFrame = {
     // Weighted degree INCLUDING self-loops (a contracted community's
     // internal mass travels with it; it cancels in score differences but
     // must be consistent on both sides of every comparison).
@@ -208,7 +221,7 @@ object Louvain {
       level1Rounds: Int = 4,
       level2Rounds: Int = 2,
       broadcastComs: Long = 1L << 20,
-      blockThreshold: Int = 100000): DataFrame = {
+      blockThreshold: Int = 1 << 23): DataFrame = {
     val e1 = sym.localCheckpoint(true)
     val twoM = e1.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     val init = e1.select(col("src").as("node")).distinct()
