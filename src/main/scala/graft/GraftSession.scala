@@ -29,6 +29,17 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // Single-JVM GC-pause immunity: in local mode the "executor" IS the
+      // driver, so a stop-the-world full collection pauses the heartbeat
+      // thread too — measured at sf10: a 33 s ParallelGC full pause
+      // (49G→22G) during g13's wedge aggregate tripped the default 120 s
+      // HeartbeatReceiver window mid-storm and shut down the context (the
+      // bench artifact died with 'Removing executor driver with no recent
+      // heartbeats'). A heartbeat timeout exists to detect DEAD executors;
+      // in one JVM the executor cannot die independently of the receiver,
+      // so the window only converts long GC into spurious suicide. On a
+      // real cluster leave the default — there the timeout is load-bearing.
+      .config("spark.network.timeout", "600s")
       // Bucketed tables (sources.Bucketing) land here; on a cluster this
       // would be the shared warehouse path.
       .config("spark.sql.warehouse.dir",
