@@ -38,14 +38,24 @@ object GraftSession {
       // heartbeats'). A heartbeat timeout exists to detect DEAD executors;
       // in one JVM the executor cannot die independently of the receiver,
       // so the window only converts long GC into spurious suicide. On a
-      // real cluster leave the default — there the timeout is load-bearing.
-      .config("spark.network.timeout", "600s")
+      // real cluster the default stays — there the timeout is load-bearing
+      // (dead-executor detection), so the override is GATED on a local
+      // EFFECTIVE master below rather than applied unconditionally to
+      // whatever master the caller passes.
       // Bucketed tables (sources.Bucketing) land here; on a cluster this
       // would be the shared warehouse path.
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
+    // The effective master is the active session's (if one exists) or the
+    // one we're about to set — the GC-pause hardening must follow where
+    // the executors actually run, not the factory's default parameter.
+    val effectiveMaster = SparkSession.getActiveSession
+      .map(_.sparkContext.master).getOrElse(master)
+    val hardened =
+      if (effectiveMaster.startsWith("local")) b.config("spark.network.timeout", "600s")
+      else b
     val withMaster =
-      if (SparkSession.getActiveSession.isDefined) b else b.master(master)
+      if (SparkSession.getActiveSession.isDefined) hardened else hardened.master(master)
     withMaster.getOrCreate()
   }
 

@@ -162,6 +162,8 @@ object SparkEntry {
     "t30_heavy_hitters"  -> ((s: SparkSession, d: String) => functions.Frequent.t30HeavyHitters(s, d)),
     "t31_bpe_train"      -> ((s: SparkSession, d: String) => functions.Bpe.t31BpeTrain(s, d)),
     "t32_bpe_encode"     -> ((s: SparkSession, d: String) => functions.Bpe.t32BpeEncode(s, d)),
+    "t33_pack_bpe"       -> ((s: SparkSession, d: String) => functions.Bpe.t33PackBpe(s, d)),
+    "t34_mix_bpe"        -> ((s: SparkSession, d: String) => functions.Bpe.t34MixBpe(s, d)),
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
@@ -330,12 +332,12 @@ object SparkEntry {
        |ORDER BY round""".stripMargin
   }
 
-  /** t32's oracle: the t31 training chain (merge table re-derived, not
-    * injected) followed by the ENCODE loop unrolled — per learned merge
-    * one islands-idiom pass over the DISTINCT corpus word table, then
-    * the per-document occurrence join.
+  /** The shared t32/t33/t34 ENCODE CTE chain (appended after
+    * [[bpeTrainCtes]]): per learned merge one islands-idiom pass over
+    * the DISTINCT corpus word table, ending with `agg` =
+    * (doc_id, n_words, n_bpe_tokens) available to downstream CTEs.
     */
-  private val t32OracleSql: String = {
+  private val bpeEncodeCtes: String = {
     val encodeCtes = (1 to bpeRounds).map { i =>
       s"""wm$i AS (
          |  SELECT word, pos, sym,
@@ -359,8 +361,7 @@ object SparkEntry {
          |          AS consumed FROM wsel$i)
          |  WHERE consumed = 0)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeTrainCtes,
-       |docw AS MATERIALIZED (
+    s"""docw AS MATERIALIZED (
        |  SELECT doc_id, word, COUNT(*) AS occ FROM (
        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |    FROM documents)
@@ -373,12 +374,66 @@ object SparkEntry {
        |enc AS (SELECT word, COUNT(*) AS n_pieces FROM wseq$bpeRounds GROUP BY word),
        |agg AS (
        |  SELECT doc_id, SUM(occ) AS n_words, SUM(occ * n_pieces) AS n_bpe_tokens
-       |  FROM docw JOIN enc USING (word) GROUP BY doc_id)
+       |  FROM docw JOIN enc USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** t32's oracle: the t31 training chain (merge table re-derived, not
+    * injected) followed by the encode chain, then the per-document
+    * occurrence join.
+    */
+  private val t32OracleSql: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeEncodeCtes
        |SELECT d.doc_id,
        |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
-  }
+
+  /** t33's oracle: the full train+encode chain, then t16's packing
+    * running sum billed by n_bpe_tokens instead of whitespace counts.
+    */
+  private val t33OracleSql: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeEncodeCtes,
+       |tk AS (
+       |  SELECT d.doc_id, CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+       |c AS (
+       |  SELECT doc_id, n_bpe_tokens,
+       |    sum(n_bpe_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe_tokens AS st
+       |  FROM tk)
+       |SELECT doc_id, n_bpe_tokens,
+       |  CAST(st // 2048 AS BIGINT) AS seq_id,
+       |  CAST(st % 2048 AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** t34's oracle: the full train+encode chain, then t26's closed-form
+    * water-filling with availability billed by n_bpe_tokens per source.
+    */
+  private val t34OracleSql: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeEncodeCtes,
+       |avail AS (
+       |  SELECT d.source, CAST(SUM(COALESCE(a.n_bpe_tokens, 0)) AS BIGINT) AS a,
+       |    CAST(length(d.source) % 3 + 1 AS BIGINT) AS w
+       |  FROM documents d LEFT JOIN agg a USING (doc_id) GROUP BY d.source),
+       |tot AS (SELECT sum(a) AS ta, sum(w) AS tw, sum(a) * 9 // 10 AS b FROM avail),
+       |s AS (
+       |  SELECT source, a, w,
+       |    sum(a) OVER (ORDER BY a * 1.0 / w, source) AS ap,
+       |    sum(w) OVER (ORDER BY a * 1.0 / w, source) AS wp,
+       |    row_number() OVER (ORDER BY a * 1.0 / w, source) AS rk
+       |  FROM avail),
+       |kk AS (SELECT coalesce(max(rk), 0) AS k FROM s, tot
+       |       WHERE a * (tw - wp + w) <= (b - ap + a) * w),
+       |fin AS (SELECT coalesce((SELECT ap FROM s, kk WHERE rk = k), 0) AS ak,
+       |               coalesce((SELECT wp FROM s, kk WHERE rk = k), 0) AS wk)
+       |SELECT s.source, s.a AS avail_tokens, s.w AS weight,
+       |  CAST(CASE WHEN s.rk <= kk.k THEN s.a
+       |       ELSE (tot.b - fin.ak) * s.w // (tot.tw - fin.wk) END AS BIGINT) AS take_tokens,
+       |  CAST(CASE WHEN s.rk <= kk.k THEN 1 ELSE 0 END AS BIGINT) AS capped
+       |FROM s, kk, fin, tot ORDER BY s.source""".stripMargin
 
   /** The unrolled deterministic-Louvain CTE chain shared by g23 and g30
     * — the same parity-gated integer local-move algebra as
@@ -1332,6 +1387,8 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "t31_bpe_train" -> t31OracleSql,
     "t32_bpe_encode" -> t32OracleSql,
+    "t33_pack_bpe" -> t33OracleSql,
+    "t34_mix_bpe" -> t34OracleSql,
     // t29: cross-split near-dup leakage — t21's md5 split re-derived
     // (the t21 oracle's nibble fold) joined onto the exact ≥0.8 pair
     // set (sound stand-in for the banded path, the d3 argument),

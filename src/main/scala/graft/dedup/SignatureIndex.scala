@@ -185,6 +185,5 @@ object SignatureIndex {
           .when(col("near_dup_of").isNotNull, lit("near"))
           .otherwise(lit("new")).as("status"),
         coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
-      .orderBy("doc_id")
   }
 }

@@ -188,14 +188,25 @@ object Bpe {
     *
     * Shape: train (t31, vocab-sized rounds) → collect the O(rounds)
     * merge table (bounded probe-scalar class) → encode the DISTINCT
-    * word table ([[encodeWords]], language-sized) → broadcast the
-    * per-word piece counts onto the per-document word counts. The only
+    * word table ([[encodeWords]], language-sized) → join the per-word
+    * piece counts onto the per-document word counts. The only
     * corpus-sized work is the word-count aggregate; documents with no
     * in-class word report zeros rather than vanishing.
+    *
+    * "Language-sized" is an assumption a web corpus violates (typo'd
+    * alpha runs make the distinct-word table corpus-shaped in the
+    * tail), so the piece-count join is PROBE-ROUTED, not blind-
+    * broadcast (the q23 measure-then-route discipline): the distinct
+    * word table — materialized anyway as the encoder's input — is
+    * counted once (a bounded probe scalar), broadcast only under
+    * `broadcastWords`, else a plain equijoin on `word` (both sides
+    * already shuffle-keyed by word; no driver-side table at any size).
+    * Routing never changes values — spec-forced both ways.
     */
   def t32BpeEncode(
       spark: SparkSession, dir: String,
-      rounds: Int = 6, topV: Int = 500): DataFrame = {
+      rounds: Int = 6, topV: Int = 500,
+      broadcastWords: Long = 1L << 21): DataFrame = {
     val docs = Tables(spark, dir).documents
     val merges = trainMerges(vocabulary(docs, topV), rounds)
       .collect().sortBy(_.getInt(0))
@@ -204,9 +215,11 @@ object Bpe {
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .filter(length(col("word")).between(2, 12))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("occ"))
-    val pieces = encodeWords(docWords.select("word").distinct(), merges)
+    val wordTab = docWords.select("word").distinct().localCheckpoint(true)
+    val nWords = wordTab.count()
+    val pieces = encodeWords(wordTab, merges)
     val perDoc = docWords
-      .join(broadcast(pieces), Seq("word"))
+      .join(if (nWords <= broadcastWords) broadcast(pieces) else pieces, Seq("word"))
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("n_words"),
         sum(col("occ") * col("n_pieces")).as("n_bpe_tokens"))
@@ -215,5 +228,40 @@ object Bpe {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** t33: t16's sequence packing billed by the TRAINED tokenizer —
+    * the loop t32 closes, closed one step further: the packing offsets
+    * every GPT-style pipeline schedules by are piece counts from the
+    * learned merge table, not the pre-tokenizer whitespace counts
+    * (t16's stand-in). Same two-level prefix-sum construction
+    * ([[TextFuncs.seqPackCounts]]); only the billing column changes, so
+    * the scale shape is t16's plus t32's — the corpus-sized work stays
+    * one word-count aggregate.
+    */
+  def t33PackBpe(
+      spark: SparkSession, dir: String,
+      budget: Long = 2048L, rangeSize: Long = 256L): DataFrame =
+    TextFuncs.seqPackCounts(
+      t32BpeEncode(spark, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      budget, rangeSize)
+      .withColumnRenamed("n_tokens", "n_bpe_tokens")
+
+  /** t34: t26's mix planning billed by the TRAINED tokenizer — source
+    * availability is the sum of trained-BPE piece counts
+    * (the reference's ledger bills real tokenizer tokens,
+    * leader/bio_processor.py:29-180), water-filled by the same
+    * closed-form integer construction ([[TextFuncs.waterFill]]).
+    */
+  def t34MixBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val avail = docs.select(col("doc_id"), col("source"))
+      .join(t32BpeEncode(spark, dir), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        sum(col("n_bpe_tokens")).as("a"),
+        first(length(col("source")) % 3 + 1).cast("long").as("w"))
+    TextFuncs.waterFill(avail)
   }
 }

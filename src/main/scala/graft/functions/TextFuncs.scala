@@ -475,11 +475,26 @@ object TextFuncs {
       dir: String,
       budget: Long = 2048L,
       rangeSize: Long = 256L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nTokens = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-    val toks = Tables(spark, dir).documents
-      .select(col("doc_id"), nTokens.as("n_tokens"),
+    seqPackCounts(
+      Tables(spark, dir).documents.select(col("doc_id"), nTokens.as("n_tokens")),
+      budget, rangeSize)
+  }
+
+  /** The packing construction over an ARBITRARY per-document token-count
+    * relation `(doc_id, n_tokens)` — t16 feeds it whitespace counts,
+    * t33 the trained tokenizer's BPE piece counts ([[graft.functions.Bpe]]):
+    * the billing statistic is a parameter, the two-level prefix-sum
+    * shape is shared.
+    */
+  def seqPackCounts(
+      tokens: DataFrame,
+      budget: Long = 2048L,
+      rangeSize: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens
+      .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id DIV $rangeSize").as("range_id"))
     val rangeOffsets = toks.groupBy("range_id")
       .agg(sum(col("n_tokens")).as("range_total"))
@@ -858,13 +873,20 @@ object TextFuncs {
     * so the driver gate exercises capped AND uncapped branches (10/10
     * split at sf0.01).
     */
-  def t26MixPlan(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val avail = Tables(spark, dir).documents
+  def t26MixPlan(spark: SparkSession, dir: String): DataFrame =
+    waterFill(Tables(spark, dir).documents
       .groupBy(col("source"))
       .agg(
         sum(size(split(col("text"), " "))).cast("long").as("a"),
-        first(length(col("source")) % 3 + 1).cast("long").as("w"))
+        first(length(col("source")) % 3 + 1).cast("long").as("w")))
+
+  /** The water-filling allocation over an ARBITRARY availability table
+    * `(source, a, w)` — t26 feeds whitespace-token availability, t34 the
+    * trained tokenizer's BPE counts: the closed-form prefix construction
+    * is billing-statistic-agnostic. Budget = 9/10 of Σa, as t26.
+    */
+  def waterFill(avail: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = avail.agg(
       sum(col("a")).as("ta"), sum(col("w")).as("tw"),
       expr("sum(a) * 9 DIV 10").as("b"))

@@ -52,6 +52,27 @@ import graft.Tables
   */
 object Louvain {
 
+  /** Resolve the skew-defense arming threshold for this session. The
+    * local[32] A/B measured the salted defense as a pure ~1.2× loss up
+    * to 8M-member hot communities (shared-memory hash joins are
+    * bandwidth-cheap), so a LOCAL master defaults to 2²³ — beyond the
+    * measured no-win region. On a real cluster a mega-key is a
+    * straggler × task-count, so a NON-local master keeps the defensive
+    * 100k default instead of inheriting a single-JVM calibration.
+    * Either default yields to the surfaced lever
+    * (`spark.graft.louvain.blockThreshold` session conf, or the
+    * `SPARK_GRAFT_LOUVAIN_BLOCK` env var) — the same per-deployment
+    * sizing discipline as the shuffle-partitions knob. An explicit
+    * `blockThreshold >= 0` argument always wins (the forced-routing
+    * specs pin all three routes with it).
+    */
+  private def resolveBlockThreshold(spark: SparkSession, explicit: Int): Int =
+    if (explicit >= 0) explicit
+    else spark.conf.getOption("spark.graft.louvain.blockThreshold").map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_LOUVAIN_BLOCK").map(_.toInt))
+      .getOrElse(
+        if (spark.sparkContext.master.startsWith("local")) 1 << 23 else 100000)
+
   /** Probe-routed join of a per-row relation against the O(#communities)
     * `comdeg` dimension on community id — the round's skew seam. On any
     * real graph rounds ≥ 2 grow a giant community, and that community id
@@ -211,17 +232,29 @@ object Louvain {
     labels
   }
 
-  /** Two-level deterministic Louvain over a symmetric weighted edge list
-    * (no self-loops expected at level 1). Returns `(node, community)`
-    * with the community CANONICALIZED to its minimum member node id —
-    * stable across engines and levels, like CC labels.
+  /** The internals a stats consumer can FOLD over instead of re-scanning
+    * the original edge list: `folded` = node → final (pre-canonical)
+    * community, `e2` = the CONTRACTED symmetric edge list (one row per
+    * level-1 community pair, intra-level-1 mass as self-loops — still
+    * checkpointed; the caller unpersists), `l2` = level-2 labels over
+    * the contracted nodes, `twoM` = total symmetric weight.
     */
-  def louvain(
+  private[operators] final case class LouvainLevels(
+      folded: DataFrame, e2: DataFrame, l2: DataFrame, twoM: Long)
+
+  /** Two-level deterministic Louvain over a symmetric weighted edge list
+    * (no self-loops expected at level 1), returning the level internals
+    * ([[LouvainLevels]]) so downstream stats reuse the contraction the
+    * algorithm already paid for instead of re-joining the full edge
+    * relation ([[communityStatsFolded]]).
+    */
+  private def louvainLevels(
       sym: DataFrame,
-      level1Rounds: Int = 4,
-      level2Rounds: Int = 2,
-      broadcastComs: Long = 1L << 20,
-      blockThreshold: Int = 1 << 23): DataFrame = {
+      level1Rounds: Int,
+      level2Rounds: Int,
+      broadcastComs: Long,
+      blockThreshold0: Int): LouvainLevels = {
+    val blockThreshold = resolveBlockThreshold(sym.sparkSession, blockThreshold0)
     val e1 = sym.localCheckpoint(true)
     val twoM = e1.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
     val init = e1.select(col("src").as("node")).distinct()
@@ -243,16 +276,107 @@ object Louvain {
     val l2 = localMoveRounds(
       e2, init2, level2Rounds, twoM, parity0 = (1 + level1Rounds) % 2,
       broadcastComs = broadcastComs, blockThreshold = blockThreshold)
-    // Fold levels: node → level-1 community → level-2 community, then
-    // canonicalize each final community to its min member.
+    // Fold levels: node → level-1 community → level-2 community. Every
+    // level-1 community appears as an e2 src (its members have edges, a
+    // self-loop at minimum), so l2 covers it; the coalesce is belt.
     val folded = l1.select(col("node"), col("com").as("c1"))
       .join(l2.select(col("node").as("c1"), col("com")), Seq("c1"), "left")
       .select(col("node"), coalesce(col("com"), col("c1")).as("com"))
-    e1.unpersist(); e2.unpersist()
+    e1.unpersist()
+    LouvainLevels(folded, e2, l2, twoM)
+  }
+
+  /** Two-level deterministic Louvain over a symmetric weighted edge list
+    * (no self-loops expected at level 1). Returns `(node, community)`
+    * with the community CANONICALIZED to its minimum member node id —
+    * stable across engines and levels, like CC labels.
+    * `blockThreshold = -1` (the default) resolves per session
+    * ([[resolveBlockThreshold]]); an explicit value pins the route.
+    */
+  def louvain(
+      sym: DataFrame,
+      level1Rounds: Int = 4,
+      level2Rounds: Int = 2,
+      broadcastComs: Long = 1L << 20,
+      blockThreshold: Int = -1): DataFrame = {
+    val lv = louvainLevels(sym, level1Rounds, level2Rounds, broadcastComs, blockThreshold)
+    lv.e2.unpersist()
+    canonicalize(lv.folded)
+  }
+
+  /** Canonicalize a (node, com) labeling to its minimum member node id. */
+  private def canonicalize(folded: DataFrame): DataFrame =
     folded.select(col("node"), col("com"))
       .join(
         folded.groupBy("com").agg(min("node").as("community")), Seq("com"))
       .select(col("node"), col("community"))
+
+  /** [[communityStats]] computed WITHOUT re-scanning the original edge
+    * list: `vol` and `in_sym` fold over the CONTRACTED edge relation
+    * `e2` (one row per level-1 community pair — orders of magnitude
+    * smaller than E after level 1) mapped through the level-2 labels,
+    * exactly the mass the contraction already aggregated. Weight sums
+    * are associative over the contraction, so every output value is
+    * bit-identical to the from-scratch [[communityStats]] (spec-pinned);
+    * only `n_nodes` touches a V-sized relation (the label table itself).
+    * This is what makes the g30 stats surface nearly free on top of the
+    * clustering: the r15 from-scratch pass re-joined the full sf10 edge
+    * relation twice and dominated the key's 411 s wall.
+    */
+  private def communityStatsFolded(lv: LouvainLevels): DataFrame = {
+    val n = lv.folded.groupBy("com").agg(count(lit(1)).as("n_nodes"))
+    // Map each contracted endpoint to its FINAL community (l2 label;
+    // same coalesce-to-self discipline as the fold).
+    val fsrc = lv.l2.select(col("node").as("src"), col("com").as("fs"))
+    val fdst = lv.l2.select(col("node").as("dst"), col("com").as("fd"))
+    val e2f = lv.e2
+      .join(fsrc, Seq("src"), "left")
+      .join(fdst, Seq("dst"), "left")
+      .select(
+        coalesce(col("fs"), col("src")).as("com"),
+        coalesce(col("fd"), col("dst")).as("com2"),
+        col("w"))
+    // vol_c = Σ k over members = Σ w over contracted rows by src side
+    // (contraction preserves per-super-node degree mass, self-loops
+    // included); in_sym = the rows whose BOTH endpoints fold into c.
+    val vol = e2f.groupBy("com").agg(sum("w").as("vol"))
+    val inC = e2f.filter(col("com") === col("com2"))
+      .groupBy("com").agg(sum("w").as("in_sym"))
+    val twoM = lv.twoM
+    val out = n.join(vol, Seq("com"), "left").join(inC, Seq("com"), "left")
+      .select(col("com"), col("n_nodes"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("in_sym"), lit(0L)).as("in_sym"))
+      .withColumn("cut", col("vol") - col("in_sym"))
+      .withColumn("conductance_micro",
+        when(least(col("vol"), lit(twoM) - col("vol")) === 0, lit(0L))
+          .otherwise(expr(
+            s"(cut DIV least(vol, $twoM - vol)) * 1000000 + " +
+              s"(cut % least(vol, $twoM - vol)) * 1000000 DIV least(vol, $twoM - vol)")))
+    out
+  }
+
+  /** Louvain + per-community stats in ONE pass over the level machinery:
+    * `(community, n_nodes, vol, in_sym, cut, conductance_micro)` with
+    * `community` canonicalized to its minimum member node — value-
+    * identical to `communityStats(sym, louvain(sym))` (spec-pinned on
+    * the shared fixture) but the stats fold over the contraction instead
+    * of re-joining the full edge relation against node labels twice.
+    */
+  def louvainStats(
+      sym: DataFrame,
+      level1Rounds: Int = 4,
+      level2Rounds: Int = 2,
+      broadcastComs: Long = 1L << 20,
+      blockThreshold: Int = -1): DataFrame = {
+    val lv = louvainLevels(sym, level1Rounds, level2Rounds, broadcastComs, blockThreshold)
+    val canon = lv.folded.groupBy("com").agg(min("node").as("community"))
+    val out = communityStatsFolded(lv)
+      .join(canon, Seq("com"))
+      .select(col("community"), col("n_nodes"), col("vol"), col("in_sym"),
+        col("cut"), col("conductance_micro"))
+    lv.e2.unpersist()
+    out
   }
 
   /** MODULARITY of a labeling over a symmetric weighted edge list, in
@@ -376,11 +500,12 @@ object Louvain {
       .agg(countDistinct(months).as("w"))
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint(true)
-    val labels = louvain(sym)
-      .select(col("node"), col("community").as("com"))
-    communityStats(sym, labels)
-      .select(decodeCS(col("com")).as("community"),
+    // The stats FOLD over the contraction the clustering already paid
+    // for ([[louvainStats]]) — value-identical to
+    // communityStats(sym, louvain(sym)) (spec-pinned) without the two
+    // full-edge-relation label joins that dominated this key at sf10.
+    louvainStats(sym)
+      .select(decodeCS(col("community")).as("community"),
         col("n_nodes"), col("vol"), col("in_sym"), col("cut"),
         col("conductance_micro"))
   }

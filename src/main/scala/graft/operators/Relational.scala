@@ -176,7 +176,6 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
         col("o_orderdate").as("latest_orderdate"))
-      .orderBy("o_custkey")
   }
 
   /** q5: left-semi join (EXISTS) — `check_html_exists`,
@@ -190,7 +189,6 @@ object Relational {
         col("c_custkey") === col("o_custkey"),
         "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   /** q6: left-anti join (NOT EXISTS) — `filter_existing` skip-list,
@@ -203,7 +201,6 @@ object Relational {
         t.orders.filter(col("o_orderstatus") === "F"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
-      .orderBy("c_custkey")
   }
 
   /** q7: hierarchy rollup region ← nation ← customer with subtotal rows
@@ -271,7 +268,6 @@ object Relational {
     t.orders
       .withColumn("running_total", sum(dec("o_totalprice")).over(w).cast("double"))
       .select("o_custkey", "o_orderkey", "running_total")
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** q11: CUBE over (market segment × order status) — all four grouping

@@ -127,5 +127,4 @@ object Layout {
         col("user_id"),
         expr("ts DIV 86400000000000").as("day"),
         zValue(col("user_id"), expr("ts DIV 86400000000000")).as("zval"))
-      .orderBy("event_id")
 }

@@ -395,11 +395,29 @@ object Snapshots {
     * deleting the orphan here races nobody whose commit can still land:
     * any props file at a claimed-but-unpublished slot belongs to a
     * writer whose commit never happened.
+    *
+    * ONE window survives the claim argument: a claimant paused longer
+    * than staleClaimMs between winning the claim and arriving here can
+    * have had its claim BROKEN, the slot published by a second writer,
+    * and that writer's props inherited — deleting now would hit a LIVE
+    * props file. Hence the delete re-verifies the slot is still absent
+    * immediately first (a published v$v means our claim is dead; we
+    * must touch nothing — publishStaged will then refuse our rename by
+    * the owner-marker check). The residual instants-wide TOCTOU between
+    * the existence probe and the delete is benign TODAY only because
+    * both optimistic commit paths write overlay-free inherited props
+    * ([[inheritProps]] copies v-1's map verbatim, and [[propsOf]]'s
+    * walk-back to v-1 reconstructs the identical map when p-v$v is
+    * missing) — if an optimistic path ever writes NEW keys into its
+    * props, replace this probe with an owner-fenced props protocol
+    * (stage under the writer uid and publish by rename, like the lists).
     */
   private def clearOrphanProps(
       f: org.apache.hadoop.fs.FileSystem, path: String, v: Long): Unit =
-    try f.delete(hpath(s"$path/manifest/props/p-v$v"), true)
-    catch { case _: java.io.IOException => () }
+    try {
+      if (!f.exists(hpath(s"$path/manifest/v$v")))
+        f.delete(hpath(s"$path/manifest/props/p-v$v"), true)
+    } catch { case _: java.io.IOException => () }
 
   /** Publish a staged manifest list into version slot `v` — the VERIFIED
     * commit point. The staged directory carries an `_owner-<uid>` marker

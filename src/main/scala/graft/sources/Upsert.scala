@@ -130,7 +130,6 @@ object Upsert {
           .cast("double").as("acctbal"),
         lit(1L).as("version"))
     upsertByKey(existing, incoming, Seq("custkey"), "version")
-      .orderBy("custkey")
   }
 
   /** AS-OF dimension join — the query surface of [[scd2]]: every fact
@@ -196,7 +195,6 @@ object Upsert {
       col("o_orderkey").as("id"), col("o_custkey").as("custkey"), col("yr"))
     scdAsofJoin(dims, facts, "custkey", "yr", "tier")
       .select(col("id").as("orderkey"), col("custkey"), col("yr").as("year"), col("tier"))
-      .orderBy("orderkey")
   }
 
   /** Snapshot diff — CDC between two keyed snapshots of a dimension.
@@ -271,7 +269,6 @@ object Upsert {
         col("old_n_orders"), col("new_n_orders"),
         col("old_spend").cast("double").as("old_spend"),
         col("new_spend").cast("double").as("new_spend"))
-      .orderBy("custkey")
   }
 
   /** h2: the same refresh as [[h1UpsertDim]] kept as SCD2 HISTORY —
@@ -293,7 +290,6 @@ object Upsert {
           .cast("double").as("acctbal"),
         lit(1L).as("version"))
     scd2(existing.unionByName(incoming), Seq("custkey"), "version")
-      .orderBy("custkey", "version")
   }
 
   /** h6: referential-integrity AUDIT across the star schema — per FK

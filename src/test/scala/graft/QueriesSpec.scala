@@ -1232,6 +1232,34 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qC === 0L, "one connected component scores exactly zero modularity")
   }
 
+  test("louvainStats: the contraction-folded stats equal the from-scratch communityStats") {
+    val ss = spark
+    import ss.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // Two shapes: the canonical two-triangle fixture (two communities,
+    // symmetric) and the star+triangle skew fixture (a mega community
+    // plus a cold one, weights non-uniform) — the folded path must be
+    // VALUE-identical to communityStats over louvain's labels on both,
+    // because weight sums are associative over the contraction.
+    val fixtures = Seq(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (4L, 5L, 1L), (5L, 6L, 1L),
+        (4L, 6L, 1L), (3L, 4L, 1L)),
+      (2L to 31L).map(s => (1L, s, 1L + s % 3)) ++
+        Seq((200L, 201L, 5L), (201L, 202L, 2L), (200L, 202L, 7L)))
+    for (e0 <- fixtures) {
+      val sym = (e0 ++ e0.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+      val folded = operators.Louvain.louvainStats(sym).collect().map(key).toSet
+      val scratch = operators.Louvain.communityStats(
+        sym, operators.Louvain.louvain(sym).select(col("node"), col("community").as("com")))
+        .select(col("com"), col("n_nodes"), col("vol"), col("in_sym"),
+          col("cut"), col("conductance_micro"))
+        .collect().map(key).toSet
+      assert(folded === scratch, s"folded stats diverged from from-scratch on $e0")
+      assert(folded.nonEmpty)
+    }
+  }
+
   test("g23 louvain skew routing: broadcast / salted / plain comdeg routes are label-identical") {
     val ss = spark
     import ss.implicits._
@@ -2512,6 +2540,123 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(2) >= r.getLong(1), s"pieces < words on ${r.getLong(0)}")
     }
     assert(out.exists(_.getLong(2) > 0L))
+  }
+
+  test("t32 piece-table routing: forced plain equijoin emits exactly the broadcast-route rows") {
+    // broadcastWords = 0 forces the plain shuffle equijoin on `word`;
+    // the default at spec scale broadcasts. The probe-then-route knob
+    // is a plan change, never a result change.
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val bcast = functions.Bpe.t32BpeEncode(spark, dir).collect().map(key).toSet
+    val plain = functions.Bpe.t32BpeEncode(spark, dir, broadcastWords = 0L)
+      .collect().map(key).toSet
+    assert(plain === bcast)
+    assert(bcast.nonEmpty)
+  }
+
+  test("t33/t34 bill by the TRAINED tokenizer's counts (t32), not the pre-tokenizer's") {
+    val enc = functions.Bpe.t32BpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // t33: the packing offsets are exactly the doc_id-ordered prefix
+    // sums of t32's n_bpe_tokens (budget 2048) — recomputed by hand.
+    val packed = functions.Bpe.t33PackBpe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(packed.length === enc.size)
+    var run = 0L
+    packed.foreach { case (docId, n, seqId, off) =>
+      assert(n === enc(docId), s"t33 billed $n but t32 counted ${enc(docId)} for doc $docId")
+      assert(seqId === run / 2048 && off === run % 2048, s"offset drift at doc $docId")
+      run += n
+    }
+    // t34: per-source availability is the sum of t32 counts; takes obey
+    // the water-fill contract (take ≤ avail, Σtake ≤ 9/10·Σavail,
+    // capped ⇔ the source contributes everything).
+    val ss = spark
+    import ss.implicits._
+    val srcOf = Tables(spark, dir).documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val availExp = enc.toSeq.groupBy { case (d, _) => srcOf(d) }
+      .map { case (s, xs) => s -> xs.map(_._2).sum }
+    val mix = functions.Bpe.t34MixBpe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(mix.map(_._1).toSet === availExp.keySet)
+    mix.foreach { case (s, avail, take, capped) =>
+      assert(avail === availExp(s), s"t34 avail for $s is $avail, t32 sums to ${availExp(s)}")
+      assert(take <= avail && take >= 0L)
+      if (capped == 1L) assert(take === avail, s"capped source $s must contribute everything")
+    }
+    val budget = availExp.values.sum * 9 / 10
+    assert(mix.map(_._3).sum <= budget)
+  }
+
+  test("walkEmbed: ALS over the walk-cooccurrence lift matrix separates the communities") {
+    val ss = spark
+    import ss.implicits._
+    // Crafted two-community walk corpus (the SGNS semantic on its
+    // smallest instance): pair-walks cover every within-community pair
+    // UNIFORMLY and often (positive PPMI), while a thin set of bridge
+    // walks makes each cross pair OBSERVED at sub-1 lift — clipped to a
+    // zero rating, the negative evidence that pins the two communities'
+    // subspaces apart. A rank-2 factorization must then place
+    // within-community nodes closer (cosine) than cross-community ones
+    // — the property DeepWalk/node2vec pipelines train FOR (Levy &
+    // Goldberg 2014: SGNS factorizes this matrix's shifted PMI).
+    // Lift is cnt·N/(c_a·c_b): with only two communities, uniform
+    // within-block co-occurrence sits at chance (lift → 1, PMI → 0), so
+    // a third background community inflates N without touching A/B
+    // marginals — within-block lift rises above chance and the signal
+    // is real, exactly as in a many-community corpus.
+    val a = Seq("a1", "a2", "a3", "a4")
+    val b = Seq("b1", "b2", "b3", "b4")
+    val c = Seq("c1", "c2", "c3", "c4")
+    def pairWalks(ns: Seq[String], base: Long): Seq[(Long, Long, String)] = {
+      val pairs = for (i <- ns.indices; j <- ns.indices; if i < j) yield (ns(i), ns(j))
+      pairs.zipWithIndex.flatMap { case ((x, y), p) =>
+        (0 until 4).flatMap { rep =>
+          val w = base + p * 4 + rep
+          Seq((w, 0L, x), (w, 1L, y))
+        }
+      }
+    }
+    val bridges = (for (x <- a; y <- b) yield (x, y)).zipWithIndex.flatMap {
+      case ((x, y), i) => Seq((1000L + i, 0L, x), (1000L + i, 1L, y))
+    }
+    val walks = (pairWalks(a, 0L) ++ pairWalks(b, 100L) ++ pairWalks(c, 200L) ++ bridges)
+      .toDF("walker", "step", "node")
+    val cooc = operators.GraphIter.walkCooccurrence(walks, window = 2)
+    // Rank 2 on a block-diagonal PPMI matrix: the factorization has no
+    // better use for its two directions than one per community, so the
+    // separation signal is maximal and the assertion tight.
+    val emb = operators.WalkEmbed.factorizeCooc(cooc, rank = 2, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(emb.keySet === (a ++ b ++ c).toSet)
+    assert(emb.values.forall(_.length === 2))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      val nx = math.sqrt(x.map(p => p.toDouble * p).sum)
+      val ny = math.sqrt(y.map(p => p.toDouble * p).sum)
+      d / (nx * ny + 1e-12)
+    }
+    def meanCos(xs: Seq[String], ys: Seq[String]): Double = {
+      val ps = for (x <- xs; y <- ys; if x < y) yield cos(emb(x), emb(y))
+      ps.sum / ps.size
+    }
+    val within = (meanCos(a, a) + meanCos(b, b)) / 2
+    val cross = {
+      val ps = for (x <- a; y <- b) yield cos(emb(x), emb(y))
+      ps.sum / ps.size
+    }
+    assert(within > cross + 0.3,
+      s"embedding must separate the communities: within $within vs cross $cross")
+    // Seeded determinism: the factorization is engine-reproducible.
+    val emb2 = operators.WalkEmbed.factorizeCooc(cooc, rank = 2, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    (a ++ b).foreach { n =>
+      emb(n).zip(emb2(n)).foreach { case (p, q) =>
+        assert(math.abs(p - q) < 1e-6f, s"non-deterministic factor for $n")
+      }
+    }
   }
 
   test("expandHierarchy distinguishes deep-tree refusal from cycle refusal") {
