@@ -164,6 +164,7 @@ object SparkEntry {
     "t32_bpe_encode"     -> ((s: SparkSession, d: String) => functions.Bpe.t32BpeEncode(s, d)),
     "t33_pack_bpe"       -> ((s: SparkSession, d: String) => functions.Bpe.t33PackBpe(s, d)),
     "t34_mix_bpe"        -> ((s: SparkSession, d: String) => functions.Bpe.t34MixBpe(s, d)),
+    "t35_tokenizer_fertility" -> ((s: SparkSession, d: String) => functions.Bpe.t35TokenizerFertility(s, d)),
     "h6_fk_audit"        -> sources.Upsert.h6FkAudit _,
     "h7_avro_interchange" -> sources.Formats.h7AvroInterchange _,
     "h8_dynamic_overwrite" -> sources.Formats.h8DynamicOverwrite _,
@@ -434,6 +435,32 @@ object SparkEntry {
        |       ELSE (tot.b - fin.ak) * s.w // (tot.tw - fin.wk) END AS BIGINT) AS take_tokens,
        |  CAST(CASE WHEN s.rk <= kk.k THEN 1 ELSE 0 END AS BIGINT) AS capped
        |FROM s, kk, fin, tot ORDER BY s.source""".stripMargin
+
+  /** t35's oracle: the train+encode chain, per-doc word/char/piece
+    * sums, then the (lang, source) fold with integer-micro fertility
+    * and compression ratios — `//` and Spark's `DIV` agree on the
+    * non-negative operands both engines see.
+    */
+  private val t35OracleSql: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeEncodeCtes,
+       |dstat AS (
+       |  SELECT doc_id, SUM(occ) AS dw, SUM(occ * length(word)) AS dc,
+       |    SUM(occ * n_pieces) AS dt
+       |  FROM docw JOIN enc USING (word) GROUP BY doc_id)
+       |SELECT d.lang, d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(s.dw), 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(s.dc), 0) AS BIGINT) AS n_word_chars,
+       |  CAST(COALESCE(SUM(s.dt), 0) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(CASE WHEN COALESCE(SUM(s.dw), 0) > 0
+       |       THEN COALESCE(SUM(s.dt), 0) * 1000000 // SUM(s.dw)
+       |       ELSE 0 END AS BIGINT) AS fertility_micro,
+       |  CAST(CASE WHEN COALESCE(SUM(s.dt), 0) > 0
+       |       THEN COALESCE(SUM(s.dc), 0) * 1000000 // SUM(s.dt)
+       |       ELSE 0 END AS BIGINT) AS chars_per_token_micro
+       |FROM documents d LEFT JOIN dstat s USING (doc_id)
+       |GROUP BY d.lang, d.source""".stripMargin
 
   /** The unrolled deterministic-Louvain CTE chain shared by g23 and g30
     * — the same parity-gated integer local-move algebra as
@@ -1389,6 +1416,7 @@ object SparkEntry {
     "t32_bpe_encode" -> t32OracleSql,
     "t33_pack_bpe" -> t33OracleSql,
     "t34_mix_bpe" -> t34OracleSql,
+    "t35_tokenizer_fertility" -> t35OracleSql,
     // t29: cross-split near-dup leakage — t21's md5 split re-derived
     // (the t21 oracle's nibble fold) joined onto the exact ≥0.8 pair
     // set (sound stand-in for the banded path, the d3 argument),

@@ -208,6 +208,31 @@ object Bpe {
       rounds: Int = 6, topV: Int = 500,
       broadcastWords: Long = 1L << 21): DataFrame = {
     val docs = Tables(spark, dir).documents
+    val perDoc = encodedDocWords(spark, dir, rounds, topV, broadcastWords)
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("n_pieces")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Shared t32/t35 substrate: per-(doc, word) occurrence counts with
+    * the trained tokenizer's piece count attached —
+    * `(doc_id, word, occ, n_pieces)`. Train (vocab-sized rounds) →
+    * collect the O(rounds) merge table (bounded probe-scalar class) →
+    * encode the DISTINCT word table → probe-routed join back onto the
+    * per-document word counts (broadcast under `broadcastWords`, else a
+    * plain equijoin on `word` — the q23 measure-then-route discipline;
+    * the probe count rides the distinct-word table the encoder
+    * materializes anyway).
+    */
+  private def encodedDocWords(
+      spark: SparkSession, dir: String,
+      rounds: Int, topV: Int, broadcastWords: Long): DataFrame = {
+    val docs = Tables(spark, dir).documents
     val merges = trainMerges(vocabulary(docs, topV), rounds)
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -218,16 +243,50 @@ object Bpe {
     val wordTab = docWords.select("word").distinct().localCheckpoint(true)
     val nWords = wordTab.count()
     val pieces = encodeWords(wordTab, merges)
-    val perDoc = docWords
-      .join(if (nWords <= broadcastWords) broadcast(pieces) else pieces, Seq("word"))
+    docWords.join(
+      if (nWords <= broadcastWords) broadcast(pieces) else pieces, Seq("word"))
+  }
+
+  /** t35: TOKENIZER EVALUATION per (lang, source) slice — fertility
+    * (trained pieces per word, micro fixed-point) and compression
+    * (word-class chars per piece): the statistics a real pipeline reads
+    * BEFORE committing to a vocabulary (a high-fertility language is
+    * under-served by the merge table and over-billed by every
+    * token-budgeted stage downstream — t18's ledger, t33's packing,
+    * t34's mix plan all inherit it). Closes the tokenizer loop:
+    * train (t31) → encode (t32) → bill (t33/t34) → EVALUATE.
+    *
+    * Shape: rides [[encodedDocWords]] (the one corpus-sized aggregate +
+    * the language-sized encode), folds per-doc word/char/piece sums,
+    * then a |lang × source|-row final aggregate — output is
+    * dimension-sized, never corpus-sized. All-integer micro ratios
+    * (the suite's cross-engine fixed-point discipline); zero-word
+    * slices report zero ratios rather than dividing by zero.
+    */
+  def t35TokenizerFertility(
+      spark: SparkSession, dir: String,
+      rounds: Int = 6, topV: Int = 500,
+      broadcastWords: Long = 1L << 21): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val perDoc = encodedDocWords(spark, dir, rounds, topV, broadcastWords)
       .groupBy("doc_id")
-      .agg(sum(col("occ")).as("n_words"),
-        sum(col("occ") * col("n_pieces")).as("n_bpe_tokens"))
-    docs.select(col("doc_id"))
+      .agg(sum(col("occ")).as("dw"),
+        sum(col("occ") * length(col("word"))).as("dc"),
+        sum(col("occ") * col("n_pieces")).as("dt"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("dw"), lit(0L)).as("n_words"),
+        coalesce(sum("dc"), lit(0L)).as("n_word_chars"),
+        coalesce(sum("dt"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("fertility_micro",
+        when(col("n_words") > 0, expr("n_bpe_tokens * 1000000 DIV n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("chars_per_token_micro",
+        when(col("n_bpe_tokens") > 0, expr("n_word_chars * 1000000 DIV n_bpe_tokens"))
+          .otherwise(lit(0L)))
   }
 
   /** t33: t16's sequence packing billed by the TRAINED tokenizer —

@@ -2590,6 +2590,45 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mix.map(_._3).sum <= budget)
   }
 
+  test("t35 fertility: slice sums cross-check t32 and a local re-tokenization; ratios are the integer micros") {
+    // Local re-derivation of the word-class stats (the trainer's domain:
+    // lowercase alpha runs of 2–12 chars) — independent of the Spark
+    // regexp/explode path.
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val re = "[a-z]+".r
+    val localWC = docs.map { case (id, text, _, _) =>
+      val ws = re.findAllIn(text.toLowerCase).filter(w => w.length >= 2 && w.length <= 12).toSeq
+      id -> ((ws.size.toLong, ws.map(_.length.toLong).sum))
+    }.toMap
+    val enc = functions.Bpe.t32BpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Shared-substrate sanity: t32's word counts ARE the local word
+    // counts (same word class, same corpus).
+    docs.foreach { case (id, _, _, _) =>
+      assert(enc(id)._1 === localWC(id)._1, s"t32 word count drift on doc $id")
+    }
+    val expected = docs.groupBy { case (_, _, lang, source) => (lang, source) }
+      .map { case (k, ds) =>
+        val w = ds.map(d => localWC(d._1)._1).sum
+        val c = ds.map(d => localWC(d._1)._2).sum
+        val t = ds.map(d => enc(d._1)._2).sum
+        k -> ((ds.length.toLong, w, c, t,
+          if (w > 0) t * 1000000L / w else 0L,
+          if (t > 0) c * 1000000L / t else 0L))
+      }
+    val got = functions.Bpe.t35TokenizerFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got === expected, s"t35 slices drifted: got $got expected $expected")
+    // The gate corpus exercises the ratio paths for real: at least one
+    // slice has words (fertility ≥ 1.0 in micro — a piece never splits
+    // below one per word).
+    assert(got.values.exists(_._5 >= 1000000L))
+  }
+
   test("walkEmbed: ALS over the walk-cooccurrence lift matrix separates the communities") {
     val ss = spark
     import ss.implicits._
