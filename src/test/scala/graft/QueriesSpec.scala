@@ -2627,6 +2627,15 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // slice has words (fertility ≥ 1.0 in micro — a piece never splits
     // below one per word).
     assert(got.values.exists(_._5 >= 1000000L))
+    // Forced routing: broadcastWords = 0 forces the plain word-keyed
+    // equijoin through the shared substrate — a plan change, never a
+    // value change (the same contract t32 pins).
+    val plain = functions.Bpe.t35TokenizerFertility(spark, dir, broadcastWords = 0L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(plain === got)
   }
 
   test("walkEmbed: ALS over the walk-cooccurrence lift matrix separates the communities") {
