@@ -113,10 +113,15 @@ object Bench {
     // report the 77). Failures surface as a separate "errors" map — a
     // missing key can't be mistaken for a fast one.
     val results = selected.map { name =>
+      // Label every job of the key (guide §1.5): a profiling pass over the
+      // event log / UI attributes stages to queries instead of guessing
+      // from stage ids. Thread-local, cleared with the key.
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       val err = try { run(SparkEntry.queries(name)(spark, sfDir)); None }
         catch { case e: Exception => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // Per-query storage isolation: iterative queries checkpoint their
       // final result; release it once consumed so query N+1 never pays
       // query N's storage/GC pressure (the round-2 t3/e1/g8 regressions).

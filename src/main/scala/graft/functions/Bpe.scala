@@ -135,24 +135,67 @@ object Bpe {
     * after later ones — one greedy pass per rank IS the per-word
     * fixpoint (same greedy-L2R semantics the trainer counted with).
     *
+    * Unlike training, the merge list is KNOWN UP FRONT here — no
+    * per-pass driver decision — so passes CAN fuse into one plan
+    * (`checkpointEvery` = K pins an eager localCheckpoint every K
+    * passes; every mergePass window clusters on `word`, so a fused
+    * chain is one exchange plus local sorts). The r16 A/B MEASURED the
+    * fusion as a small net loss on the 6-merge gate at sf0.1 (t32
+    * 4.53 → 4.48–5.76 s across windows at checkpointEvery = 8: the
+    * per-pass materializations are 32-way-parallel micro-jobs over a
+    * words-sized relation, while the fused plan pays Catalyst
+    * optimization + codegen of an 18-window stack per consuming action)
+    * — so the DEFAULT stays per-pass (= 1, the pre-r16 shape) and the
+    * knob remains for merge tables long enough that job-count dominates.
+    * Fused and per-pass plans are value-identical (spec-forced at 1, 2
+    * and fully-fused on a crafted chain).
+    *
     * Scale shape: the input is the DISTINCT word table (language-sized,
-    * not corpus-sized); each pass shuffles O(words · len) rows once on
-    * `word`. Corpus-sized work never enters the loop — the caller joins
-    * the per-word piece counts back onto per-document word counts.
+    * not corpus-sized); the fused chain shuffles O(words · len) rows
+    * once on `word`. Corpus-sized work never enters the loop — the
+    * caller joins the per-word piece counts back onto per-document word
+    * counts.
     */
-  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    var seq = words.select(col("word"),
+  def encodeWords(
+      words: DataFrame,
+      merges: Seq[(String, String)],
+      checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val init = words.select(col("word"),
       explode(sequence(lit(1), length(col("word")))).as("pos"))
       .select(col("word"), col("pos"),
         col("word").substr(col("pos"), lit(1)).as("sym"))
       .localCheckpoint(true)
+    // `anchored` owns the storage blocks of the most recent pin; the tail
+    // of the chain past it stays lazy and is evaluated exactly once, by
+    // the consumer's single action (the final pin's blocks are released
+    // by the session's per-query releaseCaches, as before).
+    var anchored = init
+    var seq = init
+    var sincePin = 0
     merges.foreach { case (l, r) =>
-      val next = mergePass(seq, l, r).localCheckpoint(true)
-      seq.unpersist()
-      seq = next
+      seq = mergePass(seq, l, r)
+      sincePin += 1
+      if (sincePin >= checkpointEvery) {
+        val pinned = seq.localCheckpoint(true)
+        anchored.unpersist()
+        anchored = pinned
+        seq = pinned
+        sincePin = 0
+      }
     }
-    val out = seq.groupBy("word").agg(count(lit(1)).as("n_pieces"))
-    out
+    // The FINAL state is always pinned: consumers reference the piece
+    // table more than once (t33's two-level prefix sum and t34's
+    // water-fill both reuse their input), and without this pin each
+    // reference would re-evaluate every pass since the last pin —
+    // measured at sf0.1 as a consistent t34 regression (5.3 → 7.6 s)
+    // when a fully-fused cut (checkpointEvery = 8) landed without it.
+    if (sincePin > 0) {
+      val pinned = seq.localCheckpoint(true)
+      anchored.unpersist()
+      seq = pinned
+    }
+    seq.groupBy("word").agg(count(lit(1)).as("n_pieces"))
   }
 
   /** The corpus vocabulary: lowercase alpha tokens of 2..12 chars,
@@ -233,13 +276,25 @@ object Bpe {
       spark: SparkSession, dir: String,
       rounds: Int, topV: Int, broadcastWords: Long): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val merges = trainMerges(vocabulary(docs, topV), rounds)
-      .collect().sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // ONE corpus regex pass (r16): the trainer's vocabulary, the
+    // encoder's distinct-word input AND the final per-doc join all fold
+    // from this per-(doc, word) count table — previously each derived it
+    // from `docs` independently and the corpus paid the
+    // regexp_extract_all scan three times per key. Pinning stores
+    // O(Σ distinct words per doc) narrow rows (ids + a short word),
+    // orders of magnitude under the text it replaces re-scanning; it is
+    // released with the query (releaseCaches), never cross-run state.
     val docWords = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .filter(length(col("word")).between(2, 12))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("occ"))
+      .localCheckpoint(true)
+    // == vocabulary(docs, topV): total occurrences = Σ per-doc counts.
+    val vocab = docWords.groupBy("word").agg(sum("occ").as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(topV)
+    val merges = trainMerges(vocab, rounds)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
     val wordTab = docWords.select("word").distinct().localCheckpoint(true)
     val nWords = wordTab.count()
     val pieces = encodeWords(wordTab, merges)

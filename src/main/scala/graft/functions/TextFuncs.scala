@@ -493,9 +493,15 @@ object TextFuncs {
       budget: Long = 2048L,
       rangeSize: Long = 256L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Referenced twice (the per-range offsets build and the final join),
+    // and callers feed corpus-derived counts (t16 scans the text, t33
+    // the BPE billing chain) — pin so the upstream chain runs once, not
+    // once per reference. O(docs) narrow rows (two ids + a count),
+    // released with the query.
     val toks = tokens
       .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id DIV $rangeSize").as("range_id"))
+      .localCheckpoint(true)
     val rangeOffsets = toks.groupBy("range_id")
       .agg(sum(col("n_tokens")).as("range_total"))
       .withColumn("range_start",
@@ -885,8 +891,17 @@ object TextFuncs {
     * trained tokenizer's BPE counts: the closed-form prefix construction
     * is billing-statistic-agnostic. Budget = 9/10 of Σa, as t26.
     */
-  def waterFill(avail: DataFrame): DataFrame = {
+  def waterFill(avail0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The construction references the availability table FOUR times
+    // (totals, level search, level row, final projection) — and callers
+    // feed it a corpus-sized aggregate (t26 scans every document's text,
+    // t34 the whole BPE billing chain), so without a pin the corpus paid
+    // that aggregate four times per query (measured at sf0.1, r16: t26
+    // solo 1.84 s → 1.09 s from this one line). The pinned relation is
+    // |sources| rows — the d14/t25 shared-frame discipline, released
+    // with the query.
+    val avail = avail0.localCheckpoint(true)
     val tot = avail.agg(
       sum(col("a")).as("ta"), sum(col("w")).as("tw"),
       expr("sum(a) * 9 DIV 10").as("b"))

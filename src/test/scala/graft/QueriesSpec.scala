@@ -2542,6 +2542,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(_.getLong(2) > 0L))
   }
 
+  test("encodeWords fused-pass chain ≡ per-pass checkpointing (forced both ways)") {
+    val ss = spark
+    import ss.implicits._
+    // A merge list long enough that the default pin cadence (8) leaves
+    // the whole chain fused AND a forced cadence of 2 pins mid-chain —
+    // the equivalence must hold across the pin boundary, where the lazy
+    // tail is cut and restarted from a LogicalRDD. Includes the l == r
+    // overlap case ("aaaa" under (a,a)) so the islands idiom crosses the
+    // pin too.
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "d"), ("aab", "cd"), ("e", "f"))
+    val words = Seq("aaaabcdef", "aabcd", "aaaa", "xyz", "ef", "aabcdaabcd").toDF("word")
+    def enc(every: Int) =
+      functions.Bpe.encodeWords(words, merges, checkpointEvery = every)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fused = enc(8)   // 5 merges, no intermediate pin: one fused plan
+    val perPass = enc(1) // the pre-r16 shape: eager checkpoint per pass
+    val mid = enc(2)     // pins after merges 2 and 4 — boundary mid-chain
+    assert(fused === perPass, s"fused $fused != per-pass $perPass")
+    assert(fused === mid)
+    // Hand-check one word end to end: aaaabcdef → (a,a) greedy L2R →
+    // [aa,aa,b,c,d,e,f] → (aa,b): [aa,aab,c,d,e,f] → (c,d):
+    // [aa,aab,cd,e,f] → (aab,cd): [aa,aabcd,e,f] → (e,f): [aa,aabcd,ef] = 3.
+    assert(fused("aaaabcdef") === 3L)
+    // aaaa → (a,a) greedy L2R chooses positions 1 and 3 → [aa,aa]; no
+    // (aa,aa) merge exists, so it stays 2 pieces.
+    assert(fused("aaaa") === 2L)
+    assert(fused("xyz") === 3L)
+  }
+
   test("t32 piece-table routing: forced plain equijoin emits exactly the broadcast-route rows") {
     // broadcastWords = 0 forces the plain shuffle equijoin on `word`;
     // the default at spec scale broadcasts. The probe-then-route knob
