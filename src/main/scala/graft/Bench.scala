@@ -80,7 +80,11 @@ object Bench {
     // Bucketed ingest is a write-time cost paid once per warehouse, not a
     // per-query cost: perform it untimed so the q2b measurement is the
     // exchange-free join itself — the thing the layout exists to buy.
-    operators.Relational.q2bIngest(spark, sfDir)
+    // Only when q2b is actually selected: the ingest is minutes of wall at
+    // sf10 and a subset run that never touches the bucketed table should
+    // not pay it (full sweeps always include q2b, so committed artifacts
+    // are produced exactly as before).
+    if (selected.contains("q2b_bucketed")) operators.Relational.q2bIngest(spark, sfDir)
 
     val (steal0, total0) = cpuJiffies()
     // Shared memoized products are timed as NAMED SETUP entries, not

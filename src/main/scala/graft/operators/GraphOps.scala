@@ -519,20 +519,13 @@ object GraphOps {
   def nodeSimilarity(edges: DataFrame, k: Int, hubCutoff: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val deg = edges.groupBy("s").agg(count(lit(1)).as("d"))
-    val hubs = edges.groupBy("c").agg(count(lit(1)).as("cd"))
-      .filter(col("cd") > hubCutoff).select("c")
-    val pruned = edges.join(hubs, Seq("c"), "left_anti")
     // Materialize the pair aggregate BEFORE symmetrization: Spark does
     // not share common subexpressions across union branches, so without
-    // this the shared-neighbor join + aggregate run TWICE (plan-audited —
-    // two mirrored SMJ/agg subtrees). The pair table is result-sized
-    // (bounded by Σ C(cd,2) over non-hub neighbors), far smaller than
-    // re-running its parent join.
-    val pairs = pruned.select(col("s").as("s1"), col("c"))
-      .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
-      .localCheckpoint(true)
+    // this the shared-neighbor stage + aggregate run TWICE (plan-audited —
+    // two mirrored subtrees). The pair table is result-sized (bounded by
+    // Σ C(cd,2) over non-hub neighbors), far smaller than re-running its
+    // parent.
+    val pairs = nodeSimilarityPairs(edges, hubCutoff).localCheckpoint(true)
     val sym = pairs.unionByName(
       pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("common")))
     val w = Window.partitionBy(col("s1"))
@@ -548,6 +541,56 @@ object GraphOps {
         col("common"), col("jaccard_micro"), col("rank"))
   }
 
+  /** The shared-neighbor pair aggregate of [[nodeSimilarity]], pre-pin —
+    * factored out for plan audits and for the formulation-equivalence
+    * spec. The self-equijoin on `c` is the MEASURED winner of an r16
+    * sf10 A/B against the "ideal" in-row alternative (generate the
+    * within-customer ordered pairs off a sorted `collect_list` member
+    * array, the g11 idiom): the generator emits only the C(d,2) wedges
+    * (745 M at sf10) where the join emits d² rows (~1.5 B) and sorts the
+    * 58.7 M-row pruned relation twice — yet the generator's wedge stage
+    * measured ~1.8× SLOWER (139.9 s → ~250 s window-adjusted), first on
+    * the ObjectHashAggregate 128-key sort-based fallback (re-sorts every
+    * task's input), and after scoping that threshold up, still on the
+    * per-customer array materialization + nested-`transform` struct
+    * allocation that replaces the join's streamed codegen'd inner loop.
+    * Guide §1.1's gotcha in practice: fewer rows emitted lost to
+    * cheaper-per-row. The join formulation stays; the equivalence spec
+    * keeps the generator semantics pinned should the trade ever be
+    * re-taken at a different shape.
+    */
+  private[graft] def nodeSimilarityPairs(
+      edges: DataFrame, hubCutoff: Int): DataFrame = {
+    val hubs = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+      .filter(col("cd") > hubCutoff).select("c")
+    val pruned = edges.join(hubs, Seq("c"), "left_anti")
+    pruned.select(col("s").as("s1"), col("c"))
+      .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+  }
+
+  /** The RA-scored pair aggregate of [[linkPrediction]], pre-pin —
+    * factored out for plan audits and the formulation-equivalence spec
+    * (see [[nodeSimilarityPairs]] for the measured join-vs-generator
+    * verdict). RA additionally carries the shared customer's exact
+    * degree: one join prunes hubs AND attaches that degree to every
+    * surviving edge, so the pair aggregate folds 10⁹ DIV cd without a
+    * third join.
+    */
+  private[graft] def linkPredictionPairs(
+      edges: DataFrame, hubCutoff: Int): DataFrame = {
+    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+    val pruned = edges.join(cdeg.filter(col("cd") <= hubCutoff), Seq("c"))
+    pruned.select(col("s").as("s1"), col("c"), col("cd"))
+      .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(
+        sum(expr("CAST(1000000000 AS BIGINT) DIV cd")).as("ra_nano"),
+        count(lit(1)).as("common"))
+  }
+
   /** g20: LINK PREDICTION by the Resource-Allocation index (Zhou, Lü &
     * Zhang 2009; the GDS linkPrediction family's strongest local measure)
     * over the same bipartite graph as g13: candidate supplier pairs are
@@ -559,7 +602,7 @@ object GraphOps {
     * mysql2neo4j.py:265, as a weighting instead of a filter). Exact
     * integer fixed-point, so the ranking never flaps across engines.
     *
-    * Same candidate machinery as g13 (shared-neighbor equijoin — never
+    * Same candidate machinery as g13 (shared-neighbor pair stage — never
     * all-pairs; hub customers above `hubCutoff` dropped from pair
     * generation), but for RA the cutoff is PRINCIPLED rather than only
     * operational: a dropped hub contributes at most 10⁹/(hubCutoff+1)
@@ -587,22 +630,10 @@ object GraphOps {
     */
   def linkPrediction(edges: DataFrame, k: Int, hubCutoff: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cd"))
-    // One join prunes hubs AND attaches the shared neighbor's exact
-    // degree to every surviving edge — the pair aggregate below then
-    // folds 10⁹ DIV cd without a third join.
-    val pruned = edges.join(cdeg.filter(col("cd") <= hubCutoff), Seq("c"))
     // Materialized before symmetrization for the same reason as g13's
     // pair table: the union's two branches would otherwise each re-run
-    // the shared-neighbor join + aggregate (plan-audited).
-    val pairs = pruned.select(col("s").as("s1"), col("c"), col("cd"))
-      .join(pruned.select(col("s").as("s2"), col("c")), Seq("c"))
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2")
-      .agg(
-        sum(expr("CAST(1000000000 AS BIGINT) DIV cd")).as("ra_nano"),
-        count(lit(1)).as("common"))
-      .localCheckpoint(true)
+    // the shared-neighbor stage + aggregate (plan-audited).
+    val pairs = linkPredictionPairs(edges, hubCutoff).localCheckpoint(true)
     val sym = pairs.unionByName(
       pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("ra_nano"), col("common")))
     val w = Window.partitionBy(col("s1"))

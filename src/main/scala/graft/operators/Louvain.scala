@@ -166,16 +166,23 @@ object Louvain {
     // internal mass travels with it; it cancels in score differences but
     // must be consistent on both sides of every comparison).
     val k = sym.groupBy(col("src").as("node")).agg(sum("w").as("k"))
-      .localCheckpoint(true)
-    var labels = labels0.localCheckpoint(true)
+    // r16 fold: carry k INSIDE the per-round labels pin. k is constant
+    // across rounds, and every per-node step consumed it through the
+    // (node, com, k) join `nk` — previously one V-sized join + eager pin
+    // PER ROUND. Attaching it once at entry makes labels itself that
+    // dimension: the rounds below read `labels` where they read `nk`,
+    // and the round-closing pin carries the extra 8-byte column instead
+    // of re-deriving the join. Value-preserving: labels0 is the distinct
+    // src set of `sym` at both call sites, exactly k's key set, so the
+    // entry inner join is a column attach, and the rounds' updates never
+    // touch k.
+    var labels = labels0.join(k, Seq("node")).localCheckpoint(true)
     (0 until rounds).foreach { i =>
       val parity = (parity0 + i) % 2
-      // (node, com, k) — the V-sized dimension every per-node step joins.
-      val nk = labels.join(k, Seq("node")).localCheckpoint(true)
       // Community degree mass AND member count in one pass: `cd` feeds
       // the scores, `cn` feeds the skew probe below (free — same
       // aggregate).
-      val comdeg = nk.groupBy("com")
+      val comdeg = labels.groupBy("com")
         .agg(sum("k").as("cd"), count(lit(1)).as("cn"))
         .localCheckpoint(true)
       // The per-round skew probe: one tiny aggregate over the
@@ -199,7 +206,7 @@ object Louvain {
       // extracts both the argmax (score desc, min community — the
       // negation trick) and the stay score, in a single kic pass.
       val scored = joinComdegRouted(
-        kic.join(nk, Seq("node")), comdeg, "c", "node",
+        kic.join(labels, Seq("node")), comdeg, "c", "node",
         nComs, maxCn, broadcastComs, blockThreshold)
         .select(col("node"), col("c"), col("com"),
           (lit(twoM) * col("kic") -
@@ -211,9 +218,9 @@ object Louvain {
           max(struct(col("score"), (-col("c")).as("nc"))).as("m"),
           max(when(col("c") === col("com"), col("score"))).as("kicStay"))
       // Staying score when NO neighbor is left in the current community:
-      // k_{i,cur} = 0 — a V-sized expression over nk⋈comdeg, no edge data.
+      // k_{i,cur} = 0 — a V-sized expression over labels⋈comdeg, no edge data.
       val next = joinComdegRouted(
-        nk, comdeg, "com", "node",
+        labels, comdeg, "com", "node",
         nComs, maxCn, broadcastComs, blockThreshold)
         .join(agg, Seq("node"), "left")
         .select(col("node"),
@@ -221,15 +228,14 @@ object Louvain {
             col("m.score") > coalesce(col("kicStay"),
               -col("k") * (col("cd") - col("k"))),
             -col("m.nc"))
-            .otherwise(col("com")).as("com"))
+            .otherwise(col("com")).as("com"),
+          col("k"))
         .localCheckpoint(true)
       labels.unpersist()
-      nk.unpersist()
       comdeg.unpersist()
       labels = next
     }
-    k.unpersist()
-    labels
+    labels.select("node", "com")
   }
 
   /** The internals a stats consumer can FOLD over instead of re-scanning

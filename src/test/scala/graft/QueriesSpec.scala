@@ -827,6 +827,54 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g13/g20 pair stage: in-row generator ≡ self-equijoin formulation") {
+    val ss = spark
+    import ss.implicits._
+    // The r16 sf10 A/B kept the self-equijoin formulation (the in-row
+    // sorted-array generator measured ~1.8x slower despite emitting d-times
+    // fewer rows — see nodeSimilarityPairs); this spec pins the production
+    // join builders against that independent generator formulation on a
+    // crafted bipartite graph whose customers span the whole degree range —
+    // below, AT, and above the cutoff (the boundary case the cutoff
+    // filter must keep) — so the equivalence survives whichever side of
+    // the trade a future re-measurement takes.
+    val edges = (for {
+      c <- 0 until 40
+      k <- 0 to (c % 9)
+    } yield (((c * 3 + k * 5) % 30).toLong, c.toLong))
+      .distinct.toDF("s", "c").localCheckpoint(true)
+    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cd"))
+    val degs = cdeg.select("cd").collect().map(_.getLong(0))
+    val cutoff = degs.sorted.apply(degs.length / 2).toInt
+    assert(degs.exists(_ == cutoff.toLong) && degs.exists(_ > cutoff),
+      "crafted graph must exercise the at-cutoff and above-cutoff branches")
+    // Reference: the in-row generator formulation — sorted member array,
+    // upper-triangle expansion (within a customer the s values are
+    // distinct, so this is exactly the s1 < s2 join output, once each).
+    val pruned = edges.join(cdeg.filter(col("cd") <= cutoff), Seq("c"))
+    val joinPairs = pruned
+      .groupBy("c", "cd").agg(sort_array(collect_list(col("s"))).as("ss"))
+      .select(col("cd"), explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS s1, y AS s2))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(expr("CAST(1000000000 AS BIGINT) DIV cd")).as("ra_nano"),
+        count(lit(1)).as("common"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val genPairs = operators.GraphOps.linkPredictionPairs(edges, cutoff)
+      .collect()
+      .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2")) ->
+        (r.getAs[Long]("ra_nano"), r.getAs[Long]("common"))).toMap
+    assert(genPairs === joinPairs)
+    assert(genPairs.nonEmpty)
+    val simPairs = operators.GraphOps.nodeSimilarityPairs(edges, cutoff)
+      .collect()
+      .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2")) ->
+        r.getAs[Long]("common")).toMap
+    assert(simPairs === joinPairs.map { case (k, v) => k -> v._2 })
+  }
+
   test("t27 attrition: every stage fires on a crafted corpus, counts hand-computed") {
     val ss = spark
     import ss.implicits._
