@@ -100,18 +100,28 @@ object Bench {
     // pipeline must report one red entry, not abort the sweep and lose
     // the whole artifact (its consumers then fail or pay the build
     // themselves — either way their own entries tell the story).
-    val (setupTimes, setupErrors): (Seq[(String, Double)], Seq[(String, String)]) =
-      if (selected.exists(memoConsumers)) {
+    // The g13/g20 shared wedge substrate follows the same discipline
+    // (r17): one pair stage serves both keys, billed here by name.
+    val wedgeConsumers = Set("g13_node_similarity", "g20_link_prediction")
+    val setups: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("setup:neardup_pairs_memo", memoConsumers,
+        () => { dedup.Dedup.nearDupPairs(spark, sfDir).count(); () }),
+      ("setup:g13g20_wedge_memo", wedgeConsumers,
+        // retainCheckpoint is eager — touching the substrate builds it.
+        () => { operators.GraphOps.wedgeSubstrate(spark, sfDir); () }))
+    val setupResults = setups.collect {
+      case (name, consumers, build) if selected.exists(consumers) =>
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
-        try {
-          dedup.Dedup.nearDupPairs(spark, sfDir).count()
-          (Seq("setup:neardup_pairs_memo" -> (System.nanoTime() - t0) / 1e9), Seq.empty)
-        } catch {
-          case e: Exception =>
-            (Seq.empty, Seq("setup:neardup_pairs_memo" ->
-              (e.getClass.getSimpleName + ": " + e.getMessage)))
-        }
-      } else (Seq.empty, Seq.empty)
+        val r = try { build(); Left(name -> (System.nanoTime() - t0) / 1e9) }
+          catch { case e: Exception =>
+            Right(name -> (e.getClass.getSimpleName + ": " + e.getMessage)) }
+        spark.sparkContext.setJobDescription(null)
+        r
+    }
+    val (setupTimes, setupErrors): (Seq[(String, Double)], Seq[(String, String)]) =
+      (setupResults.collect { case Left(x) => x },
+        setupResults.collect { case Right(x) => x })
     // Fault isolation: one throwing query must not take down the whole
     // sweep's artifact (a bench with 77 greens and 1 red should still
     // report the 77). Failures surface as a separate "errors" map — a
@@ -139,32 +149,59 @@ object Bench {
     val total = times.map(_._2).sum + setupTimes.map(_._2).sum
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
+    // Environment stamps (r16 verdict item 1): the g30 sf10 adjudication
+    // was blocked because two contradictory artifacts could not say which
+    // HEAP/COLLECTOR arm produced them — heap size and GC name travel in
+    // the JSON line so a run is self-identifying, like steal already is.
+    // Core count likewise (item 2): the driver re-runs the bench at a low
+    // core count; an artifact must say which arm it is.
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val gcName = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+      .asScala.map(_.getName).mkString("+")
+    val cpus = spark.sparkContext.master match {
+      case m if m.startsWith("local[") => m.stripPrefix("local[").stripSuffix("]")
+      case m => m
+    }
+    val envJson =
+      s""""heap_mb":$heapMb,"gc":"$gcName","cpus":"$cpus""""
     val qJson = times.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
     val sJson = setupTimes.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
     val eJson = errors.map { case (n, e) =>
       s""""$n":"${e.take(160).replaceAll("[\"\\\\\n\r\t]", " ")}"""" }.mkString(",")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"setup":{$sJson},"errors":{$eJson},"steal_jiffies":${steal1 - steal0},"steal_pct":$stealPct%.2f,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$qJson},"setup":{$sJson},"errors":{$eJson},"steal_jiffies":${steal1 - steal0},"steal_pct":$stealPct%.2f,$envJson,"sf":"$sf"}"""
     // Print the JSON line BEFORE shutdown (so it exists even if stop()
     // hangs) and persist it to a file so the scored artifact survives
     // truncation of the captured stdout (the r7 lost-d-group failure mode).
     println(line)
     System.out.flush()
-    // Subset runs (SPARK_GRAFT_BENCH_KEYS) persist to a _subset file: a
-    // session-effect bisection must never clobber the committed full-sweep
-    // artifact (it did, twice, before this guard).
-    val benchFile = java.nio.file.Paths.get(
-      if (only.isEmpty) s"bench_$sf.json" else s"bench_${sf}_subset.json")
-    java.nio.file.Files.write(benchFile, line.getBytes("UTF-8"))
+    // Artifact naming (r16 verdict items 2/8):
+    //  - full sweeps at a non-default core count get their own file so the
+    //    driver's low-core scaling rerun can never clobber the main
+    //    artifact for the same SF;
+    //  - subset runs (SPARK_GRAFT_BENCH_KEYS) embed the KEY COUNT so the
+    //    standing 12-key sf10 subset and an ad-hoc 1-key adjudication run
+    //    land in different files (the r16 822.4 s standing artifact was
+    //    overwritten by a g30 solo run because both were "_subset");
+    //  - SPARK_GRAFT_BENCH_OUT overrides outright for named experiments.
+    val defaultName =
+      if (only.isEmpty) { if (cpus == "32") s"bench_$sf.json" else s"bench_${sf}_c$cpus.json" }
+      else s"bench_${sf}_subset_${selected.size}keys.json"
+    val benchName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultName)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(benchName), line.getBytes("UTF-8"))
     spark.stop()
-    // The very LAST stdout line is a COMPACT summary (<200 bytes, no
-    // per-query map): the full line above is ~3 KB, which overflows a
-    // capture that keeps only a 2 KB tail — three rounds of the scored
-    // artifact failing to parse. The complete per-query map lives in the
-    // full line and in bench_<sf>.json; the tail-safe line carries the
-    // headline total plus the run-quality scalars.
+    // The very LAST stdout line is a COMPACT summary (<300 bytes, no
+    // per-query map): the full line above is ~4.5 KB at 170 keys, which
+    // overflows a capture that keeps only a 2 KB tail — three rounds of
+    // the scored artifact failing to parse, and the r16 PERF per-query
+    // comparison came back empty for the same reason. 170 keys can NEVER
+    // fit in a 2 KB tail, so the complete per-query map is delivered by
+    // POINTER: "bench_file" names the artifact file (written above, in
+    // the repo cwd) that holds the full line verbatim.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sf","n_queries":${times.size},"n_errors":${errors.size},"steal_pct":$stealPct%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sf","n_queries":${times.size},"n_errors":${errors.size},"steal_pct":$stealPct%.2f,$envJson,"bench_file":"$benchName"}"""
     println(compact)
     System.out.flush()
   }

@@ -10,19 +10,19 @@ object ExplainDump {
     // Internal (pre-pin) pipelines, addressable as `_name`: eager
     // localCheckpoints cut a query's visible plan at the pin, so the
     // stages a pin hides need their own entry to be plan-auditable.
-    def edges(d: String) = {
-      val t = Tables(spark, d)
-      t.lineitem
-        .join(t.orders, org.apache.spark.sql.functions.col("l_orderkey") ===
-          org.apache.spark.sql.functions.col("o_orderkey"))
-        .select(org.apache.spark.sql.functions.col("l_suppkey").as("s"),
-          org.apache.spark.sql.functions.col("o_custkey").as("c"))
-        .distinct()
-    }
+    // Edge builder and cutoff are the PRODUCTION ones (GraphOps.
+    // purchaseEdges / defaultHubCutoff — r16 advice #1): if g13/g20
+    // change their edge construction or default, these dumps follow.
+    // `_g13g20_wedge` is the shared substrate both keys now consume
+    // (r17); `_g13_pairs` stays addressable as the spec-pinned g13-only
+    // formulation it documents.
+    val cutoff = operators.GraphOps.defaultHubCutoff
+    def edges(d: String) = operators.GraphOps.purchaseEdges(spark, d)
     val internal: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
-      "_g20_pairs" -> ((ss, d) => operators.GraphOps.linkPredictionPairs(edges(d), 50)),
-      "_g13_pairs" -> ((ss, d) => operators.GraphOps.nodeSimilarityPairs(edges(d), 50)))
+      "_g13g20_wedge" -> ((ss, d) => operators.GraphOps.linkPredictionPairs(edges(d), cutoff)),
+      "_g20_pairs" -> ((ss, d) => operators.GraphOps.linkPredictionPairs(edges(d), cutoff)),
+      "_g13_pairs" -> ((ss, d) => operators.GraphOps.nodeSimilarityPairs(edges(d), cutoff)))
     names.foreach { n =>
       println(s"===== $n =====")
       val df = internal.get(n).map(_(spark, dir))

@@ -9,7 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `shuffle.partitions` is a ceiling, not a schedule).
   */
 object GraftSession {
-  def create(appName: String = "graft", master: String = "local[32]"): SparkSession = {
+  /** The driver's core-count contract: it re-runs the bench at a lower
+    * core count (`SPARK_GRAFT_CPUS`) to measure per-query scaling, so
+    * the LOCAL master must be sized from the env, not hardcoded — r16's
+    * scaling block was empty-by-construction because every run was
+    * local[32] regardless of the env (VERDICT r16 item 2). Non-local
+    * callers pass their own master and are unaffected.
+    */
+  private def defaultMaster: String =
+    s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"
+
+  def create(appName: String = "graft", master: String = null): SparkSession = {
+    val master0 = Option(master).getOrElse(defaultMaster)
     val b = SparkSession
       .builder()
       .appName(appName)
@@ -50,12 +61,12 @@ object GraftSession {
     // one we're about to set — the GC-pause hardening must follow where
     // the executors actually run, not the factory's default parameter.
     val effectiveMaster = SparkSession.getActiveSession
-      .map(_.sparkContext.master).getOrElse(master)
+      .map(_.sparkContext.master).getOrElse(master0)
     val hardened =
       if (effectiveMaster.startsWith("local")) b.config("spark.network.timeout", "600s")
       else b
     val withMaster =
-      if (SparkSession.getActiveSession.isDefined) hardened else hardened.master(master)
+      if (SparkSession.getActiveSession.isDefined) hardened else hardened.master(master0)
     withMaster.getOrCreate()
   }
 

@@ -502,14 +502,75 @@ object GraphOps {
     * broadcast assumption on the vertex table.
     */
   def g13NodeSimilarity(
-      spark: SparkSession, dir: String, k: Int = 5, hubCutoff: Int = 50): DataFrame = {
+      spark: SparkSession, dir: String, k: Int = 5,
+      hubCutoff: Int = defaultHubCutoff): DataFrame = {
+    val (pairs, deg) = wedgeSubstrate(spark, dir, hubCutoff)
+    nodeSimilarityTail(pairs.select("s1", "s2", "common"), deg, k)
+  }
+
+  /** The default hub cutoff shared by g13/g20 and their plan-audit
+    * dumps (ExplainDump `_g13_pairs`/`_g20_pairs`) — one constant, so
+    * the audit entries cannot silently drift from the production
+    * defaults (r16 advice #1).
+    */
+  private[graft] val defaultHubCutoff = 50
+
+  /** The shared (supplier, customer) purchase edge list of the g13/g20
+    * pair — lineitem⋈orders, deduplicated. NOT pinned here: the
+    * substrate build pins it for the duration of its two derivations.
+    * Factored out so ExplainDump audits the exact production pipeline
+    * (r16 advice #1).
+    */
+  private[graft] def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val edges = t.lineitem
+    t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       .distinct()
-      .localCheckpoint(true)
-    nodeSimilarity(edges, k, hubCutoff)
+  }
+
+  /** Memoized SHARED wedge substrate of g13 and g20 (r16 verdict item
+    * 4): both keys aggregate the same pruned-edge self-join over the
+    * same purchase edge list — g13 consumes the shared-neighbor count,
+    * g20 the RA sum — and [[linkPredictionPairs]] already computes BOTH
+    * measures (its pruning `cd <= cutoff` is set-identical to
+    * [[nodeSimilarityPairs]]' anti-join on `cd > cutoff`), so ONE pair
+    * stage serves the two keys. The suite's two largest sf10 graph
+    * stages (~140 s each) collapse to one.
+    *
+    * Same session-scoped memo discipline as the d3/d6 verified-pairs
+    * product (Dedup.verifiedPairs): keyed on (appId, dir, cutoff),
+    * retained across [[graft.GraftSession.releaseCaches]], built once
+    * per session, and TIMED AS A NAMED SETUP ENTRY by the bench
+    * (`setup:g13g20_wedge_memo`) so its cost lands in the sweep total
+    * under its own name instead of being billed to whichever consumer
+    * runs first. Never cross-run state: the memo dies with the JVM and
+    * every entry is computed from the parquet inputs of `dir`.
+    *
+    * Returns (pairs, sdeg): the combined pair aggregate
+    * `(s1, s2, ra_nano, common)` and the full-edge supplier degrees
+    * `(s, d)` — the second output rides the same pinned edge scan, so
+    * g13's exact Jaccard denominators don't pay a second corpus pass.
+    */
+  private val wedgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), (DataFrame, DataFrame)]()
+
+  private[graft] def wedgeSubstrate(
+      spark: SparkSession, dir: String,
+      hubCutoff: Int = defaultHubCutoff): (DataFrame, DataFrame) = {
+    val appId = spark.sparkContext.applicationId
+    wedgeCache.keySet.removeIf(_._1 != appId)
+    wedgeCache.computeIfAbsent(
+      (appId, dir, hubCutoff),
+      _ => {
+        val edges = purchaseEdges(spark, dir).localCheckpoint(true)
+        val pairs = graft.GraftSession.retainCheckpoint(
+          linkPredictionPairs(edges, hubCutoff))
+        val sdeg = graft.GraftSession.retainCheckpoint(
+          edges.groupBy("s").agg(count(lit(1)).as("d")))
+        edges.unpersist()
+        (pairs, sdeg)
+      })
   }
 
   /** Core of [[g13NodeSimilarity]] over an arbitrary deduplicated
@@ -517,8 +578,6 @@ object GraphOps {
     * `s` nodes. Factored out for crafted-graph specs.
     */
   def nodeSimilarity(edges: DataFrame, k: Int, hubCutoff: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val deg = edges.groupBy("s").agg(count(lit(1)).as("d"))
     // Materialize the pair aggregate BEFORE symmetrization: Spark does
     // not share common subexpressions across union branches, so without
     // this the shared-neighbor stage + aggregate run TWICE (plan-audited —
@@ -526,6 +585,16 @@ object GraphOps {
     // Σ C(cd,2) over non-hub neighbors), far smaller than re-running its
     // parent.
     val pairs = nodeSimilarityPairs(edges, hubCutoff).localCheckpoint(true)
+    nodeSimilarityTail(pairs, edges.groupBy("s").agg(count(lit(1)).as("d")), k)
+  }
+
+  /** Post-pair-stage tail of [[nodeSimilarity]]: symmetrize, attach the
+    * exact full-edge degrees, fixed-point Jaccard, per-node top-k.
+    * `pairs` must be MATERIALIZED (pinned or retained) — it is
+    * referenced by both union branches.
+    */
+  private def nodeSimilarityTail(pairs: DataFrame, deg: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = pairs.unionByName(
       pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("common")))
     val w = Window.partitionBy(col("s1"))
@@ -615,25 +684,25 @@ object GraphOps {
     * WindowGroupLimit shape as g13/q3.
     */
   def g20LinkPrediction(
-      spark: SparkSession, dir: String, k: Int = 5, hubCutoff: Int = 50): DataFrame = {
-    val t = Tables(spark, dir)
-    val edges = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
-      .distinct()
-      .localCheckpoint(true)
-    linkPrediction(edges, k, hubCutoff)
-  }
+      spark: SparkSession, dir: String, k: Int = 5,
+      hubCutoff: Int = defaultHubCutoff): DataFrame =
+    linkPredictionTail(wedgeSubstrate(spark, dir, hubCutoff)._1, k)
 
   /** Core of [[g20LinkPrediction]] over an arbitrary deduplicated
     * bipartite edge list `(s, c)`. Factored out for crafted-graph specs.
     */
   def linkPrediction(edges: DataFrame, k: Int, hubCutoff: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Materialized before symmetrization for the same reason as g13's
     // pair table: the union's two branches would otherwise each re-run
     // the shared-neighbor stage + aggregate (plan-audited).
-    val pairs = linkPredictionPairs(edges, hubCutoff).localCheckpoint(true)
+    linkPredictionTail(linkPredictionPairs(edges, hubCutoff).localCheckpoint(true), k)
+  }
+
+  /** Post-pair-stage tail of [[linkPrediction]]: symmetrize, RA-rank,
+    * per-node top-k. `pairs` must be MATERIALIZED (pinned or retained).
+    */
+  private def linkPredictionTail(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = pairs.unionByName(
       pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("ra_nano"), col("common")))
     val w = Window.partitionBy(col("s1"))

@@ -852,7 +852,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // upper-triangle expansion (within a customer the s values are
     // distinct, so this is exactly the s1 < s2 join output, once each).
     val pruned = edges.join(cdeg.filter(col("cd") <= cutoff), Seq("c"))
-    val joinPairs = pruned
+    val generatorPairs = pruned
       .groupBy("c", "cd").agg(sort_array(collect_list(col("s"))).as("ss"))
       .select(col("cd"), explode(expr(
         "flatten(transform(ss, (x, i) -> " +
@@ -862,17 +862,43 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         count(lit(1)).as("common"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    val genPairs = operators.GraphOps.linkPredictionPairs(edges, cutoff)
+    val prodPairs = operators.GraphOps.linkPredictionPairs(edges, cutoff)
       .collect()
       .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2")) ->
         (r.getAs[Long]("ra_nano"), r.getAs[Long]("common"))).toMap
-    assert(genPairs === joinPairs)
-    assert(genPairs.nonEmpty)
+    assert(prodPairs === generatorPairs)
+    assert(prodPairs.nonEmpty)
     val simPairs = operators.GraphOps.nodeSimilarityPairs(edges, cutoff)
       .collect()
       .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2")) ->
         r.getAs[Long]("common")).toMap
-    assert(simPairs === joinPairs.map { case (k, v) => k -> v._2 })
+    assert(simPairs === generatorPairs.map { case (k, v) => k -> v._2 })
+  }
+
+  test("g13/g20 via the shared wedge substrate ≡ the standalone formulations") {
+    // r17: g13 and g20 consume ONE memoized pair stage (wedgeSubstrate);
+    // this spec pins both keys' full outputs against the pre-substrate
+    // standalone pipelines (own pair stage, own degree pass) on real
+    // parquet inputs, and checks the memo actually memoizes (same
+    // instance on a second call) so the bench's setup-entry accounting
+    // stays truthful.
+    val sfDir = "/root/testdata/sf0.01"
+    val edges = operators.GraphOps.purchaseEdges(spark, sfDir).localCheckpoint(true)
+    val k = 5
+    val cutoff = operators.GraphOps.defaultHubCutoff
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank")) -> r.toSeq).toMap
+    val g13Standalone = keyed(operators.GraphOps.nodeSimilarity(edges, k, cutoff))
+    val g20Standalone = keyed(operators.GraphOps.linkPrediction(edges, k, cutoff))
+    val g13Sub = keyed(operators.GraphOps.g13NodeSimilarity(spark, sfDir, k))
+    val g20Sub = keyed(operators.GraphOps.g20LinkPrediction(spark, sfDir, k))
+    assert(g13Sub.nonEmpty && g20Sub.nonEmpty)
+    assert(g13Sub === g13Standalone)
+    assert(g20Sub === g20Standalone)
+    val (p1, d1) = operators.GraphOps.wedgeSubstrate(spark, sfDir)
+    val (p2, d2) = operators.GraphOps.wedgeSubstrate(spark, sfDir)
+    assert((p1 eq p2) && (d1 eq d2), "substrate must be memoized per (app, dir, cutoff)")
+    edges.unpersist()
   }
 
   test("t27 attrition: every stage fires on a crafted corpus, counts hand-computed") {
@@ -2593,8 +2619,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("encodeWords fused-pass chain ≡ per-pass checkpointing (forced both ways)") {
     val ss = spark
     import ss.implicits._
-    // A merge list long enough that the default pin cadence (8) leaves
-    // the whole chain fused AND a forced cadence of 2 pins mid-chain —
+    // A merge list short enough that a cadence of 8 (longer than the
+    // 5-merge list, so fully fused; the production default is 1 =
+    // per-pass) leaves the whole chain fused AND a forced cadence of 2
+    // pins mid-chain —
     // the equivalence must hold across the pin boundary, where the lazy
     // tail is cut and restarted from a LogicalRDD. Includes the l == r
     // overlap case ("aaaa" under (a,a)) so the islands idiom crosses the
