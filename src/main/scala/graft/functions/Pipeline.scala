@@ -121,9 +121,12 @@ object CurationPipeline {
 
     // Stage 1: quality verdict (shared core with t22 and the streaming
     // classify stage — batch/stream/pipeline parity by definition).
-    val base = TextFuncs.curationVerdictCore(corpus)
-      .select(col("doc_id"), col("keep"))
-      .join(corpus, Seq("doc_id"))
+    // `withCurationVerdict` carries `text` through the verdict
+    // projection itself (r17): the previous verdict→re-join-the-corpus
+    // shape scanned documents twice and shuffled the corpus on doc_id
+    // just to re-attach the text column the projection already had.
+    val base = TextFuncs.withCurationVerdict(corpus, carry = Seq("text"))
+      .select(col("doc_id"), col("keep"), col("text"))
       .localCheckpoint(true)
     val q = base.filter(col("keep") === 1)
 

@@ -356,7 +356,22 @@ object TextFuncs {
     * in-flight classify stage of a streaming ingest, with batch/stream
     * parity structural by shared definition.
     */
-  def curationVerdictCore(docs: DataFrame): DataFrame = {
+  def curationVerdictCore(docs: DataFrame): DataFrame =
+    withCurationVerdict(docs)
+      .select("doc_id", "pred_lang", "n_tokens", "quality_ok",
+        "repetition_flag", "lang_ok", "keep", "reasons")
+
+  /** [[curationVerdictCore]] with the named input columns CARRIED
+    * through the verdict projection: the pipeline consumer (t27) needs
+    * `text` alongside `keep`, and carrying it through the projection is
+    * free — the alternative (verdict then re-join the corpus on doc_id
+    * to re-attach text) paid a second corpus scan plus a corpus-sized
+    * shuffle for what one projection already had in hand (r17). An
+    * explicit carry list, not `*`: callers may hold frames whose extra
+    * columns collide with the verdict's internal names (n_chars &c).
+    */
+  private[graft] def withCurationVerdict(
+      docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val text = col("text")
     val words = sortedWords(text)
     val nonEmpty = length(trim(text)) > 0
@@ -365,7 +380,7 @@ object TextFuncs {
     // per-row sort+fold kernel.
     val base = docs.select(
       (Seq(
-        col("doc_id"),
+        col("doc_id")) ++ carry.map(col) ++ Seq(
         tokenCount(text).cast("long").as("n_tokens"),
         length(text).cast("long").as("n_chars"),
         when(nonEmpty, size(words).cast("long")).otherwise(lit(0L)).as("n_words"),
@@ -388,8 +403,6 @@ object TextFuncs {
         when(col("quality_ok") === 0, lit("quality")),
         when(col("repetition_flag") === 1, lit("repetition")),
         when(col("lang_ok") === 0, lit("lang"))))
-      .select("doc_id", "pred_lang", "n_tokens", "quality_ok",
-        "repetition_flag", "lang_ok", "keep", "reasons")
   }
 
   /** t9: corpus-level word-bigram frequency (top 100) — the n-gram

@@ -157,7 +157,43 @@ object CycleAudit {
       .distinct().localCheckpoint(true)
     val settled = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var i = 0
-    while (i < iterations && !nodes.isEmpty) {
+    var nCnt = nodes.count()
+    while (i < iterations && nCnt > 0) {
+      // 0. TRIM (the FW-BW-Trim refinement — Orzan's coloring family,
+      // r17): a node with no incoming or no outgoing LIVE edge cannot
+      // sit on a cycle, so it is its own singleton SCC — settle it with
+      // two semi-joins per round instead of paying the coloring pass's
+      // full min-propagation fixpoint for acyclic structure. Interleaved
+      // per iteration because each peel exposes the condensation's next
+      // DAG layer: on DAG-heavy graphs the trim absorbs what previously
+      // cost one full color+settle iteration PER CONDENSATION LEVEL
+      // (this fixture: parts/customers/nations/regions all trim in ~2
+      // rounds and the coloring then runs once, over the supplier rings
+      // alone). Labels are identical by construction — a singleton
+      // settles as (node, node) on both paths (root = itself).
+      var trimming = true
+      while (trimming && nCnt > 0) {
+        val keep = nodes
+          .join(live.select(col("src").as("node")), Seq("node"), "left_semi")
+          .join(live.select(col("dst").as("node")), Seq("node"), "left_semi")
+          .localCheckpoint(true)
+        val kCnt = keep.count()
+        if (kCnt == nCnt) { keep.unpersist(); trimming = false }
+        else {
+          val singles = nodes.join(keep, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc_id"))
+            .localCheckpoint(true)
+          settled += singles
+          val liveNext = live
+            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(true)
+          nodes.unpersist(); live.unpersist()
+          nodes = keep; live = liveNext; nCnt = kCnt
+        }
+      }
+      if (nCnt == 0) { i += 1 }
+      else {
       // 1. Color to fixpoint: F(v) = min id reaching v. The traversal
       // must certify it actually REACHED the fixpoint (requireConverged):
       // a coloring truncated at maxRounds assigns wrong colors silently —
@@ -210,9 +246,11 @@ object CycleAudit {
       nodes.unpersist(); live.unpersist(); colors.unpersist()
       nodes = remaining
       live = liveNext
+      nCnt = remaining.count()
       i += 1
+      }
     }
-    require(nodes.isEmpty,
+    require(nCnt == 0,
       s"stronglyConnected: nodes still unsettled after $iterations iterations — " +
         "the SCC condensation is deeper than the lever; raise `iterations`")
     val out = settled.reduce(_.unionByName(_)).localCheckpoint(true)

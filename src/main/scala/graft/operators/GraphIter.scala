@@ -1031,31 +1031,29 @@ object GraphIter {
       .dropDuplicates("src", "dst")
       .localCheckpoint(true)
     // Forward: exact-depth layers per pivot (first-reached-at-d, the g9
-    // anti-join), settled kept as a lazy union of the layer checkpoints.
-    val layers = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // anti-join) WITH the path count σ carried in the frontier (r17):
+    // layer membership and σ(w at d) = Σ σ(v at d−1) over DAG edges ride
+    // ONE sym⋈frontier join + aggregate per depth — previously two
+    // separate passes ran the same join per depth (layers, then σ with a
+    // semi-join back against the layer), doubling the traversal's
+    // exchanges. The anti-join against settled runs before the aggregate
+    // (same exclusion either way — it keys on (lm, node) only), so the
+    // sum folds exactly the layer-d candidate edges the σ pass folded.
+    val sig = new scala.collection.mutable.ArrayBuffer[DataFrame]()
     var frontier = pivots.select(col("lm"), col("lm").as("node")).distinct()
+      .withColumn("sig", lit(1L))
       .localCheckpoint(true)
-    layers += frontier
-    var settled = frontier
+    sig += frontier
+    var settled = frontier.select("lm", "node")
     (1 to maxDepth).foreach { _ =>
       val next = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("lm"), col("dst").as("node")).distinct()
-        .join(settled, Seq("lm", "node"), "left_anti")
-        .localCheckpoint(true)
-      layers += next
-      settled = settled.unionByName(next)
-      frontier = next
-    }
-    // σ per layer: σ(pivot) = 1; σ(w at depth d) = Σ σ(v at d−1) over
-    // edges (v, w) — the semi-join against layer d keeps the DAG edges.
-    val sig = new scala.collection.mutable.ArrayBuffer[DataFrame]()
-    sig += layers(0).withColumn("sig", lit(1L)).localCheckpoint(true)
-    (1 to maxDepth).foreach { d =>
-      sig += sym.join(sig(d - 1).withColumnRenamed("node", "src"), Seq("src"))
         .select(col("lm"), col("dst").as("node"), col("sig"))
-        .join(layers(d), Seq("lm", "node"), "left_semi")
+        .join(settled, Seq("lm", "node"), "left_anti")
         .groupBy("lm", "node").agg(sum("sig").as("sig"))
         .localCheckpoint(true)
+      sig += next
+      settled = settled.unionByName(next.select("lm", "node"))
+      frontier = next
     }
     // Backward: δ at the deepest layer is 0; each shallower layer folds
     // its successors' (σ, δ) through the integer fixed-point term.
@@ -1085,7 +1083,7 @@ object GraphIter {
       .groupBy("node").agg(sum("delta").as("bc_micro"))
       .filter(col("bc_micro") > 0)
       .localCheckpoint(true)
-    (layers ++ sig ++ deltas).foreach(_.unpersist())
+    (sig ++ deltas).foreach(_.unpersist())
     sym.unpersist()
     out
   }
