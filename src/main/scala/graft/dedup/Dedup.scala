@@ -299,7 +299,7 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("canonical"))
     Tables(spark, dir).documents
       .select(col("doc_id"))
-      .join(comps, Seq("doc_id"), "left")
+      .join(broadcast(comps), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"),

@@ -219,7 +219,7 @@ object Media {
       .select(col("node").as("doc_id"), col("label").as("canonical"))
     Tables(spark, dir).documents
       .select(col("doc_id"))
-      .join(comps, Seq("doc_id"), "left")
+      .join(broadcast(comps), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
@@ -284,7 +284,7 @@ object Media {
     val comps = graft.operators.GraphIter.connectedComponents(verified)
       .select(col("node").as("doc_id"), col("label").as("canonical"))
     docs.select(col("doc_id"))
-      .join(comps, Seq("doc_id"), "left")
+      .join(broadcast(comps), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical_id"),
